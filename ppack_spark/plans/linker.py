@@ -1,0 +1,134 @@
+"""High-level linkage pipeline: the whole reference workflow as one
+object (blocking → pairs → comparisons → pattern counts → EM →
+scoring), mirroring the end-to-end driver script scratch.R:17-139.
+
+Everything O(pairs) stays a lazy DataFrame plan; only the
+pattern-counts sufficient statistic (≤ ∏ levels rows) is collected for
+the driver-side EM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..blocking import extract_blocks, ordered_pairs
+from ..em import FSParams, run_em
+from ..pairs import compute_pairs_dataset, sample_pair_ids_inplan
+from ..patterns import (
+    collect_probabilities,
+    do_comparisons,
+    pattern_counts,
+    u_probability_frequencies,
+)
+from ..scoring import score_pairs, threshold_and_rank
+from ..spec import LinkerSpec
+
+__all__ = ["Linker"]
+
+
+class Linker:
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_a: DataFrame,
+        data_b: DataFrame | None,
+        spec: LinkerSpec,
+    ) -> None:
+        self.spark = spark
+        self.data_a = data_a
+        self.data_b = data_b if data_b is not None else data_a
+        self.self_link = data_b is None
+        self.spec = spec
+        self.params: FSParams | None = None
+
+    # --- plan builders (all lazy) -------------------------------------
+    def candidate_pairs(self) -> DataFrame:
+        pairs = extract_blocks(
+            self.data_a,
+            self.data_b,
+            self.spec.unique_id_left,
+            self.spec.unique_id_right,
+            blocking_variables=self.spec.blocking_rules,
+        )
+        if self.self_link:
+            pairs = ordered_pairs(pairs)  # scratch.R:28
+        return pairs
+
+    def pairs_dataset(self, pair_ids: DataFrame | None = None) -> DataFrame:
+        ids = pair_ids if pair_ids is not None else self.candidate_pairs()
+        return compute_pairs_dataset(
+            self.data_a,
+            self.data_b,
+            self.spec.unique_id_left,
+            self.spec.unique_id_right,
+            ids,
+        )
+
+    def comparisons(self, keep_ids: bool = True, pair_ids: DataFrame | None = None) -> DataFrame:
+        from ..exprs import suffixed
+
+        keep = (
+            [
+                suffixed(self.spec.unique_id_left, "_left"),
+                suffixed(self.spec.unique_id_right, "_right"),
+            ]
+            if keep_ids
+            else None
+        )
+        return do_comparisons(self.pairs_dataset(pair_ids), self.spec.comparator_exprs(), keep=keep)
+
+    def pattern_counts(self) -> DataFrame:
+        gammas = [c.name for c in self.spec.comparisons]
+        return pattern_counts(self.comparisons(keep_ids=False), gammas)
+
+    # --- estimation ---------------------------------------------------
+    def estimate_u(self, size: int = 1_000_000, seed: int = 42) -> dict:
+        """Monte-Carlo u-probabilities from random pairs
+        (reference calculate_u_probs, scratch.R:58-98)."""
+        n_a = self.data_a.count()
+        n_b = self.data_b.count()
+        random_ids = sample_pair_ids_inplan(
+            self.spark,
+            n_a,
+            n_b,
+            size=size,
+            seed=seed,
+            id_left=f"{self.spec.unique_id_left}_left",
+            id_right=f"{self.spec.unique_id_right}_right",
+        )
+        cmp = do_comparisons(self.pairs_dataset(random_ids), self.spec.comparator_exprs())
+        return collect_probabilities(u_probability_frequencies(cmp))
+
+    def estimate(
+        self,
+        maxiter: int = 20,
+        u_probabilities: dict | None = None,
+        u_sample_size: int = 1_000_000,
+        total_pairs: float | None = None,
+        seed: int = 42,
+    ) -> FSParams:
+        if u_probabilities is None:
+            u_probabilities = self.estimate_u(size=u_sample_size, seed=seed)
+        if total_pairs is None:
+            # n²/2 approximation, reference scratch.R:56.
+            n = self.data_a.count()
+            total_pairs = n * n / 2.0
+        counts = self.pattern_counts().toPandas()
+        self.params = run_em(
+            counts,
+            total_pairs=total_pairs,
+            u_probabilities=u_probabilities,
+            maxiter=maxiter,
+            levels=self.spec.comparator_levels(),
+        )
+        return self.params
+
+    # --- scoring ------------------------------------------------------
+    def score(self, threshold: float | None = None) -> DataFrame:
+        if self.params is None:
+            raise RuntimeError("call estimate() first")
+        gamma_cols = {c.name: c.name for c in self.spec.comparisons}
+        scored = score_pairs(self.comparisons(keep_ids=True), self.params, gamma_cols)
+        if threshold is not None:
+            scored = threshold_and_rank(scored, threshold)
+        return scored

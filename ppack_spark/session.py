@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing happens on ``local[$SPARK_GRAFT_CPUS]``; the conf
+choices below are the ones that matter at cluster scale too: AQE for
+runtime re-planning (skew joins from hot blocking keys are the known
+risk in record linkage), Arrow for the pattern-counts collect that
+feeds the driver-side EM, and a shuffle-partition count sized to the
+local core count rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.crossJoin.enabled": "true",
+    "spark.ui.enabled": "false",
+    # ANSI off: the engine compiles R/dplyr-flavoured comparator
+    # expressions where silent-null (not error) semantics on bad
+    # casts/arithmetic match the reference's DuckDB-via-dbplyr
+    # behaviour more closely than Spark 4's ANSI default.
+    "spark.sql.ansi.enabled": "false",
+    # The events fixture stores TIMESTAMP(NANOS); Spark has no ns
+    # timestamp type, so read as long and convert (sources/etl.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "ppack_spark", extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the session. ``SPARK_GRAFT_CPUS`` sets local parallelism."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    conf = dict(DEFAULT_CONF)
+    if "SPARK_DRIVER_MEMORY" in os.environ:
+        conf["spark.driver.memory"] = os.environ["SPARK_DRIVER_MEMORY"]
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

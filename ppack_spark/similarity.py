@@ -1,0 +1,110 @@
+"""String-similarity functions for comparators.
+
+The reference relies on DuckDB's builtin ``jaro_winkler_similarity``
+(comparators.R:9-11). Spark has no JW builtin, so this module provides
+an Arrow-vectorized pandas UDF implementing the standard
+Jaro-Winkler measure (Winkler 1990): prefix scale 0.1, max prefix 4,
+boost threshold 0.7 — the same constants DuckDB uses, verified against
+its output in tests/test_similarity.py.
+
+UDF placement policy (SURVEY §7 risk register): similarity UDFs run
+strictly *post-blocking* over the candidate pairs — never inside a
+join predicate, where they would break whole-stage codegen and force a
+nested-loop join. Levenshtein and soundex comparators use Spark
+builtins (JVM-side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["jaro_winkler", "jaro_winkler_py", "jw_similarity", "levenshtein_similarity"]
+
+
+def jaro_winkler_py(s1: str | None, s2: str | None) -> float | None:
+    """Pure-Python Jaro-Winkler, DuckDB-compatible (prefix scale 0.1,
+    boost threshold 0.7, prefix cap 4). None-propagating."""
+    if s1 is None or s2 is None:
+        return None
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, c1 in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c1:
+                flags1[i] = True
+                flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    # transposition count over matched characters in order
+    t = 0
+    k = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+    if jaro > 0.7:  # Winkler boost
+        prefix = 0
+        for c1, c2 in zip(s1[:4], s2[:4]):
+            if c1 == c2:
+                prefix += 1
+            else:
+                break
+        jaro += prefix * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+@pandas_udf(T.DoubleType())
+def jw_similarity(left: pd.Series, right: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler over two string columns."""
+    l_arr = left.to_numpy(dtype=object)
+    r_arr = right.to_numpy(dtype=object)
+    out = np.empty(len(l_arr), dtype=object)
+    for i in range(len(l_arr)):
+        l, r = l_arr[i], r_arr[i]
+        out[i] = jaro_winkler_py(
+            l if isinstance(l, str) else None,
+            r if isinstance(r, str) else None,
+        )
+    return pd.Series(out, dtype="float64")
+
+
+def jaro_winkler(left: Column | str, right: Column | str) -> Column:
+    """Column-level JW similarity (usable inside comparator factories)."""
+    l = F.col(left) if isinstance(left, str) else left
+    r = F.col(right) if isinstance(right, str) else right
+    return jw_similarity(l, r)
+
+
+def levenshtein_similarity(left: Column | str, right: Column | str) -> Column:
+    """Normalized Levenshtein similarity 1 − d/max(len) using the Spark
+    *builtin* edit distance — JVM-side, codegen-friendly, the preferred
+    fuzzy comparator at scale."""
+    l = F.col(left) if isinstance(left, str) else left
+    r = F.col(right) if isinstance(right, str) else right
+    maxlen = F.greatest(F.length(l), F.length(r))
+    return F.when(maxlen == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(l, r) / maxlen.cast("double")
+    )

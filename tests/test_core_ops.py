@@ -1,0 +1,174 @@
+"""Oracle-checked tests for the core relational operators
+(SURVEY §2d items 1-5, 7; customer self-link shape from FIXTURES §6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import assert_same
+
+from ppack_spark import (
+    compute_pairs_dataset,
+    do_comparisons,
+    exact_comparator,
+    extract_blocks,
+    ordered_pairs,
+    pattern_counts,
+    with_suffix,
+    bucket_comparator,
+)
+from ppack_spark.spec import BlockingRule
+
+
+def test_suffix_projection(tables, oracle):
+    got = with_suffix(tables["customer"], "_left")
+    want = oracle.execute(
+        """
+        select c_custkey as c_custkey_left, c_name as c_name_left,
+               c_nationkey as c_nationkey_left, c_acctbal as c_acctbal_left,
+               c_mktsegment as c_mktsegment_left
+        from customer
+        """
+    ).df()
+    assert_same(got, want)
+
+
+def test_suffix_idempotent(tables):
+    df = with_suffix(tables["customer"], "_left")
+    again = with_suffix(df, "_left")
+    assert df.columns == again.columns
+
+
+BLOCK_ORACLE = """
+    with a as (select * from customer), b as (select * from customer),
+    pass1 as (
+        select a.c_custkey as c_custkey_left, b.c_custkey as c_custkey_right
+        from a join b on a.c_nationkey = b.c_nationkey
+    ),
+    pass2 as (
+        select a.c_custkey as c_custkey_left, b.c_custkey as c_custkey_right
+        from a join b
+          on substr(a.c_name, 1, 12) = substr(b.c_name, 1, 12)
+         and a.c_mktsegment = b.c_mktsegment
+    )
+    select distinct c_custkey_left, c_custkey_right
+    from (select * from pass1 union all select * from pass2)
+"""
+
+
+def test_extract_blocks_multi_pass(tables, oracle):
+    got = extract_blocks(
+        tables["customer"],
+        tables["customer"],
+        "c_custkey",
+        "c_custkey",
+        blocking_variables=["c_nationkey"],
+        blocking_expressions=[
+            (F.substring("c_name_left", 1, 12) == F.substring("c_name_right", 1, 12))
+            & (F.col("c_mktsegment_left") == F.col("c_mktsegment_right"))
+        ],
+    )
+    want = oracle.execute(BLOCK_ORACLE).df()
+    assert_same(got, want)
+
+
+def test_ordered_pairs(tables, oracle):
+    pairs = extract_blocks(
+        tables["customer"], tables["customer"], "c_custkey", "c_custkey",
+        blocking_variables=["c_nationkey"],
+    )
+    got = ordered_pairs(pairs)
+    want = oracle.execute(
+        """
+        select distinct a.c_custkey as c_custkey_left, b.c_custkey as c_custkey_right
+        from customer a join customer b on a.c_nationkey = b.c_nationkey
+        where a.c_custkey < b.c_custkey
+        """
+    ).df()
+    assert_same(got, want)
+
+
+def test_pairs_dataset_and_exact_comparator(tables, oracle):
+    pairs = ordered_pairs(
+        extract_blocks(
+            tables["customer"], tables["customer"], "c_custkey", "c_custkey",
+            blocking_variables=["c_nationkey"],
+        )
+    )
+    joined = compute_pairs_dataset(
+        tables["customer"], tables["customer"], "c_custkey", "c_custkey", pairs
+    )
+    cmp = do_comparisons(
+        joined,
+        {
+            "mktsegment": exact_comparator("c_mktsegment"),
+            "acctbal": bucket_comparator(
+                F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right")),
+                [
+                    (F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right")) < 100, "close"),
+                    (F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right")) < 1000, "near"),
+                ],
+                "far",
+            ),
+        },
+        keep=["c_custkey_left", "c_custkey_right"],
+    )
+    got = pattern_counts(cmp, ["mktsegment", "acctbal"])
+    want = oracle.execute(
+        """
+        with pairs as (
+            select distinct a.c_custkey as idl, b.c_custkey as idr
+            from customer a join customer b on a.c_nationkey = b.c_nationkey
+            where a.c_custkey < b.c_custkey
+        ),
+        joined as (
+            select p.*, a.c_mktsegment as seg_l, a.c_acctbal as bal_l,
+                   b.c_mktsegment as seg_r, b.c_acctbal as bal_r
+            from pairs p
+            left join customer a on p.idl = a.c_custkey
+            left join customer b on p.idr = b.c_custkey
+        ),
+        cmp as (
+            select
+              case when seg_l = seg_r then 'agree'
+                   when seg_l <> seg_r then 'disagree' end as mktsegment,
+              case when abs(bal_l - bal_r) < 100 then 'close'
+                   when abs(bal_l - bal_r) < 1000 then 'near'
+                   else 'far' end as acctbal
+            from joined
+        )
+        select mktsegment, acctbal, count(*) as n from cmp group by 1, 2
+        """
+    ).df()
+    assert_same(got, want)
+
+
+def test_exact_comparator_null_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), (None, "a"), ("a", None), (None, None)],
+        "x_left string, x_right string",
+    )
+    rows = df.select(exact_comparator("x").alias("g")).collect()
+    assert [r["g"] for r in rows] == ["agree", "disagree", None, None, None]
+
+
+def test_bucket_comparator_null_goes_default(spark):
+    df = spark.createDataFrame([(1.0,), (None,)], "v double")
+    rows = df.select(
+        bucket_comparator(
+            F.col("v"), [(F.col("v") > 0.5, "high")], "none"
+        ).alias("g")
+    ).collect()
+    assert [r["g"] for r in rows] == ["high", "none"]
+
+
+def test_blocking_rule_coercion(tables):
+    pairs = extract_blocks(
+        tables["customer"], tables["customer"], "c_custkey", "c_custkey",
+        blocking_variables=[
+            BlockingRule.on("c_nationkey"),
+            BlockingRule.where("c_mktsegment_left = c_mktsegment_right"),
+        ],
+    )
+    assert pairs.columns == ["c_custkey_left", "c_custkey_right"]
+    assert pairs.count() > 0
