@@ -129,9 +129,16 @@ def run_em(
     history: list[dict] = []
     prob_est = np.zeros_like(n)
 
+    tiny = 1e-300  # clamp before log: an M-step can drive a level to exactly 0
     for it in range(maxiter):
-        log_m_vec = {name: np.log([m[name][l] for l in levels[name]]) for name in names}
-        log_u_vec = {name: np.log([u[name][l] for l in levels[name]]) for name in names}
+        log_m_vec = {
+            name: np.log(np.maximum([m[name][l] for l in levels[name]], tiny))
+            for name in names
+        }
+        log_u_vec = {
+            name: np.log(np.maximum([u[name][l] for l in levels[name]], tiny))
+            for name in names
+        }
         # E-step: per-pattern log-likelihoods; missing comparator → 0 term.
         loglik_m = sum(ind[name] @ log_m_vec[name] for name in names)
         loglik_u = sum(ind[name] @ log_u_vec[name] for name in names)

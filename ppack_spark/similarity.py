@@ -31,11 +31,15 @@ def jaro_winkler_py(s1: str | None, s2: str | None) -> float | None:
     boost threshold 0.7, prefix cap 4). None-propagating."""
     if s1 is None or s2 is None:
         return None
-    if s1 == s2:
-        return 1.0
-    len1, len2 = len(s1), len(s2)
+    # DuckDB computes JW over UTF-8 bytes, not codepoints — match that.
+    b1 = s1.encode("utf-8") if isinstance(s1, str) else s1
+    b2 = s2.encode("utf-8") if isinstance(s2, str) else s2
+    len1, len2 = len(b1), len(b2)
     if len1 == 0 or len2 == 0:
-        return 0.0
+        return 0.0  # DuckDB: empty input → 0, even for '' vs ''
+    if b1 == b2:
+        return 1.0
+    s1, s2 = b1, b2
     match_window = max(len1, len2) // 2 - 1
     if match_window < 0:
         match_window = 0
