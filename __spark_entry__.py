@@ -1,38 +1,106 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship Fellegi-Sunter linkage pipeline on
+sf0.001; ``queries()``/``oracle_sql()`` expose every implemented
+operator from SURVEY.md §2 (see ppack_spark/plans/registry*.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_confs(spark: SparkSession) -> SparkSession:
+    """The driver owns the session; set the confs we rely on that are
+    safe to flip at runtime (nanos parquet reads, ANSI off)."""
+    for k, v in [
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: blocked customer self-link, EM-fitted FS parameters,
+    scored candidate pairs ranked by match weight (sf0.001)."""
+    _ensure_confs(spark)
+    from pyspark.sql import functions as F
+
+    import ppack_spark as pp
+
+    sf_dir = "/root/testdata/sf0.001"
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bal_diff = F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right"))
+    spec = pp.LinkerSpec(
+        unique_id_left="c_custkey",
+        unique_id_right="c_custkey",
+        blocking_rules=[
+            pp.BlockingRule.on("c_nationkey"),
+            pp.BlockingRule.where(
+                (F.substring("c_name_left", 1, 12) == F.substring("c_name_right", 1, 12))
+                & (F.col("c_mktsegment_left") == F.col("c_mktsegment_right"))
+            ),
+        ],
+        comparisons=[
+            pp.Comparison.exact("c_mktsegment"),
+            pp.Comparison.buckets(
+                "acctbal",
+                bal_diff,
+                [(bal_diff < 100, "close"), (bal_diff < 1000, "near")],
+                "far",
+            ),
+        ],
+    )
+    linker = pp.Linker(spark, customer, None, spec)
+    n = customer.count()
+    sample = customer.select(
+        F.col("c_custkey").alias("c_custkey_left"),
+        ((F.col("c_custkey") * 37 + 11) % n).alias("c_custkey_right"),
+    )
+    from ppack_spark.patterns import collect_probabilities, u_probability_frequencies
+    from ppack_spark.patterns import do_comparisons
+
+    u0 = collect_probabilities(
+        u_probability_frequencies(
+            do_comparisons(linker.pairs_dataset(sample), spec.comparator_exprs())
+        )
+    )
+    linker.estimate(maxiter=10, u_probabilities=u0)
+    return linker.score().orderBy(
+        F.desc("weight"), "c_custkey_left", "c_custkey_right"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from ppack_spark.plans import registry, registry_data  # noqa: F401
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    wrapped = {}
+    for name, fn in registry.QUERIES.items():
+        def make(f):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                return f(_ensure_confs(spark), sf_dir)
+
+            return run
+
+        wrapped[name] = make(fn)
+    return wrapped
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for non-SQL ops:
+    linkage_em_params — iterative EM; ann_lsh_topk — approximate)."""
+    from ppack_spark.plans import registry, registry_data  # noqa: F401
+
+    return dict(registry.ORACLE)

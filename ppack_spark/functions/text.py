@@ -1,0 +1,110 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All of these are pure Column expressions over ``pyspark.sql.functions``
+higher-order array functions — JVM-side, whole-stage-codegen'd, no
+Python in the hot path. Each has an exactly-equivalent DuckDB SQL
+form used by the correctness oracle (see plans/registry.py).
+
+Design note (100 TB): everything here is embarrassingly parallel
+per-row map work — no shuffle at all. The only care needed at scale
+is keeping these expressions inside codegen (they are) and letting
+the parquet scan prune to the ``text`` column (it does — check
+ReadSchema in .explain()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "quality_features",
+    "language_scores",
+    "doc_fingerprint",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language id. Deliberately small and alphabetical: the oracle SQL
+# inlines the same lists.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["a", "and", "for", "in", "is", "of", "on", "the", "to", "with"],
+    "de": ["das", "der", "die", "ein", "ist", "mit", "nicht", "und", "von", "zu"],
+    "fr": ["de", "des", "du", "et", "la", "le", "les", "pour", "que", "un"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text.
+    DuckDB equivalent: ``string_split_regex(lower(trim(text)), '\\s+')``."""
+    return F.split(F.lower(F.trim(_col(text))), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(_col(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Subword-ish token count: splits on word/non-word boundaries the
+    way a byte-pair tokenizer fragments text — counts runs of letters,
+    runs of digits, and individual punctuation as separate tokens.
+    DuckDB: ``len(regexp_extract_all(text, pattern))``."""
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return F.size(F.regexp_extract_all(_col(text), F.lit(pattern), F.lit(0)))
+
+
+def quality_features(text: Column | str, lang: str = "en") -> dict[str, Column]:
+    """Quality-scoring features: length, token stats, punctuation and
+    stopword ratios. Returns named Columns; callers select the ones
+    they need (each is independent, so column pruning still applies).
+    """
+    t = _col(text)
+    toks = tokens(t)
+    n_tok = token_count(t)
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_chars = F.length(t)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            (n_chars - (n_tok - 1)) / n_tok.cast("double")
+        ),
+        "punct_ratio": F.when(n_chars == 0, F.lit(0.0)).otherwise(
+            n_punct / n_chars.cast("double")
+        ),
+        "stopword_ratio": F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            n_stop / n_tok.cast("double")
+        ),
+    }
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit ratio — the classic cheap language-id
+    heuristic. Returns one score column per language in STOPWORDS."""
+    toks = tokens(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        sw = F.array([F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+        out[lang] = hits / n_tok.cast("double")
+    return out
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercased text. Identical in DuckDB:
+    ``md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))``."""
+    norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    return F.md5(norm)

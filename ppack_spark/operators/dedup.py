@@ -1,0 +1,277 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a distinct cost/recall point:
+
+* **exact** — hash-groupBy on a content fingerprint. One shuffle on
+  the hash; at 100 TB this is the cheapest possible dedup (the
+  fingerprint is 32 bytes regardless of document size, and partial
+  aggregation collapses duplicates map-side).
+* **MinHash + LSH** — shingle → per-seed min-hash → band → bucket
+  join. The signature is computed entirely with JVM higher-order
+  array functions (transform/array_min over md5 strings) — per-row
+  map work, no Python, no shuffle. Candidate generation is an
+  equi-join on (band_index, band_value): Jaccard-similar documents
+  collide with high probability, everything else never meets —
+  this is the scale path that replaces the O(n²) pair comparison.
+* **SimHash** — 64-bit bit-vote fingerprint; near-duplicates differ
+  in few bits. Computed with explode+groupBy bit-vote (one shuffle
+  per corpus, amortized across all comparisons).
+* **n-gram Jaccard** — exact set similarity over word shingles for
+  verification of LSH candidates (array_intersect/array_union,
+  JVM-side).
+
+Hash choice: md5 (hex string) — bit-identical in Spark and DuckDB, so
+every operator here is oracle-checkable; lexicographic min over hex
+strings is a valid uniform min-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "content_hash",
+    "exact_dedup_groups",
+    "exact_dedup_keep_first",
+    "word_shingles",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "jaccard_similarity",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def content_hash(text: Column | str) -> Column:
+    """md5 of whitespace-normalized lowercase text (exact-dup key)."""
+    norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: one row per distinct content hash with
+    the representative (min id) and copy count."""
+    return (
+        df.select(F.col(id_col), content_hash(text_col).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deduplicated corpus: keep the min-id row per content hash.
+    Implemented as a self-semi-join against the winners (no window
+    over the full corpus → partial agg keeps the shuffle small)."""
+    winners = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of lowercased whitespace-tokenized
+    text, joined with single spaces. Pure higher-order expression:
+    transform(sequence(...)) over the token array — no explode, no
+    shuffle. Documents shorter than k words yield their full text as
+    the single shingle (so they still participate in hashing).
+
+    DuckDB equivalent built in plans/registry.py with
+    list_transform(generate_series(...)) + array_to_string.
+    """
+    toks = F.split(F.lower(F.trim(_col(text))), r"\s+")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.when(n >= k, F.array_distinct(shingles)).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 8, k: int = 3) -> Column:
+    """MinHash signature: array of ``num_hashes`` hex-string minima.
+
+    h_i(doc) = min over shingles s of md5(i || ':' || s). The
+    lexicographic min over md5 hex strings is a uniform min-hash;
+    equality across documents estimates Jaccard similarity. All
+    JVM-side (transform + array_min), zero shuffle.
+    """
+    sh = word_shingles(text, k)
+
+    def _minhash(i: int):
+        # closure, not a default arg: a 2-param lambda would be read by
+        # F.transform as (element, index) and shadow the seed.
+        seed = F.lit(f"{i}:")
+        return lambda s: F.md5(F.concat(seed, s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, _minhash(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing ≥1 band of their MinHash
+    signature. Returns distinct ``(id_left, id_right)`` with
+    id_left < id_right.
+
+    Plan shape at scale: per-row signature (map) → explode to
+    (band_index, band_value, id) — num_hashes/band_size rows per doc —
+    → self-equi-join on the band → distinct. The join key
+    (band_index, band_value) is exactly the LSH bucket; Catalyst
+    executes it as a shuffle-hash join on the bucket id, so cost is
+    O(Σ bucket²) not O(n²). Hot buckets (boilerplate docs) are the
+    skew risk — AQE skew-join splitting handles them.
+    """
+    n_bands = num_hashes // band_size
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(text_col, num_hashes, k).alias("sig"),
+    )
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col("sig")[b * band_size + j] for j in range(band_size)]
+                        ).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    left = bands.select(F.col(id_col).alias("id_left"), "band", "val")
+    right = bands.select(F.col(id_col).alias("id_right"), "band", "val")
+    return (
+        left.join(right, on=["band", "val"], how="inner")
+        .filter(F.col("id_left") < F.col("id_right"))
+        .select("id_left", "id_right")
+        .distinct()
+    )
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays, JVM-side."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs above ``threshold``.
+
+    O(pairs-within-block): always pass a ``block_col`` (or feed LSH
+    candidates) at scale — the no-block variant is for small corpora
+    and verification only.
+    """
+    sh = df.select(
+        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+        word_shingles(text_col, k).alias("sh"),
+    )
+    left = sh.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_left"), F.col("sh").alias("sh_l"),
+    )
+    right = sh.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_right"), F.col("sh").alias("sh_r"),
+    )
+    on = [block_col] if block_col else None
+    joined = (
+        left.join(right, on=on) if on else left.crossJoin(right)
+    ).filter(F.col("id_left") < F.col("id_right"))
+    return (
+        joined.withColumn("jaccard", jaccard_similarity(F.col("sh_l"), F.col("sh_r")))
+        .filter(F.col("jaccard") > threshold)
+        .select("id_left", "id_right", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash fingerprint over word tokens (bit-vote, ``bits`` wide).
+
+    Per token: hash = first 8 hex chars of md5 → 32-bit int. Each bit
+    votes +1 if set, −1 if not; fingerprint bit b is 1 iff the vote is
+    positive. Near-duplicate documents land at small Hamming distance.
+
+    Pure expression (aggregate over the token array) — per-row map
+    work, no shuffle, oracle-expressible in DuckDB with the same
+    md5/hex-cast arithmetic.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(_col(text))), r"\s+"))
+    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    def _vote(b: int):
+        # NB: bind b via closure, not a default arg — extra lambda params
+        # would change the higher-order function's perceived arity.
+        mask = F.lit(1 << b)
+        return lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    votes = [F.aggregate(h, F.lit(0).cast("long"), _vote(b)) for b in range(bits)]
+    out = F.lit(0).cast("long")
+    for b, v in enumerate(votes):
+        out = out + F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
+
+    Blocked variant joins within ``block_col``; at full scale the
+    standard trick is to join on rotated fingerprint prefixes — here
+    the block column plays that role for the fixtures.
+    """
+    s = df.select(
+        F.col(id_col), *([F.col(block_col)] if block_col else []),
+        simhash(text_col, bits).alias("sh"),
+    )
+    left = s.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("id_left"), F.col("sh").alias("sh_l"),
+    )
+    right = s.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("id_right"), F.col("sh").alias("sh_r"),
+    )
+    joined = (
+        left.join(right, on=[block_col]) if block_col else left.crossJoin(right)
+    ).filter(F.col("id_left") < F.col("id_right"))
+    hamming = F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r")))
+    return (
+        joined.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_left", "id_right", "hamming")
+    )

@@ -1,0 +1,504 @@
+"""Declared-query registry: every operator from SURVEY §2 as a named
+(spark_query, oracle_sql) pair over the driver's fixtures.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+the oracle SQL is the ANSI equivalent DuckDB runs on the same parquet
+(views pre-registered by the driver). Column names and float rounding
+are aligned on both sides (FIXTURES.md determinism rules).
+
+The linkage queries follow FIXTURES §6: ``customer`` self-link with
+blocking on ``c_nationkey`` plus a name-prefix expression pass, an
+exact comparator on ``c_mktsegment`` and an acctbal-difference bucket
+comparator standing in for JW buckets (so the oracle needs no UDF).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..blocking import extract_blocks, ordered_pairs
+from ..exprs import bucket_comparator, exact_comparator, match_weight_column, with_suffix
+from ..pairs import compute_pairs_dataset
+from ..patterns import do_comparisons, pattern_counts, u_probability_frequencies
+from ..sources.etl import load_tables
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir, [name])[name]
+
+
+# --------------------------------------------------------------------
+# Linkage core (SURVEY §2a/§2b ops 1-5, 8, 13-18)
+# --------------------------------------------------------------------
+
+# Fixed FS parameters for scoring queries (m/u per comparator level) —
+# parameter-compilation is tested independently of EM (FIXTURES §5).
+M_PROBS = {
+    "mktsegment": {"agree": 0.9, "disagree": 0.1},
+    "acctbal": {"close": 0.7, "near": 0.2, "far": 0.1},
+}
+U_PROBS = {
+    "mktsegment": {"agree": 0.2, "disagree": 0.8},
+    "acctbal": {"close": 0.05, "near": 0.15, "far": 0.8},
+}
+
+def _comparators():
+    # built lazily: Column construction needs an active SparkContext
+    bal_diff = F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right"))
+    return {
+        "mktsegment": exact_comparator("c_mktsegment"),
+        "acctbal": bucket_comparator(
+            bal_diff,
+            [(bal_diff < 100, "close"), (bal_diff < 1000, "near")],
+            "far",
+        ),
+    }
+
+_PAIRS_SQL = """
+    with a as (select * from customer), b as (select * from customer),
+    pass1 as (
+        select a.c_custkey as c_custkey_left, b.c_custkey as c_custkey_right
+        from a join b on a.c_nationkey = b.c_nationkey
+    ),
+    pass2 as (
+        select a.c_custkey as c_custkey_left, b.c_custkey as c_custkey_right
+        from a join b
+          on substr(a.c_name, 1, 12) = substr(b.c_name, 1, 12)
+         and a.c_mktsegment = b.c_mktsegment
+    ),
+    pairs as (
+        select distinct c_custkey_left, c_custkey_right
+        from (select * from pass1 union all select * from pass2)
+        where c_custkey_left < c_custkey_right
+    )
+"""
+
+_CMP_SQL = _PAIRS_SQL + """,
+    joined as (
+        select p.c_custkey_left, p.c_custkey_right,
+               a.c_mktsegment as seg_l, a.c_acctbal as bal_l, a.c_nationkey as nat_l,
+               b.c_mktsegment as seg_r, b.c_acctbal as bal_r, b.c_nationkey as nat_r
+        from pairs p
+        left join customer a on p.c_custkey_left = a.c_custkey
+        left join customer b on p.c_custkey_right = b.c_custkey
+    ),
+    cmp as (
+        select c_custkey_left, c_custkey_right, nat_l, nat_r,
+               case when seg_l = seg_r then 'agree'
+                    when seg_l <> seg_r then 'disagree' end as mktsegment,
+               case when abs(bal_l - bal_r) < 100 then 'close'
+                    when abs(bal_l - bal_r) < 1000 then 'near'
+                    else 'far' end as acctbal
+        from joined
+    )
+"""
+
+_WEIGHT_SQL = """
+        (case when mktsegment is not null then
+            ln((case mktsegment when 'agree' then 0.9 when 'disagree' then 0.1 end)
+             / (case mktsegment when 'agree' then 0.2 when 'disagree' then 0.8 end))
+         else 0.0 end
+       + case when acctbal is not null then
+            ln((case acctbal when 'close' then 0.7 when 'near' then 0.2 when 'far' then 0.1 end)
+             / (case acctbal when 'close' then 0.05 when 'near' then 0.15 when 'far' then 0.8 end))
+         else 0.0 end)
+"""
+
+
+def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    pairs = extract_blocks(
+        customer,
+        customer,
+        "c_custkey",
+        "c_custkey",
+        blocking_variables=["c_nationkey"],
+        blocking_expressions=[
+            (F.substring("c_name_left", 1, 12) == F.substring("c_name_right", 1, 12))
+            & (F.col("c_mktsegment_left") == F.col("c_mktsegment_right"))
+        ],
+    )
+    return ordered_pairs(pairs)
+
+
+def _comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    joined = compute_pairs_dataset(
+        customer, customer, "c_custkey", "c_custkey", _candidate_pairs(spark, sf_dir)
+    )
+    return do_comparisons(
+        joined, _comparators(), keep=["c_custkey_left", "c_custkey_right"]
+    )
+
+
+@query(
+    "suffix_projection",
+    """
+    select c_custkey as c_custkey_left, c_name as c_name_left,
+           c_nationkey as c_nationkey_left, c_acctbal as c_acctbal_left,
+           c_mktsegment as c_mktsegment_left
+    from customer
+    """,
+)
+def suffix_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 8 add_suffix (utils.R:11-18): pure projection rename."""
+    return with_suffix(t(spark, sf_dir, "customer"), "_left")
+
+
+@query("blocking_multi_pass", _PAIRS_SQL + "select * from pairs")
+def blocking_multi_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 1+15 extract_blocks (linking.R:14-38): equi pass ∪ derived-key
+    expression pass, distinct, ordered-pair dedup (scratch.R:28)."""
+    return _candidate_pairs(spark, sf_dir)
+
+
+@query(
+    "pairs_dataset",
+    _PAIRS_SQL + """
+    select p.c_custkey_left, p.c_custkey_right,
+           a.c_mktsegment as c_mktsegment_left, a.c_acctbal as c_acctbal_left,
+           b.c_mktsegment as c_mktsegment_right, b.c_acctbal as c_acctbal_right
+    from pairs p
+    left join customer a on p.c_custkey_left = a.c_custkey
+    left join customer b on p.c_custkey_right = b.c_custkey
+    """,
+)
+def pairs_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 2 compute_pairs_dataset (linking.R:49-60): double left join."""
+    customer = t(spark, sf_dir, "customer")
+    return compute_pairs_dataset(
+        customer, customer, "c_custkey", "c_custkey", _candidate_pairs(spark, sf_dir)
+    ).select(
+        "c_custkey_left",
+        "c_custkey_right",
+        "c_mktsegment_left",
+        "c_acctbal_left",
+        "c_mktsegment_right",
+        "c_acctbal_right",
+    )
+
+
+@query(
+    "comparison_vectors",
+    _CMP_SQL + "select c_custkey_left, c_custkey_right, mktsegment, acctbal from cmp",
+)
+def comparison_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 3-6 do_comparisons (linking.R:72-74) with exact (R if_else
+    NULL semantics) and bucket (case_when default) comparators."""
+    return _comparisons(spark, sf_dir)
+
+
+@query(
+    "pattern_counts",
+    _CMP_SQL + "select mktsegment, acctbal, count(*) as n from cmp group by 1, 2",
+)
+def pattern_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 13 (scratch.R:51-54): the EM sufficient statistic."""
+    cmp = _comparisons(spark, sf_dir).select("mktsegment", "acctbal")
+    return pattern_counts(cmp, ["mktsegment", "acctbal"])
+
+
+@query(
+    "u_prob_frequencies",
+    """
+    with n as (select count(*) as n from customer),
+    sample_ids as (
+        select c_custkey as idl, (c_custkey * 37 + 11) % (select n from n) as idr
+        from customer
+    ),
+    joined as (
+        select a.c_mktsegment as seg_l, a.c_acctbal as bal_l,
+               b.c_mktsegment as seg_r, b.c_acctbal as bal_r
+        from sample_ids p
+        left join customer a on p.idl = a.c_custkey
+        left join customer b on p.idr = b.c_custkey
+    ),
+    cmp as (
+        select case when seg_l = seg_r then 'agree'
+                    when seg_l <> seg_r then 'disagree' end as mktsegment,
+               case when abs(bal_l - bal_r) < 100 then 'close'
+                    when abs(bal_l - bal_r) < 1000 then 'near'
+                    else 'far' end as acctbal
+        from joined
+    ),
+    longf as (
+        select 'mktsegment' as comparator, mktsegment as level from cmp
+        union all
+        select 'acctbal' as comparator, acctbal as level from cmp
+    ),
+    counts as (
+        select comparator, level, count(*) as n
+        from longf where level is not null
+        group by 1, 2
+    )
+    select comparator, level, n,
+           round(n / (sum(n) over (partition by comparator)), 9) as p
+    from counts
+    """,
+)
+def u_prob_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 14 calculate_u_probs tail (scratch.R:58-98) over a
+    deterministic modular pair sample (FIXTURES: the random pair list
+    must be fixture-stable across engines, so the sampler here is the
+    affine map id → (37·id+11) mod n rather than an RNG stream)."""
+    customer = t(spark, sf_dir, "customer")
+    n = customer.count()
+    sample = customer.select(
+        F.col("c_custkey").alias("c_custkey_left"),
+        ((F.col("c_custkey") * 37 + 11) % n).alias("c_custkey_right"),
+    )
+    joined = compute_pairs_dataset(customer, customer, "c_custkey", "c_custkey", sample)
+    cmp = do_comparisons(joined, _comparators())
+    freqs = u_probability_frequencies(cmp)
+    return freqs.select("comparator", "level", "n", F.round("p", 9).alias("p"))
+
+
+@query(
+    "match_weight_scoring",
+    _CMP_SQL + f"""
+    select c_custkey_left, c_custkey_right, mktsegment, acctbal,
+           round({_WEIGHT_SQL}, 6) as weight
+    from cmp
+    """,
+)
+def match_weight_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 16-17 (scratch.R:109-124): fitted params compiled into one
+    generated CASE-WHEN log-likelihood-ratio expression — in-plan,
+    codegen, no UDF."""
+    cmp = _comparisons(spark, sf_dir)
+    w = match_weight_column(M_PROBS, U_PROBS)
+    return cmp.withColumn("weight", F.round(w, 6))
+
+
+@query(
+    "threshold_rank",
+    _CMP_SQL + f"""
+    select c_custkey_left, c_custkey_right,
+           round({_WEIGHT_SQL}, 6) as weight
+    from cmp
+    where {_WEIGHT_SQL} > 1.5
+    """,
+)
+def threshold_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 18 (scratch.R:130-135): threshold + rank by weight."""
+    cmp = _comparisons(spark, sf_dir)
+    w = match_weight_column(M_PROBS, U_PROBS)
+    return (
+        cmp.withColumn("weight_raw", w)
+        .filter(F.col("weight_raw") > 1.5)
+        .select(
+            "c_custkey_left",
+            "c_custkey_right",
+            F.round("weight_raw", 6).alias("weight"),
+        )
+        .orderBy(F.desc("weight"))
+    )
+
+
+@query(
+    "calibration_curve",
+    _CMP_SQL + f"""
+    , scored as (
+        select nat_l, nat_r, {_WEIGHT_SQL} as weight from cmp
+    )
+    select round(weight) as weight_bin,
+           round(avg(case when nat_l = nat_r then 1.0 else 0.0 end), 9) as match_rate,
+           count(*) as n_pairs
+    from scored
+    group by 1
+    """,
+)
+def calibration_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 18-20 (scratch.R:131-139): nationkey equality as the
+    pseudo ground-truth cluster; mean truth by rounded weight."""
+    customer = t(spark, sf_dir, "customer")
+    joined = compute_pairs_dataset(
+        customer, customer, "c_custkey", "c_custkey", _candidate_pairs(spark, sf_dir)
+    )
+    cmp = do_comparisons(
+        joined,
+        dict(
+            _comparators(),
+            true_match=(F.col("c_nationkey_left") == F.col("c_nationkey_right")).cast("double"),
+        ),
+    )
+    w = match_weight_column(M_PROBS, U_PROBS, {"mktsegment": "mktsegment", "acctbal": "acctbal"})
+    return (
+        cmp.withColumn("weight", w)
+        .groupBy(F.round("weight").alias("weight_bin"))
+        .agg(
+            F.round(F.avg("true_match"), 9).alias("match_rate"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
+@query("linkage_em_params")  # no SQL oracle: iterative driver-side EM
+def linkage_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 7 run_em (linking.R:78-156) end-to-end: pattern counts from
+    the blocked customer self-link, u from the deterministic modular
+    sample, 10 EM iterations; returns (comparator, level, m, u, weight)
+    — deterministic, checked rows-only by the driver and numerically
+    in tests/test_em.py against an independent implementation."""
+    from ..em import run_em
+    from ..patterns import collect_probabilities
+
+    customer = t(spark, sf_dir, "customer")
+    n = customer.count()
+    sample = customer.select(
+        F.col("c_custkey").alias("c_custkey_left"),
+        ((F.col("c_custkey") * 37 + 11) % n).alias("c_custkey_right"),
+    )
+    u0 = collect_probabilities(
+        u_probability_frequencies(
+            do_comparisons(
+                compute_pairs_dataset(customer, customer, "c_custkey", "c_custkey", sample),
+                _comparators(),
+            )
+        )
+    )
+    counts = pattern_counts(
+        _comparisons(spark, sf_dir).select("mktsegment", "acctbal"),
+        ["mktsegment", "acctbal"],
+    ).toPandas()
+    params = run_em(
+        counts,
+        total_pairs=n * n / 2.0,
+        u_probabilities=u0,
+        maxiter=10,
+        levels={"mktsegment": ["agree", "disagree"], "acctbal": ["close", "far", "near"]},
+    )
+    rows = [
+        (
+            name,
+            level,
+            round(params.m_probabilities[name][level], 9),
+            round(params.u_probabilities[name][level], 9),
+            round(params.weights[name][level], 9),
+        )
+        for name in sorted(params.m_probabilities)
+        for level in sorted(params.m_probabilities[name])
+    ]
+    return spark.createDataFrame(
+        rows, "comparator string, level string, m double, u double, weight double"
+    )
+
+
+# --------------------------------------------------------------------
+# Generic relational surface (SURVEY §2c) over the star schema
+# --------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    select l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) as sum_qty,
+           round(sum(l_extendedprice), 4) as sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) as sum_charge,
+           round(avg(l_quantity), 6) as avg_qty,
+           round(avg(l_extendedprice), 6) as avg_price,
+           round(avg(l_discount), 6) as avg_disc,
+           count(*) as count_order
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02'
+    group by l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates; the
+    headline whole-stage-codegen benchmark query."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "segment_revenue",
+    """
+    select c.c_mktsegment,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) as revenue,
+           count(distinct o.o_orderkey) as n_orders
+    from customer c
+    join orders o on c.c_custkey = o.o_custkey
+    join lineitem l on o.o_orderkey = l.l_orderkey
+    where o.o_orderdate < timestamp '1998-01-01'
+    group by c.c_mktsegment
+    """,
+)
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped 3-way join with pushdown: the date filter reaches the
+    orders scan; customer (small) broadcasts."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(c.select("c_custkey", "c_mktsegment"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    """
+    select o_custkey, o_orderkey, o_totalprice, rn
+    from (
+        select o_custkey, o_orderkey, o_totalprice,
+               row_number() over (
+                   partition by o_custkey
+                   order by o_totalprice desc, o_orderkey
+               ) as rn
+        from orders
+    ) where rn <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,0 +1,497 @@
+"""Declared queries: events (streaming-shaped), documents (dedup /
+text analysis), embeddings (similarity search) — the training-data
+pipeline surface, each with a DuckDB oracle where SQL can express it.
+
+Registered into the same QUERIES/ORACLE dicts as plans/registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_scores,
+    quality_features,
+    token_count,
+)
+from ..operators.ann import cosine, cosine_topk, embedding_near_dup_pairs
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .registry import query, t
+
+# --------------------------------------------------------------------
+# events — windowed aggregation / sessionization / semi-structured
+# --------------------------------------------------------------------
+
+
+@query(
+    "events_window_agg",
+    """
+    select time_bucket(interval '5 minutes', ts) as window_start,
+           event_type,
+           count(*) as n,
+           round(sum(value), 6) as sum_value
+    from events
+    group by 1, 2
+    """,
+)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate — identical logical op to the
+    Structured Streaming version in streaming/ (same groupBy(window)),
+    here in batch form for the oracle."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    with ordered as (
+        select user_id, ts, event_id,
+               lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+        from events
+    ),
+    flagged as (
+        select user_id,
+               case when prev_ts is null
+                         or epoch(ts) - epoch(prev_ts) > 1800 then 1
+                    else 0 end as new_session
+        from ordered
+    )
+    select user_id,
+           sum(new_session) as n_sessions,
+           count(*) as n_events
+    from flagged
+    group by user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + flag +
+    count). One shuffle on user_id; the window sort is per-user."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    select event_type,
+           count(*) as n,
+           round(avg(json_extract_string(props, '$.k')::int), 6) as avg_k
+    from events
+    where json_extract_string(props, '$.k')::int > 50
+    group by event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON field extraction + filter +
+    aggregate (the props column is a JSON string)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 6).alias("avg_k"))
+    )
+
+
+# --------------------------------------------------------------------
+# documents — dedup + text analysis
+# --------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+    with toks as (
+        select doc_id, source,
+               string_split_regex(lower(trim(text)), '\\s+') as tk
+        from documents
+    ),
+    sh as (
+        select doc_id, source,
+               case when len(tk) >= 3 then
+                   list_distinct(list_transform(
+                       generate_series(1, len(tk) - 2),
+                       i -> array_to_string(tk[i:i+2], ' ')))
+               else [array_to_string(tk, ' ')] end as shingles
+        from toks
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    """
+    select md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as text_hash,
+           min(doc_id) as keep_id,
+           count(*) as n_copies
+    from documents
+    group by 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on the content fingerprint."""
+    return exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "token_stats",
+    """
+    select doc_id,
+           case when length(trim(text)) = 0 then 0
+                else len(string_split_regex(trim(text), '\\s+')) end as n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as n_subword_tokens
+    from documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword segments."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_subword_tokens"),
+    )
+
+
+_EN_SQL = "['" + "','".join(STOPWORDS["en"]) + "']"
+_DE_SQL = "['" + "','".join(STOPWORDS["de"]) + "']"
+_FR_SQL = "['" + "','".join(STOPWORDS["fr"]) + "']"
+
+
+@query(
+    "quality_scores",
+    f"""
+    with base as (
+        select doc_id, text,
+               length(trim(text)) as n_chars,
+               string_split_regex(lower(trim(text)), '\\s+') as tk
+        from documents
+    )
+    select doc_id, n_chars,
+           len(tk) as n_tokens,
+           round((n_chars - (len(tk) - 1)) / len(tk)::double, 6) as mean_token_len,
+           round(len(regexp_extract_all(trim(text), '[^\\w\\s]')) / n_chars::double, 6) as punct_ratio,
+           round(len(list_filter(tk, x -> list_contains({_EN_SQL}, x))) / len(tk)::double, 6) as stopword_ratio
+    from base
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / token / punctuation / stopword
+    features (all codegen'd expressions; fixtures have no empty docs,
+    and the oracle shares that assumption)."""
+    d = t(spark, sf_dir, "documents")
+    feats = quality_features(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "lang_id",
+    f"""
+    with base as (
+        select doc_id, lang,
+               string_split_regex(lower(trim(text)), '\\s+') as tk
+        from documents
+    ),
+    scores as (
+        select doc_id, lang,
+               len(list_filter(tk, x -> list_contains({_EN_SQL}, x))) / greatest(len(tk), 1)::double as score_en,
+               len(list_filter(tk, x -> list_contains({_DE_SQL}, x))) / greatest(len(tk), 1)::double as score_de,
+               len(list_filter(tk, x -> list_contains({_FR_SQL}, x))) / greatest(len(tk), 1)::double as score_fr
+        from base
+    )
+    select doc_id, lang,
+           round(score_en, 6) as score_en,
+           round(score_de, 6) as score_de,
+           round(score_fr, 6) as score_fr,
+           case when score_de > score_en and score_de >= score_fr then 'de'
+                when score_fr > score_en and score_fr > score_de then 'fr'
+                else 'en' end as predicted_lang
+    from scores
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language id (n-gram heuristic family):
+    deterministic argmax with fixed tie-break order en > de > fr."""
+    d = t(spark, sf_dir, "documents")
+    s = language_scores("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(s["en"], 6).alias("score_en"),
+        F.round(s["de"], 6).alias("score_de"),
+        F.round(s["fr"], 6).alias("score_fr"),
+        F.when((s["de"] > s["en"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["fr"] > s["en"]) & (s["fr"] > s["de"]), "fr")
+        .otherwise("en")
+        .alias("predicted_lang"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    _SHINGLE_SQL + """
+    select s.doc_id,
+           md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) as fingerprint,
+           list_min(list_transform(s.shingles, x -> md5('0:' || x))) as minhash_0
+    from sh s join documents d on s.doc_id = d.doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content md5 + first minhash
+    component (rolling-hash family, md5-based for oracle parity)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fingerprint"),
+        minhash_signature("text", num_hashes=1, k=3)[0].alias("minhash_0"),
+    )
+
+
+@query(
+    "minhash_lsh_pairs",
+    _SHINGLE_SQL + """
+    , sig as (
+        select doc_id,
+               [list_min(list_transform(shingles, x -> md5('0:' || x))),
+                list_min(list_transform(shingles, x -> md5('1:' || x))),
+                list_min(list_transform(shingles, x -> md5('2:' || x))),
+                list_min(list_transform(shingles, x -> md5('3:' || x))),
+                list_min(list_transform(shingles, x -> md5('4:' || x))),
+                list_min(list_transform(shingles, x -> md5('5:' || x))),
+                list_min(list_transform(shingles, x -> md5('6:' || x))),
+                list_min(list_transform(shingles, x -> md5('7:' || x)))] as sig
+        from sh
+    ),
+    bands as (
+        select doc_id, b,
+               sig[2*b + 1] || '|' || sig[2*b + 2] as val
+        from sig cross join unnest([0, 1, 2, 3]) as tb(b)
+    )
+    select distinct a.doc_id as id_left, b.doc_id as id_right
+    from bands a
+    join bands b on a.b = b.b and a.val = b.val and a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: 8 hashes, 4 bands of 2.
+    The oracle replays the identical md5 min-hash in SQL."""
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, k=3
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    _SHINGLE_SQL + """
+    select a.doc_id as id_left, b.doc_id as id_right,
+           round(len(list_intersect(a.shingles, b.shingles))::double
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) as jaccard
+    from sh a
+    join sh b on a.source = b.source and a.doc_id < b.doc_id
+    where len(list_intersect(a.shingles, b.shingles))::double
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) > 0.5
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs within source blocks."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), block_col="source", k=3, threshold=0.5
+    ).select("id_left", "id_right", "jaccard")
+
+
+@query(
+    "simhash_fingerprints",
+    """
+    with toks as (
+        select distinct doc_id, tok
+        from (
+            select doc_id,
+                   unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) as tok
+            from documents
+        )
+    ),
+    hashed as (
+        select doc_id, cast(('0x' || substr(md5(tok), 1, 8)) as bigint) as hv
+        from toks
+    ),
+    votes as (
+        select doc_id, b,
+               sum(case when (hv >> b) & 1 = 1 then 1 else -1 end) as v
+        from hashed cross join unnest(generate_series(0, 31)) as tb(b)
+        group by doc_id, b
+    )
+    select doc_id,
+           sum(case when v > 0 then (1::bigint << b) else 0 end) as simhash
+    from votes
+    group by doc_id
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (bit-vote over md5 token hashes)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash("text", bits=32).alias("simhash"))
+
+
+@query(
+    "simhash_near_dup",
+    """
+    with toks as (
+        select distinct doc_id, tok
+        from (
+            select doc_id,
+                   unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) as tok
+            from documents
+        )
+    ),
+    hashed as (
+        select doc_id, cast(('0x' || substr(md5(tok), 1, 8)) as bigint) as hv
+        from toks
+    ),
+    votes as (
+        select doc_id, b,
+               sum(case when (hv >> b) & 1 = 1 then 1 else -1 end) as v
+        from hashed cross join unnest(generate_series(0, 31)) as tb(b)
+        group by doc_id, b
+    ),
+    fp as (
+        select doc_id,
+               sum(case when v > 0 then (1::bigint << b) else 0 end) as simhash
+        from votes
+        group by doc_id
+    ),
+    with_src as (
+        select f.doc_id, f.simhash, d.source
+        from fp f join documents d on f.doc_id = d.doc_id
+    )
+    select a.doc_id as id_left, b.doc_id as id_right,
+           bit_count(xor(a.simhash, b.simhash)) as hamming
+    from with_src a
+    join with_src b on a.source = b.source and a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming ≤ 6 within source blocks."""
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        bits=32,
+        max_hamming=6,
+        block_col="source",
+    ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
+
+
+# --------------------------------------------------------------------
+# embeddings — similarity search
+# --------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::double * {b}[i]::double), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)})))"
+    )
+
+
+@query(
+    "embedding_cosine_topk",
+    f"""
+    with q as (select vec_id, embedding from embeddings where vec_id < 5),
+    c as (select vec_id, embedding from embeddings),
+    scored as (
+        select q.vec_id as query_id, c.vec_id as neighbor_id,
+               round({_cos_sql('q.embedding', 'c.embedding')}, 6) as cos_sim
+        from q cross join c
+        where q.vec_id <> c.vec_id
+    )
+    select query_id, neighbor_id, cos_sim, rank from (
+        select *, row_number() over (
+            partition by query_id order by cos_sim desc, neighbor_id
+        ) as rank
+        from scored
+    ) where rank <= 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 5 vectors (ANN
+    correctness baseline; left-fold dot product matches the oracle's
+    evaluation order exactly, so rounded values agree)."""
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    out = cosine_topk(queries, e, k=10)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+    with e as (select vec_id, label, embedding from embeddings)
+    select a.vec_id as id_left, b.vec_id as id_right,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) as cos_sim
+    from e a
+    join e b on a.label = b.label and a.vec_id < b.vec_id
+    where round({_cos_sql('a.embedding', 'b.embedding')}, 6) > 0.25
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine > 0.25 within label
+    blocks (the embedding analogue of blocked n-gram Jaccard)."""
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dup_pairs(
+        e, block_col="label", threshold=0.25, round_digits=6
+    )
+
+
+@query("ann_lsh_topk")  # no SQL oracle: approximate by construction;
+# recall vs the exact baseline is asserted in tests/test_ann.py
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-k — the 100 TB path
+    where the corpus×corpus cross join is replaced by a bucket join."""
+    from ..operators.ann import cosine_topk_lsh
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh(queries, e, dims=64, k=10, n_planes=4)

@@ -1,0 +1,45 @@
+"""Replicates the driver's correctness gate: run every registry query
+on Spark AND its DuckDB oracle SQL, compare order-insensitively.
+
+Set SPARK_GRAFT_TEST_SF_DIR to test at a different scale factor
+(defaults to sf0.001 for speed; the driver gates at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR, assert_same
+
+import __spark_entry__ as entrymod
+
+
+def _queries():
+    return entrymod.queries()
+
+
+def _oracles():
+    return entrymod.oracle_sql()
+
+
+QUERY_NAMES = sorted(_queries().keys())
+ORACLE_NAMES = sorted(_oracles().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, tables, oracle, name):
+    got = _queries()[name](spark, SF_DIR)
+    want = oracle.execute(_oracles()[name]).df()
+    assert_same(got, want, round_floats=6)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERY_NAMES) - set(ORACLE_NAMES)))
+def test_query_without_oracle_runs(spark, tables, name):
+    df = _queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark, tables):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "weight" in df.columns
