@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     import ppack_spark as pp
 
-    sf_dir = "/root/testdata/sf0.001"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     bal_diff = F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right"))
     spec = pp.LinkerSpec(

@@ -1,0 +1,97 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the ``noop`` sink (full plan
+execution, no driver-side collect of O(pairs) rows). The session comes
+from ppack_spark.session.get_spark — AQE on, 48g local heap, shuffle
+partitions sized to the core count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: the full linkage pipeline (the reference's actual
+# workload), the relational surface, and the training-data-pipeline
+# operators. Sub-second queries are included for regression tracking
+# even though they mostly measure Spark fixed overhead at sf0.1.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "segment_revenue",
+    "top_orders_per_customer",
+    "events_window_agg",
+    "events_sessionize",
+    "blocking_multi_pass",
+    "comparison_vectors",
+    "match_weight_scoring",
+    "threshold_rank",
+    "calibration_curve",
+    "dedup_exact",
+    "token_stats",
+    "doc_fingerprints",
+    "minhash_lsh_pairs",
+    "simhash_near_dup",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_topk",
+    "embedding_near_dup",
+]
+
+
+def _force(df) -> None:
+    """Execute the whole plan without materializing rows on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from ppack_spark.session import get_spark
+
+    spark = get_spark("ppack_spark_bench")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        try:
+            _force(fn(spark, sf_dir))
+            times[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # keep the bench line parseable
+            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+            times[name] = -1.0
+
+    total = round(sum(v for v in times.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

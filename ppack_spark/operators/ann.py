@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread
+
 __all__ = [
     "dot",
     "l2_norm",
@@ -73,7 +75,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     cos = cosine(F.col("__qv"), F.col("__cv"))
@@ -104,6 +106,7 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine similarity above ``threshold`` (embedding
     near-dup dedup). Block on ``block_col`` at scale."""
+    df = spread(df)
     left = df.select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col).alias("id_left"), F.col(vec_col).alias("__vl"),

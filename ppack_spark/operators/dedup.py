@@ -20,15 +20,19 @@ Four families, each a distinct cost/recall point:
   verification of LSH candidates (array_intersect/array_union,
   JVM-side).
 
-Hash choice: md5 (hex string) — bit-identical in Spark and DuckDB, so
-every operator here is oracle-checkable; lexicographic min over hex
-strings is a valid uniform min-hash.
+Hash choice: md5 — bit-identical in Spark and DuckDB, so every
+operator here is oracle-checkable. MinHash derives all seeds from one
+digest via double hashing (h1 + i*h2 mod 2^32); SimHash votes on the
+first 32 bits. Both are single-fold expressions: the hash transform
+appears once per document, never once per seed/bit.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .util import spread
 
 __all__ = [
     "content_hash",
@@ -98,24 +102,42 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column | str, num_hashes: int = 8, k: int = 3) -> Column:
-    """MinHash signature: array of ``num_hashes`` hex-string minima.
+_MINHASH_MOD = 1 << 32
 
-    h_i(doc) = min over shingles s of md5(i || ':' || s). The
-    lexicographic min over md5 hex strings is a uniform min-hash;
-    equality across documents estimates Jaccard similarity. All
-    JVM-side (transform + array_min), zero shuffle.
+
+def minhash_signature(text: Column | str, num_hashes: int = 8, k: int = 3) -> Column:
+    """MinHash signature: array of ``num_hashes`` 32-bit minima (long).
+
+    One md5 per shingle, split into two 32-bit halves (h1, h2); the
+    per-seed hash family is h_i(s) = (h1 + i*h2) mod 2^32 — the
+    standard double-hashing construction (Kirsch–Mitzenmacher), so all
+    ``num_hashes`` functions derive from a single digest. The whole
+    signature is ONE fold over the shingle array (aggregate +
+    zip_with(least)): the md5 subtree appears exactly once in the
+    expression, so each shingle is hashed once — not once per seed
+    (the naive N-expression form re-evaluates the hash transform per
+    seed and is ~N× slower). All JVM-side, zero shuffle.
     """
     sh = word_shingles(text, k)
-
-    def _minhash(i: int):
-        # closure, not a default arg: a 2-param lambda would be read by
-        # F.transform as (element, index) and shadow the seed.
-        seed = F.lit(f"{i}:")
-        return lambda s: F.md5(F.concat(seed, s))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, _minhash(i))) for i in range(num_hashes)]
+    # (h1, h2) per shingle — md5 evaluated once per shingle.
+    hp = F.transform(
+        sh,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    seeds = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
+    init = F.array_repeat(F.lit(_MINHASH_MOD).cast("long"), num_hashes)
+    mod = F.lit(_MINHASH_MOD).cast("long")
+    return F.aggregate(
+        hp,
+        init,
+        lambda acc, p: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: (p["h1"] + i * p["h2"]) % mod),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -139,8 +161,13 @@ def minhash_lsh_pairs(
     O(Σ bucket²) not O(n²). Hot buckets (boilerplate docs) are the
     skew risk — AQE skew-join splitting handles them.
     """
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_size "
+            f"({band_size}); trailing hashes would be silently dropped"
+        )
     n_bands = num_hashes // band_size
-    sig = df.select(
+    sig = spread(df).select(
         F.col(id_col),
         minhash_signature(text_col, num_hashes, k).alias("sig"),
     )
@@ -152,7 +179,11 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat_ws(
-                            "|", *[F.col("sig")[b * band_size + j] for j in range(band_size)]
+                            "|",
+                            *[
+                                F.col("sig")[b * band_size + j].cast("string")
+                                for j in range(band_size)
+                            ],
                         ).alias("val"),
                     )
                     for b in range(n_bands)
@@ -191,7 +222,7 @@ def ngram_jaccard_pairs(
     candidates) at scale — the no-block variant is for small corpora
     and verification only.
     """
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
         word_shingles(text_col, k).alias("sh"),
     )
@@ -221,23 +252,39 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     votes +1 if set, −1 if not; fingerprint bit b is 1 iff the vote is
     positive. Near-duplicate documents land at small Hamming distance.
 
-    Pure expression (aggregate over the token array) — per-row map
-    work, no shuffle, oracle-expressible in DuckDB with the same
+    Pure expression: ONE fold over the token array accumulating a
+    ``bits``-wide vote vector (aggregate + zip_with) — the md5 token
+    hash appears exactly once in the expression tree, so each token is
+    hashed once, not once per bit (the naive per-bit-aggregate form
+    re-evaluates the hash transform ``bits`` times). Per-row map work,
+    no shuffle, oracle-expressible in DuckDB with the same
     md5/hex-cast arithmetic.
     """
     toks = F.array_distinct(F.split(F.lower(F.trim(_col(text))), r"\s+"))
     h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    def _vote(b: int):
-        # NB: bind b via closure, not a default arg — extra lambda params
-        # would change the higher-order function's perceived arity.
-        mask = F.lit(1 << b)
-        return lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1)
-
-    votes = [F.aggregate(h, F.lit(0).cast("long"), _vote(b)) for b in range(bits)]
-    out = F.lit(0).cast("long")
-    for b, v in enumerate(votes):
-        out = out + F.when(v > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    votes = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(x.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # fingerprint bit b set iff vote_b > 0: sum the set bits' powers.
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_pairs(
@@ -254,7 +301,7 @@ def simhash_pairs(
     standard trick is to join on rotated fingerprint prefixes — here
     the block column plays that role for the fixtures.
     """
-    s = df.select(
+    s = spread(df).select(
         F.col(id_col), *([F.col(block_col)] if block_col else []),
         simhash(text_col, bits).alias("sh"),
     )

@@ -76,7 +76,7 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ordered
     )
     select user_id,
-           sum(new_session) as n_sessions,
+           cast(sum(new_session) as bigint) as n_sessions,
            count(*) as n_events
     from flagged
     group by user_id
@@ -265,14 +265,17 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SHINGLE_SQL + """
     select s.doc_id,
            md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) as fingerprint,
-           list_min(list_transform(s.shingles, x -> md5('0:' || x))) as minhash_0
+           list_min(list_transform(s.shingles,
+               x -> cast(('0x' || substr(md5(x), 1, 8)) as bigint))) as minhash_0
     from sh s join documents d on s.doc_id = d.doc_id
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-content md5 + first minhash
     component (rolling-hash family, md5-based for oracle parity)."""
-    d = t(spark, sf_dir, "documents")
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         doc_fingerprint("text").alias("fingerprint"),
@@ -283,21 +286,23 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_lsh_pairs",
     _SHINGLE_SQL + """
-    , sig as (
+    , hp as (
         select doc_id,
-               [list_min(list_transform(shingles, x -> md5('0:' || x))),
-                list_min(list_transform(shingles, x -> md5('1:' || x))),
-                list_min(list_transform(shingles, x -> md5('2:' || x))),
-                list_min(list_transform(shingles, x -> md5('3:' || x))),
-                list_min(list_transform(shingles, x -> md5('4:' || x))),
-                list_min(list_transform(shingles, x -> md5('5:' || x))),
-                list_min(list_transform(shingles, x -> md5('6:' || x))),
-                list_min(list_transform(shingles, x -> md5('7:' || x)))] as sig
+               list_transform(shingles, x -> struct_pack(
+                   h1 := cast(('0x' || substr(md5(x), 1, 8)) as bigint),
+                   h2 := cast(('0x' || substr(md5(x), 9, 8)) as bigint))) as hp
         from sh
+    ),
+    sig as (
+        select doc_id,
+               list_transform(range(0, 8), i ->
+                   list_min(list_transform(hp,
+                       p -> (p.h1 + i * p.h2) % 4294967296))) as sig
+        from hp
     ),
     bands as (
         select doc_id, b,
-               sig[2*b + 1] || '|' || sig[2*b + 2] as val
+               cast(sig[2*b + 1] as varchar) || '|' || cast(sig[2*b + 2] as varchar) as val
         from sig cross join unnest([0, 1, 2, 3]) as tb(b)
     )
     select distinct a.doc_id as id_left, b.doc_id as id_right
@@ -354,7 +359,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by doc_id, b
     )
     select doc_id,
-           sum(case when v > 0 then (1::bigint << b) else 0 end) as simhash
+           cast(sum(case when v > 0 then (1::bigint << b) else 0 end) as bigint) as simhash
     from votes
     group by doc_id
     """,

@@ -39,8 +39,11 @@ def get_spark(app_name: str = "ppack_spark", extra_conf: dict[str, str] | None =
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     conf = dict(DEFAULT_CONF)
-    if "SPARK_DRIVER_MEMORY" in os.environ:
-        conf["spark.driver.memory"] = os.environ["SPARK_DRIVER_MEMORY"]
+    # Local mode = single JVM: the driver IS the executor, so the 1g
+    # driver default GC-thrashes on O(pairs) work (26M-pair blocking at
+    # sf0.1 stalls at 1g, runs in ~40s at 48g). Always set an explicit
+    # local-mode heap; SPARK_DRIVER_MEMORY overrides.
+    conf["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
