@@ -54,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
         ],
         comparisons=[
             pp.Comparison.exact("c_mktsegment"),
+            pp.Comparison.jw("c_name"),
             pp.Comparison.buckets(
                 "acctbal",
                 bal_diff,

@@ -109,21 +109,55 @@ def run_em(
         }
     levels = {name: list(levels[name]) for name in names}
 
+    # Validate observed levels against the spec up front: a spec typo or
+    # drifting comparator would otherwise surface as a bare KeyError.
+    for name in names:
+        observed = {
+            v
+            for v in pattern_counts[name].unique()
+            if v is not None and not (isinstance(v, float) and math.isnan(v))
+        }
+        unknown = observed - set(levels[name])
+        if unknown:
+            raise ValueError(
+                f"pattern counts for comparator {name!r} contain levels "
+                f"{sorted(unknown)} absent from the spec levels {levels[name]}"
+            )
+
     ind = {name: _level_matrix(pattern_counts[name], levels[name]) for name in names}
     nonmissing = {name: ind[name].sum(axis=1) > 0 for name in names}
 
+    # init over SORTED level names (reference linking.R:85-88 applies
+    # seq(0.1, 0.8) to sort(levels)); spec-supplied level lists keep
+    # their declaration order elsewhere, but the init must not depend
+    # on it.
     m = {
-        name: dict(zip(levels[name], np.linspace(0.1, 0.8, len(levels[name]))))
+        name: dict(zip(sorted(levels[name]), np.linspace(0.1, 0.8, len(levels[name]))))
         for name in names
     }
+    # Pattern-marginal level frequencies: the u fallback for levels a
+    # Monte-Carlo u sample never observed (e.g. a rare 'full agreement'
+    # JW bucket) — a supplied-u dict is NOT assumed complete.
+    u_floor = 1e-10
+    marginals = {}
+    for name in names:
+        counts = ind[name].T @ n
+        tot = counts.sum()
+        marginals[name] = dict(zip(levels[name], (counts / tot) if tot else counts))
     if u_probabilities is not None:
-        u = {name: dict(u_probabilities[name]) for name in names}
+        u = {
+            name: {
+                l: float(
+                    u_probabilities.get(name, {}).get(
+                        l, max(marginals[name][l], u_floor)
+                    )
+                )
+                for l in levels[name]
+            }
+            for name in names
+        }
     else:
-        u = {}
-        for name in names:
-            counts = ind[name].T @ n
-            tot = counts.sum()
-            u[name] = dict(zip(levels[name], (counts / tot) if tot else counts))
+        u = {name: dict(marginals[name]) for name in names}
 
     lam = float(lambda_init)
     history: list[dict] = []

@@ -161,15 +161,38 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: equi-join on LSH bucket, then exact
     cosine rank within the bucket. Trades recall for turning the cross
-    product into a hash join on bucket ids — the 100 TB shape."""
+    product into a hash join on bucket ids — the 100 TB shape.
+
+    ``multi_probe`` ≥ 1 additionally probes every bucket within that
+    Hamming distance of the query's sketch (query side only: the
+    corpus is stored once, queries fan out to 1 + C(n_planes,1) + …
+    probe buckets). Multi-probe recovers the recall lost to sign-flip
+    boundary noise at a small candidate-set cost — the standard
+    alternative to multiplying hash tables (Lv et al., VLDB 2007).
+    Recall@k vs the exact baseline is asserted in tests/test_ann.py.
+    """
+    from itertools import combinations
+
     from pyspark.sql import Window
 
     qb = hyperplane_lsh_buckets(queries, dims, n_planes, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
     )
+    if multi_probe > 0:
+        masks = [0]
+        for d in range(1, multi_probe + 1):
+            for bits in combinations(range(n_planes), d):
+                masks.append(sum(1 << b for b in bits))
+        probes = F.array_distinct(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks])
+        )
+        qb = qb.select(
+            "query_id", "__qv", F.explode(probes).alias("bucket")
+        )
     cb = hyperplane_lsh_buckets(corpus, dims, n_planes, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket"
     )
@@ -181,6 +204,9 @@ def cosine_topk_lsh(
             "neighbor_id",
             F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
         )
+        # a neighbor can collide in several probe buckets — dedup
+        # before ranking so row_number sees each candidate once
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -10,6 +10,7 @@ the driver-side EM.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..blocking import extract_blocks, ordered_pairs
 from ..em import FSParams, run_em
@@ -82,19 +83,54 @@ class Linker:
         return pattern_counts(self.comparisons(keep_ids=False), gammas)
 
     # --- estimation ---------------------------------------------------
-    def estimate_u(self, size: int = 1_000_000, seed: int = 42) -> dict:
+    def _synthetic_ids(self, df: DataFrame, unique_id: str) -> DataFrame:
+        """(unique_id, __sid) mapping with contiguous 0-based synthetic
+        ids, minted like the reference's ``row_number()`` pass
+        (scratch.R:63-69) so uniform index sampling works for ANY id
+        domain (1-based, non-contiguous, strings). The global
+        row_number sorts only the projected id column; it exists solely
+        to make the Monte-Carlo u sample uniform."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col(unique_id))
+        return df.select(unique_id).distinct().select(
+            F.col(unique_id), (F.row_number().over(w) - 1).alias("__sid")
+        )
+
+    def estimate_u(
+        self,
+        size: int = 1_000_000,
+        seed: int = 42,
+        n_a: int | None = None,
+        n_b: int | None = None,
+    ) -> dict:
         """Monte-Carlo u-probabilities from random pairs
-        (reference calculate_u_probs, scratch.R:58-98)."""
-        n_a = self.data_a.count()
-        n_b = self.data_b.count()
-        random_ids = sample_pair_ids_inplan(
-            self.spark,
-            n_a,
-            n_b,
-            size=size,
-            seed=seed,
-            id_left=f"{self.spec.unique_id_left}_left",
-            id_right=f"{self.spec.unique_id_right}_right",
+        (reference calculate_u_probs, scratch.R:58-98). Samples over
+        minted synthetic ids, not the user's id domain — sampling raw
+        ids assumes 0-based contiguity and silently produces phantom
+        null-joined pairs otherwise."""
+        n_a = n_a if n_a is not None else self.data_a.count()
+        n_b = n_b if n_b is not None else self.data_b.count()
+        id_l = f"{self.spec.unique_id_left}_left"
+        id_r = f"{self.spec.unique_id_right}_right"
+        sids = sample_pair_ids_inplan(
+            self.spark, n_a, n_b, size=size, seed=seed,
+            id_left="__sid_l", id_right="__sid_r",
+        )
+        map_a = self._synthetic_ids(self.data_a, self.spec.unique_id_left)
+        map_b = self._synthetic_ids(self.data_b, self.spec.unique_id_right)
+        # Equi-joins on __sid; AQE decides broadcast vs shuffle (the id
+        # map is table-sized, so no unconditional broadcast hint here).
+        random_ids = (
+            sids.join(
+                map_a.select(F.col(self.spec.unique_id_left).alias(id_l), F.col("__sid").alias("__sid_l")),
+                on="__sid_l",
+            )
+            .join(
+                map_b.select(F.col(self.spec.unique_id_right).alias(id_r), F.col("__sid").alias("__sid_r")),
+                on="__sid_r",
+            )
+            .select(id_l, id_r)
         )
         cmp = do_comparisons(self.pairs_dataset(random_ids), self.spec.comparator_exprs())
         return collect_probabilities(u_probability_frequencies(cmp))
@@ -107,12 +143,16 @@ class Linker:
         total_pairs: float | None = None,
         seed: int = 42,
     ) -> FSParams:
+        n_a = self.data_a.count()
+        n_b = n_a if self.self_link else self.data_b.count()
         if u_probabilities is None:
-            u_probabilities = self.estimate_u(size=u_sample_size, seed=seed)
+            u_probabilities = self.estimate_u(
+                size=u_sample_size, seed=seed, n_a=n_a, n_b=n_b
+            )
         if total_pairs is None:
-            # n²/2 approximation, reference scratch.R:56.
-            n = self.data_a.count()
-            total_pairs = n * n / 2.0
+            # self-link: n²/2 approximation (reference scratch.R:56);
+            # two-dataset linkage: the true comparison space is n_a·n_b.
+            total_pairs = n_a * n_a / 2.0 if self.self_link else float(n_a) * n_b
         counts = self.pattern_counts().toPandas()
         self.params = run_em(
             counts,

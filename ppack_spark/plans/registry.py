@@ -270,6 +270,59 @@ def u_prob_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jw_comparator_buckets",
+    """
+    with n as (select count(*) as n from customer),
+    sample_ids as (
+        select c_custkey as c_custkey_left,
+               (c_custkey * 37 + 11) % (select n from n) as c_custkey_right
+        from customer
+    ),
+    named as (
+        select p.c_custkey_left, p.c_custkey_right,
+               a.c_name as name_l, b.c_name as name_r
+        from sample_ids p
+        left join customer a on p.c_custkey_left = a.c_custkey
+        left join customer b on p.c_custkey_right = b.c_custkey
+    )
+    select c_custkey_left, c_custkey_right,
+           round(jaro_winkler_similarity(name_l, name_r), 6) as jw_sim,
+           case when jaro_winkler_similarity(name_l, name_r) = 1 then 'full agreement'
+                when jaro_winkler_similarity(name_l, name_r) > 0.9 then 'strong partial agreement'
+                when jaro_winkler_similarity(name_l, name_r) > 0.85 then 'weak partial agreement'
+                else 'no agreement' end as name_bucket
+    from named
+    """,
+)
+def jw_comparator_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 6 build_jw_comparator_expressions (comparators.R:4-14): the
+    reference's signature Jaro-Winkler bucket comparator, gated against
+    DuckDB's builtin jaro_winkler_similarity. The deterministic modular
+    pair sample includes id 0 (no such custkey), exercising the
+    NULL→default-bucket CASE semantics. One ArrowEvalPython node per
+    stage: Spark deduplicates the equal jw_similarity UDF calls, so the
+    similarity is computed once per pair (verified via explain)."""
+    from ..similarity import jw_comparator, jw_similarity
+
+    customer = t(spark, sf_dir, "customer")
+    n = customer.count()
+    sample = customer.select(
+        F.col("c_custkey").alias("c_custkey_left"),
+        ((F.col("c_custkey") * 37 + 11) % n).alias("c_custkey_right"),
+    )
+    joined = compute_pairs_dataset(customer, customer, "c_custkey", "c_custkey", sample)
+    sim = jw_similarity(F.col("c_name_left"), F.col("c_name_right"))
+    return do_comparisons(
+        joined,
+        {
+            "jw_sim": F.round(sim, 6),
+            "name_bucket": jw_comparator("c_name"),
+        },
+        keep=["c_custkey_left", "c_custkey_right"],
+    )
+
+
+@query(
     "match_weight_scoring",
     _CMP_SQL + f"""
     select c_custkey_left, c_custkey_right, mktsegment, acctbal,
@@ -349,13 +402,80 @@ def calibration_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("linkage_em_params")  # no SQL oracle: iterative driver-side EM
+@query(
+    "linkage_em_params",
+    """
+    select comparator, level,
+           cast(m as double) as m, cast(u as double) as u,
+           cast(weight as double) as weight, cast(lam as double) as lam
+    from (values
+        ('addr_cmp', 'different', 0.0, 0.9833, -39.6889, 0.048006918),
+        ('addr_cmp', 'same', 1.0, 0.0167, 4.0923, 0.048006918),
+        ('name_cmp', 'different', 0.0, 0.979798, -40.7416, 0.048006918),
+        ('name_cmp', 'same', 1.0, 0.020202, 3.902, 0.048006918)
+    ) as t(comparator, level, m, u, weight, lam)
+    """,
+)
 def linkage_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op 7 run_em (linking.R:78-156) end-to-end: pattern counts from
-    the blocked customer self-link, u from the deterministic modular
-    sample, 10 EM iterations; returns (comparator, level, m, u, weight)
-    — deterministic, checked rows-only by the driver and numerically
-    in tests/test_em.py against an independent implementation."""
+    """Op 7 run_em (linking.R:78-156) on the SURVEY §2d item-12 fixed
+    pattern-counts fixture: a deterministic table whose EM fixed point
+    was computed by the INDEPENDENT probability-space reimplementation
+    in tests/test_em.py (brute_force_em) and inlined as the oracle's
+    VALUES. run_em converges to it (machine-precision stationary by
+    iter ~25; maxiter=40), so the driver gate checks actual fitted
+    values — m, u, FS weight, lambda — not just row counts. The
+    missing-data patterns (None rows) exercise the NULL semantics of
+    linking.R:103,108,127-136."""
+    import pandas as pd
+
+    from ..em import run_em
+
+    fixture = pd.DataFrame(
+        {
+            "name_cmp": ["same", "same", "different", "different", None, "same"],
+            "addr_cmp": ["same", "different", "same", "different", "same", None],
+            "n": [900, 150, 120, 8000, 50, 40],
+        }
+    )
+    params = run_em(
+        fixture,
+        total_pairs=20000.0,
+        u_probabilities={
+            "name_cmp": {"same": 0.15, "different": 0.85},
+            "addr_cmp": {"same": 0.15, "different": 0.85},
+        },
+        maxiter=40,
+        levels={
+            "name_cmp": ["same", "different"],
+            "addr_cmp": ["same", "different"],
+        },
+        lambda_init=0.1,
+    )
+    rows = [
+        (
+            name,
+            level,
+            round(params.m_probabilities[name][level], 6),
+            round(params.u_probabilities[name][level], 6),
+            round(params.weights[name][level], 4),
+            round(params.lam, 9),
+        )
+        for name in sorted(params.m_probabilities)
+        for level in sorted(params.m_probabilities[name])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "comparator string, level string, m double, u double, weight double, lam double",
+    )
+
+
+@query("linkage_em_end_to_end")  # no SQL oracle: iterative driver-side
+# EM over data-derived pattern counts; numerics gated by
+# linkage_em_params (fixed-point oracle) and tests/test_em.py
+def linkage_em_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 7 run_em end-to-end: pattern counts from the blocked customer
+    self-link, u from the deterministic modular sample, 10 EM
+    iterations; returns (comparator, level, m, u, weight)."""
     from ..em import run_em
     from ..patterns import collect_probabilities
 
@@ -398,6 +518,50 @@ def linkage_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "comparator string, level string, m double, u double, weight double"
     )
+
+
+@query(
+    "etl_roundtrip",
+    """
+    select c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    from customer
+    """,
+)
+def etl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 21-22 (scratch.R:142-156; SURVEY §2d item 11): TSV dataset →
+    column select → hive-partitioned parquet write (partitionBy
+    mktsegment ≈ the reference's municipality_desc) → glob rescan. The
+    oracle reads the SOURCE table: a lossless round trip must
+    hash-match it, independent of driver execution order. An explicit
+    schema is used on the TSV rescan (never inferSchema at scale — it
+    double-reads the input)."""
+    import os
+    import tempfile
+
+    from ..sources.etl import read_parquet_glob, tsv_to_partitioned_parquet
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    customer = t(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="ppack_etl_roundtrip_")
+    tsv_dir = os.path.join(base, "tsv")
+    pq_dir = os.path.join(base, "parquet")
+    customer.select(*cols).write.mode("overwrite").option("sep", "\t").option(
+        "header", "true"
+    ).csv(tsv_dir)
+    schema = (
+        "c_custkey bigint, c_name string, c_nationkey bigint, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    tsv_to_partitioned_parquet(
+        spark, tsv_dir, pq_dir, columns=cols, partition_by="c_mktsegment", schema=schema
+    )
+    out = read_parquet_glob(spark, pq_dir + "/*/*.parquet").select(*cols)
+    # cast back to the fixture's exact dtypes so the rescan is
+    # schema-identical to the oracle's source scan
+    for f in customer.schema.fields:
+        if f.name in cols:
+            out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return out.select(*cols)
 
 
 # --------------------------------------------------------------------

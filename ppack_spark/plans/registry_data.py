@@ -489,14 +489,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("ann_lsh_topk")  # no SQL oracle: approximate by construction;
-# recall vs the exact baseline is asserted in tests/test_ann.py
+# recall@10 >= 0.8 vs the exact baseline is asserted in tests/test_ann.py
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-k — the 100 TB path
-    where the corpus×corpus cross join is replaced by a bucket join."""
+    where the corpus×corpus cross join is replaced by a bucket join.
+    Config matches the recall-gated one in tests/test_ann.py."""
     from ..operators.ann import cosine_topk_lsh
 
     e = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = e.filter(F.col("vec_id") < 5)
-    return cosine_topk_lsh(queries, e, dims=64, k=10, n_planes=4)
+    return cosine_topk_lsh(queries, e, dims=64, k=10, n_planes=4, multi_probe=2)

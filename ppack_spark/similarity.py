@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["jaro_winkler", "jaro_winkler_py", "jw_similarity", "levenshtein_similarity"]
+__all__ = [
+    "jaro_winkler",
+    "jaro_winkler_py",
+    "jw_similarity",
+    "jw_comparator",
+    "levenshtein_similarity",
+]
 
 
 def jaro_winkler_py(s1: str | None, s2: str | None) -> float | None:
@@ -100,6 +106,37 @@ def jaro_winkler(left: Column | str, right: Column | str) -> Column:
     l = F.col(left) if isinstance(left, str) else left
     r = F.col(right) if isinstance(right, str) else right
     return jw_similarity(l, r)
+
+
+def jw_comparator(
+    var: str,
+    left: Column | str | None = None,
+    right: Column | str | None = None,
+) -> Column:
+    """``build_jw_comparator_expressions`` (reference comparators.R:4-14):
+    Jaro-Winkler similarity bucketed first-match-wins at
+    ``== 1`` / ``> 0.9`` / ``> 0.85`` / else into the four JW_LEVELS.
+
+    A NULL input yields NULL similarity, which fails every condition
+    and lands on the default level — the dbplyr ``case_when`` → SQL
+    ``CASE ... ELSE`` rendering the reference relies on.
+    """
+    from .exprs import bucket_comparator, suffixed
+    from .spec import JW_LEVELS
+
+    l = F.col(suffixed(var, "_left")) if left is None else (
+        F.col(left) if isinstance(left, str) else left
+    )
+    r = F.col(suffixed(var, "_right")) if right is None else (
+        F.col(right) if isinstance(right, str) else right
+    )
+    sim = jw_similarity(l, r)
+    full, strong, weak, none = JW_LEVELS
+    return bucket_comparator(
+        sim,
+        [(sim == 1.0, full), (sim > 0.9, strong), (sim > 0.85, weak)],
+        none,
+    )
 
 
 def levenshtein_similarity(left: Column | str, right: Column | str) -> Column:

@@ -82,6 +82,19 @@ class Comparison:
         )
 
     @staticmethod
+    def jw(var: str, left: str | None = None, right: str | None = None) -> "Comparison":
+        """The reference's signature comparator (comparators.R:4-14):
+        Jaro-Winkler buckets over ``var``; Arrow-vectorized UDF applied
+        strictly post-blocking (SURVEY §7 UDF-placement policy)."""
+        from .similarity import jw_comparator
+
+        return Comparison(
+            name=var,
+            expression=jw_comparator(var, left, right),
+            levels=tuple(JW_LEVELS),
+        )
+
+    @staticmethod
     def buckets(
         name: str,
         measure: Union[Column, str],

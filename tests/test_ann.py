@@ -1,0 +1,71 @@
+"""ANN quality gate: recall of the hyperplane-LSH bucketed top-k
+against the exact brute-force baseline on the embeddings fixture.
+
+The fixture vectors are near-random (weak cluster structure), which is
+the adversarial case for sign-sketch LSH — the asserted config
+(n_planes=4, multi_probe=2) is the one the registry query
+``ann_lsh_topk`` ships with."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ppack_spark.operators.ann import cosine_topk, cosine_topk_lsh
+
+N_QUERIES = 20
+K = 10
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, tables):
+    return tables["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(embeddings):
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    rows = cosine_topk(q, embeddings, k=K).select("query_id", "neighbor_id").collect()
+    return {(r[0], r[1]) for r in rows}
+
+
+def _recall(embeddings, exact_pairs, **kw):
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    rows = (
+        cosine_topk_lsh(q, embeddings, dims=64, k=K, **kw)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    got = {(r[0], r[1]) for r in rows}
+    return len(got & exact_pairs) / len(exact_pairs)
+
+
+def test_lsh_recall_at_10(embeddings, exact_pairs):
+    """The shipped config must reach recall@10 >= 0.8 vs exact."""
+    recall = _recall(embeddings, exact_pairs, n_planes=4, multi_probe=2)
+    assert recall >= 0.8, f"recall@10 = {recall:.3f}"
+
+
+def test_multi_probe_improves_recall(embeddings, exact_pairs):
+    r0 = _recall(embeddings, exact_pairs, n_planes=4, multi_probe=0)
+    r2 = _recall(embeddings, exact_pairs, n_planes=4, multi_probe=2)
+    assert r2 > r0
+
+
+def test_lsh_topk_shape(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 3)
+    out = cosine_topk_lsh(q, embeddings, dims=64, k=K, n_planes=4, multi_probe=2)
+    pdf = out.toPandas()
+    assert set(pdf.columns) == {"query_id", "neighbor_id", "cos_sim", "rank"}
+    per_q = pdf.groupby("query_id")
+    assert (per_q.size() <= K).all()
+    # ranks are 1..n with descending similarity within each query
+    for _, g in per_q:
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["cos_sim"].diff().dropna() <= 1e-12).all()
+    # no self matches, no duplicate candidates
+    assert (pdf["query_id"] != pdf["neighbor_id"]).all()
+    assert not pdf.duplicated(["query_id", "neighbor_id"]).any()

@@ -1,0 +1,68 @@
+"""TSV → partitioned parquet → glob rescan ETL (reference
+scratch.R:142-156): layout, losslessness, and partition pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ppack_spark.sources.etl import read_parquet_glob, tsv_to_partitioned_parquet
+
+from conftest import SF_DIR
+
+
+COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+SCHEMA = (
+    "c_custkey bigint, c_name string, c_nationkey bigint, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+@pytest.fixture(scope="module")
+def etl_dirs(spark, tables, tmp_path_factory):
+    base = tmp_path_factory.mktemp("etl")
+    tsv_dir = str(base / "tsv")
+    pq_dir = str(base / "parquet")
+    tables["customer"].select(*COLS).write.mode("overwrite").option("sep", "\t").option(
+        "header", "true"
+    ).csv(tsv_dir)
+    tsv_to_partitioned_parquet(
+        spark, tsv_dir, pq_dir, columns=COLS, partition_by="c_mktsegment", schema=SCHEMA
+    )
+    return tsv_dir, pq_dir
+
+
+def test_hive_partition_layout(etl_dirs):
+    _, pq_dir = etl_dirs
+    parts = [d for d in os.listdir(pq_dir) if d.startswith("c_mktsegment=")]
+    assert len(parts) >= 2, f"expected hive-partitioned dirs, got {os.listdir(pq_dir)}"
+
+
+def test_roundtrip_lossless(spark, tables, etl_dirs):
+    _, pq_dir = etl_dirs
+    out = read_parquet_glob(spark, pq_dir + "/*/*.parquet")
+    src = tables["customer"]
+    assert out.count() == src.count()
+    got = sorted(
+        out.select(*COLS).collect(),
+        key=lambda r: r["c_custkey"],
+    )
+    want = sorted(src.select(*COLS).collect(), key=lambda r: r["c_custkey"])
+    for g, w in zip(got, want):
+        assert g["c_name"] == w["c_name"]
+        assert g["c_acctbal"] == pytest.approx(w["c_acctbal"])
+        assert g["c_mktsegment"] == w["c_mktsegment"]
+
+
+def test_partition_pruning_reaches_scan(spark, etl_dirs):
+    """A filter on the partition column must become a PartitionFilter
+    (pruned directory listing), not a post-scan filter."""
+    _, pq_dir = etl_dirs
+    df = read_parquet_glob(spark, pq_dir + "/*/*.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "c_mktsegment" in plan.split("PartitionFilters")[1].split("]")[0]

@@ -1,0 +1,179 @@
+"""Linker estimation robustness (ADVICE round-1 fixes) and the
+evaluation layer (reference scratch.R:130-139: precision at threshold,
+glm calibration, posterior probability)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import ppack_spark as pp
+from ppack_spark.em import run_em
+from ppack_spark.eval import calibration_curve, fit_calibration, precision_at_threshold
+from ppack_spark.scoring import label_with_truth, posterior_probability, score_pairs
+
+from conftest import SF_DIR
+
+
+COUNTS = pd.DataFrame(
+    {
+        "seg": ["agree", "agree", "disagree", "disagree"],
+        "bal": ["close", "far", "close", "far"],
+        "n": [900, 100, 100, 8900],
+    }
+)
+LEVELS = {"seg": ["agree", "disagree"], "bal": ["close", "far"]}
+
+
+# ------------------------------------------------------------------ EM
+
+
+def test_run_em_fills_missing_u_levels():
+    """A supplied u dict lacking a spec level (e.g. a rare JW bucket
+    never hit by the Monte-Carlo sample) must not crash EM."""
+    u = {"seg": {"agree": 0.2, "disagree": 0.8}, "bal": {"far": 1.0}}  # 'close' missing
+    params = run_em(COUNTS, total_pairs=2e4, u_probabilities=u, maxiter=5, levels=LEVELS)
+    assert "close" in params.u_probabilities["bal"]
+    assert params.u_probabilities["bal"]["close"] > 0
+
+
+def test_run_em_empty_u_dict_falls_back_to_marginals():
+    params = run_em(COUNTS, total_pairs=2e4, u_probabilities={}, maxiter=5, levels=LEVELS)
+    for name in LEVELS:
+        for level in LEVELS[name]:
+            assert params.u_probabilities[name][level] > 0
+
+
+def test_run_em_unknown_observed_level_raises():
+    bad = COUNTS.copy()
+    bad.loc[0, "seg"] = "typo-level"
+    with pytest.raises(ValueError, match="typo-level"):
+        run_em(bad, total_pairs=2e4, maxiter=2, levels=LEVELS)
+
+
+# ------------------------------------------------------------- Linker
+
+
+def _spec():
+    bal_diff = F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right"))
+    return pp.LinkerSpec(
+        unique_id_left="c_custkey",
+        unique_id_right="c_custkey",
+        # two passes so the nationkey pseudo-truth has both label
+        # classes (the prefix pass admits cross-nation pairs)
+        blocking_rules=[
+            pp.BlockingRule.on("c_nationkey"),
+            pp.BlockingRule.where(
+                (F.substring("c_name_left", 1, 12) == F.substring("c_name_right", 1, 12))
+                & (F.col("c_mktsegment_left") == F.col("c_mktsegment_right"))
+            ),
+        ],
+        comparisons=[
+            pp.Comparison.exact("c_mktsegment"),
+            pp.Comparison.buckets(
+                "acctbal",
+                bal_diff,
+                [(bal_diff < 100, "close"), (bal_diff < 1000, "near")],
+                "far",
+            ),
+        ],
+    )
+
+
+def test_estimate_u_with_one_based_ids(spark, tables):
+    """c_custkey is 1-based: sampling must mint synthetic contiguous
+    ids (scratch.R:63-69), so no phantom null-joined pairs bias u —
+    every sampled pair joins to real rows and every comparator's
+    frequencies sum to 1."""
+    customer = tables["customer"]
+    linker = pp.Linker(spark, customer, None, _spec())
+    u = linker.estimate_u(size=2000, seed=7)
+    for name in ("c_mktsegment", "acctbal"):
+        total = sum(u[name].values())
+        assert total == pytest.approx(1.0, abs=1e-9)
+    # phantom pairs would fall through to the bucket default 'far'
+    # AND produce NULL exact levels; the exact comparator must have
+    # observed both levels on a real sample of this size.
+    assert set(u["c_mktsegment"]) == {"agree", "disagree"}
+
+
+def test_estimate_two_dataset_denominator(spark, tables):
+    """Two-dataset linkage uses n_a*n_b, not the self-link n^2/2."""
+    customer = tables["customer"]
+    a = customer.filter(F.col("c_custkey") % 2 == 0)
+    b = customer.filter(F.col("c_custkey") % 2 == 1)
+    spec = _spec()
+    linker = pp.Linker(spark, a, b, spec)
+    params = linker.estimate(maxiter=2, u_sample_size=500)
+    assert params.total_pairs == pytest.approx(a.count() * b.count())
+
+
+def test_jw_comparison_end_to_end(spark, tables):
+    """Comparison.jw drives the full estimate+score path; the missing
+    'full agreement' u level (never sampled) is filled, not a crash."""
+    customer = tables["customer"]
+    spec = pp.LinkerSpec(
+        unique_id_left="c_custkey",
+        unique_id_right="c_custkey",
+        blocking_rules=[pp.BlockingRule.on("c_nationkey")],
+        comparisons=[pp.Comparison.jw("c_name"), pp.Comparison.exact("c_mktsegment")],
+    )
+    linker = pp.Linker(spark, customer, None, spec)
+    params = linker.estimate(maxiter=3, u_sample_size=1000)
+    assert set(params.m_probabilities["c_name"]) == set(
+        ["full agreement", "strong partial agreement", "weak partial agreement", "no agreement"]
+    )
+    scored = linker.score()
+    assert "weight" in scored.columns
+    assert scored.count() > 0
+
+
+# ---------------------------------------------------------- eval layer
+
+
+@pytest.fixture(scope="module")
+def labelled(spark, tables):
+    """Scored customer self-link with c_nationkey as pseudo-truth."""
+    customer = tables["customer"]
+    linker = pp.Linker(spark, customer, None, _spec())
+    params = linker.estimate(maxiter=5, u_sample_size=2000)
+    scored = linker.score()
+    truth = customer.select("c_custkey", F.col("c_nationkey").alias("cluster"))
+    return label_with_truth(scored, truth, "c_custkey"), params
+
+
+def test_precision_at_threshold(labelled):
+    df, _ = labelled
+    p_low = precision_at_threshold(df, threshold=-1e9)
+    assert 0.0 <= p_low <= 1.0
+    # blocking on nationkey makes every pair a "true match" under the
+    # nationkey pseudo-truth only when both sides share the key — the
+    # first blocking pass guarantees a positive base rate
+    assert p_low > 0.0
+
+
+def test_fit_calibration_monotone(labelled):
+    """glm(true_match ~ weight): the weight coefficient must be
+    positive — FS weights are monotone in match probability."""
+    df, _ = labelled
+    intercept, coef = fit_calibration(df)
+    assert math.isfinite(intercept)
+    assert coef > 0.0
+
+
+def test_calibration_curve_shape(labelled):
+    df, _ = labelled
+    curve = calibration_curve(df).toPandas()
+    assert {"weight_bin", "match_rate", "n_pairs"} <= set(curve.columns)
+    assert (curve["match_rate"] >= 0).all() and (curve["match_rate"] <= 1).all()
+
+
+def test_posterior_probability_bounds_and_monotonicity(labelled):
+    df, params = labelled
+    post = posterior_probability(df, params).select("weight", "match_probability").toPandas()
+    assert ((post["match_probability"] >= 0) & (post["match_probability"] <= 1)).all()
+    ordered = post.sort_values("weight")
+    assert ordered["match_probability"].is_monotonic_increasing
