@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "minhash_lsh_pairs",
     "simhash_near_dup",
+    "media_metadata",
+    "media_phash_near_dup",
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "embedding_near_dup",

@@ -1,0 +1,268 @@
+"""Multimodal (binary) column operators.
+
+Images / audio / video are carried as opaque ``binary`` payload
+columns plus a typed metadata struct — the layout a 100 TB
+training-data lake uses (parquet stores the bytes inline or as
+pointers; Spark treats them as first-class BinaryType). Three layers:
+
+* **payload plumbing** (:func:`with_fake_media`) — the fixtures carry
+  no media, so payloads are minted deterministically from md5 of a
+  seed id. Every byte is reproducible in DuckDB with the same
+  md5/hex arithmetic, which keeps the whole family oracle-checkable.
+* **perceptual hashing** (:func:`dhash_from_hex`,
+  :func:`phash_near_dup_pairs`) — a dHash-style gradient hash
+  (bit i = byte_i > byte_{i+1}, the difference-hash construction used
+  for image near-dup) computed as a pure JVM expression over the hex
+  payload; near-dup pairs by Hamming distance within kind blocks,
+  same join shape as operators/dedup.simhash_pairs.
+* **decode / feature-extract / resize / frame-sample**
+  (:func:`extract_media_features`, :func:`decode_image_batch`,
+  :func:`resize_gray`, :func:`frame_sample_indices`) — Arrow-batched
+  ``mapInPandas`` plumbing. The container has no image/audio codecs,
+  so ``decode_image_batch`` falls back to a clearly-marked
+  deterministic fake decoder when PIL is absent; the Spark-side
+  schema, partitioning, UDF signature and batch shapes are real and
+  tested (tests/test_multimodal.py).
+
+At scale: payload columns dominate bytes — project them away before
+any shuffle (the near-dup join moves only (id, kind, phash)), and
+spread CPU-heavy decode stages to full parallelism (operators/util).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .util import spread
+
+__all__ = [
+    "MEDIA_KINDS",
+    "with_fake_media",
+    "dhash_from_hex",
+    "phash_near_dup_pairs",
+    "extract_media_features",
+    "decode_image_batch",
+    "resize_gray",
+    "frame_sample_indices",
+]
+
+MEDIA_KINDS = ["image", "audio", "video"]
+
+# 3 md5 digests = 48 payload bytes; the dHash reads bytes 1..33.
+_N_DIGESTS = 3
+PAYLOAD_BYTES = 16 * _N_DIGESTS
+_DHASH_BITS = 32
+
+
+def _payload_hex(seed: Column) -> Column:
+    """96 hex chars (48 bytes) minted from a seed id — reproducible in
+    DuckDB as md5('media1:'||seed) || md5('media2:'||seed) || ..."""
+    return F.concat(
+        *[
+            F.md5(F.concat(F.lit(f"media{i + 1}:"), seed.cast("string")))
+            for i in range(_N_DIGESTS)
+        ]
+    )
+
+
+def with_fake_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    dup_groups: int | None = None,
+) -> DataFrame:
+    """Attach a deterministic fake media column set:
+
+    * ``payload`` — 48 opaque bytes (BinaryType),
+    * ``payload_hex`` — its hex twin (kept so oracle SQL and pure
+      expressions can address bytes without blob indexing),
+    * ``kind`` — image/audio/video cycling on the id,
+    * ``meta`` — typed struct (width, height, duration_s) derived from
+      payload bytes.
+
+    ``dup_groups``: when set, payloads are minted from ``id % dup_groups``
+    so ids sharing a residue carry IDENTICAL bytes — planted duplicate
+    groups for near-dup operators to find."""
+    idc = F.col(id_col)
+    seed = (idc % F.lit(dup_groups)) if dup_groups else idc
+    hexc = _payload_hex(seed)
+    byte0 = F.conv(F.substring(hexc, 1, 2), 16, 10).cast("int")
+    byte1 = F.conv(F.substring(hexc, 3, 2), 16, 10).cast("int")
+    return (
+        df.withColumn("payload_hex", hexc)
+        .withColumn("payload", F.unhex(F.col("payload_hex")))
+        .withColumn(
+            "kind",
+            F.element_at(
+                F.array(*[F.lit(k) for k in MEDIA_KINDS]), (idc % 3 + 1).cast("int")
+            ),
+        )
+        .withColumn(
+            "meta",
+            F.struct(
+                (F.lit(64) + byte0).alias("width"),
+                (F.lit(64) + byte1).alias("height"),
+                (byte0 / F.lit(16.0)).alias("duration_s"),
+            ),
+        )
+    )
+
+
+def dhash_from_hex(hex_col: Column | str, bits: int = _DHASH_BITS) -> Column:
+    """Difference hash over the payload bytes: bit i set iff
+    byte_i > byte_{i+1} (the dHash gradient construction). Pure JVM
+    expression over the hex twin — byte k is conv(substr(hex, 2k+1, 2))
+    — so DuckDB can replay it verbatim for the oracle."""
+    c = F.col(hex_col) if isinstance(hex_col, str) else hex_col
+    bytes_arr = F.array(
+        *[
+            F.conv(F.substring(c, 2 * i + 1, 2), 16, 10).cast("long")
+            for i in range(bits + 1)
+        ]
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    gradient = F.zip_with(
+        F.slice(bytes_arr, 1, bits),
+        F.slice(bytes_arr, 2, bits),
+        lambda x, y: F.when(x > y, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.zip_with(gradient, powers, lambda g, p: g * p),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def phash_near_dup_pairs(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    hex_col: str = "payload_hex",
+    block_col: str = "kind",
+    max_hamming: int = 6,
+    bits: int = _DHASH_BITS,
+) -> DataFrame:
+    """Near-duplicate media pairs: Hamming(dhash) ≤ ``max_hamming``
+    within ``block_col`` blocks. Only (id, block, phash) enters the
+    join — payload bytes never shuffle."""
+    s = media.select(
+        F.col(id_col), F.col(block_col), dhash_from_hex(hex_col, bits).alias("ph")
+    )
+    left = s.select(
+        F.col(block_col), F.col(id_col).alias("id_left"), F.col("ph").alias("ph_l")
+    )
+    right = s.select(
+        F.col(block_col), F.col(id_col).alias("id_right"), F.col("ph").alias("ph_r")
+    )
+    hamming = F.bit_count(F.col("ph_l").bitwiseXOR(F.col("ph_r")))
+    return (
+        left.join(right, on=[block_col])
+        .filter(F.col("id_left") < F.col("id_right"))
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_left", "id_right", "hamming")
+    )
+
+
+# ----------------------------------------------------------------- UDF
+# Arrow-batched plumbing: decode / features / resize / frame sampling.
+
+
+def decode_image_batch(payloads, widths, heights):
+    """Decode a batch of image payloads to grayscale uint8 arrays.
+
+    Real codecs (PIL/libjpeg) are not in this container, so absent PIL
+    this is a DETERMINISTIC FAKE decoder — it tiles the payload bytes
+    to (height, width) — keeping shape/dtype contracts (and everything
+    downstream: resize, phash, features) real and testable. With PIL
+    installed the same entry point decodes actual image bytes.
+    """
+    import numpy as np
+
+    try:  # pragma: no cover - container has no PIL
+        import io
+
+        from PIL import Image
+
+        return [
+            np.asarray(Image.open(io.BytesIO(p)).convert("L"), dtype=np.uint8)
+            for p in payloads
+        ]
+    except ImportError:
+        out = []
+        for p, w, h in zip(payloads, widths, heights):
+            buf = np.frombuffer(p, dtype=np.uint8)
+            reps = int(np.ceil(w * h / len(buf)))
+            out.append(np.tile(buf, reps)[: w * h].reshape(h, w))
+        return out
+
+
+def resize_gray(img, out_w: int, out_h: int):
+    """Nearest-neighbour grayscale resize (numpy indexing — no codec
+    dependency); the standard pre-hash normalization step."""
+    import numpy as np
+
+    h, w = img.shape
+    rows = (np.arange(out_h) * h // out_h).astype(int)
+    cols = (np.arange(out_w) * w // out_w).astype(int)
+    return img[np.ix_(rows, cols)]
+
+
+def frame_sample_indices(duration_s: float, fps: float = 24.0, every_s: float = 1.0) -> list[int]:
+    """Deterministic frame-sampling plan for a video payload: the frame
+    index at each ``every_s`` boundary (decode-side fan-out happens in
+    the same mapInPandas pass as the decode)."""
+    n_frames = int(duration_s * fps)
+    step = max(int(every_s * fps), 1)
+    return list(range(0, n_frames, step))
+
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, byte_mean double, "
+    "phash long, thumb_w int, thumb_h int, n_sampled_frames int"
+)
+
+
+def extract_media_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction over the binary payload column:
+    decode (stub) → resize → dHash → summary features, one Arrow batch
+    at a time. Input partitioning is preserved; only the compact
+    feature rows come back (never the decoded pixels)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            widths = pdf["meta"].map(lambda m: m["width"]).to_numpy()
+            heights = pdf["meta"].map(lambda m: m["height"]).to_numpy()
+            imgs = decode_image_batch(payloads, widths, heights)
+            thumbs = [resize_gray(im, 8, 8) for im in imgs]
+            phashes = []
+            for p in payloads:
+                b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                bits = (b[:_DHASH_BITS] > b[1 : _DHASH_BITS + 1]).astype(np.int64)
+                phashes.append(int((bits << np.arange(_DHASH_BITS)).sum()))
+            n_frames = [
+                len(frame_sample_indices(float(m["duration_s"])))
+                if k == "video"
+                else 0
+                for m, k in zip(pdf["meta"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": [len(p) for p in payloads],
+                    "byte_mean": [
+                        float(np.frombuffer(p, dtype=np.uint8).mean()) for p in payloads
+                    ],
+                    "phash": phashes,
+                    "thumb_w": [t.shape[1] for t in thumbs],
+                    "thumb_h": [t.shape[0] for t in thumbs],
+                    "n_sampled_frames": n_frames,
+                }
+            )
+
+    return spread(media).mapInPandas(fn, FEATURE_SCHEMA)

@@ -46,9 +46,10 @@ from .registry import query, t
     """,
 )
 def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregate — identical logical op to the
-    Structured Streaming version in streaming/ (same groupBy(window)),
-    here in batch form for the oracle."""
+    """Tumbling-window aggregate — identical logical op to
+    streaming/ops.py:streaming_window_agg (same groupBy(window); parity
+    asserted in tests/test_streaming.py), here in batch form for the
+    oracle."""
     e = t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -84,7 +85,10 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 30 min starts a new session (lag + flag +
-    count). One shuffle on user_id; the window sort is per-user."""
+    count). One shuffle on user_id; the window sort is per-user. The
+    incremental twin is streaming/ops.py:streaming_sessionize
+    (applyInPandasWithState, same gap rule; parity asserted in
+    tests/test_streaming.py)."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
@@ -416,6 +420,89 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=6,
         block_col="source",
     ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
+
+
+# --------------------------------------------------------------------
+# multimodal — opaque binary payload columns (operators/multimodal.py)
+# --------------------------------------------------------------------
+
+# Deterministic fake payload: 3 md5 digests of a seed id (= id modulo
+# the dup-group count, planting identical-payload duplicate groups).
+_MEDIA_SQL = """
+    with g as (select greatest(count(*) // 5, 1) as g from documents),
+    media as (
+        select doc_id,
+               md5('media1:' || cast(doc_id % (select g from g) as varchar))
+               || md5('media2:' || cast(doc_id % (select g from g) as varchar))
+               || md5('media3:' || cast(doc_id % (select g from g) as varchar)) as hx,
+               (['image', 'audio', 'video'])[cast(doc_id % 3 as int) + 1] as kind
+        from documents
+    ),
+    hashed as (
+        select doc_id, kind, hx,
+               cast(list_sum(list_transform(range(1, 33), i ->
+                   case when cast(('0x' || substr(hx, 2*i - 1, 2)) as bigint)
+                             > cast(('0x' || substr(hx, 2*i + 1, 2)) as bigint)
+                        then (1::bigint << (i - 1)) else 0::bigint end)) as bigint) as phash
+        from media
+    )
+"""
+
+
+@query(
+    "media_metadata",
+    _MEDIA_SQL + """
+    select doc_id, kind,
+           cast(octet_length(unhex(hx)) as int) as n_bytes,
+           cast(64 + cast(('0x' || substr(hx, 1, 2)) as bigint) as int) as width,
+           cast(64 + cast(('0x' || substr(hx, 3, 2)) as bigint) as int) as height,
+           phash
+    from hashed
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: opaque payload bytes + typed metadata
+    struct + dHash perceptual fingerprint, every byte reproducible in
+    the DuckDB oracle via the same md5/hex arithmetic
+    (operators/multimodal.py)."""
+    from ..operators.multimodal import dhash_from_hex, with_fake_media
+
+    d = t(spark, sf_dir, "documents")
+    n = d.count()
+    media = with_fake_media(d.select("doc_id"), dup_groups=max(n // 5, 1))
+    return media.select(
+        "doc_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        dhash_from_hex("payload_hex").alias("phash"),
+    )
+
+
+@query(
+    "media_phash_near_dup",
+    _MEDIA_SQL + """
+    select a.doc_id as id_left, b.doc_id as id_right,
+           bit_count(xor(a.phash, b.phash)) as hamming
+    from hashed a
+    join hashed b on a.kind = b.kind and a.doc_id < b.doc_id
+    where bit_count(xor(a.phash, b.phash)) <= 6
+    """,
+)
+def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over the bytes column: Hamming(dHash)
+    ≤ 6 within kind blocks — the planted duplicate groups (identical
+    payloads) surface at hamming 0. Only (id, kind, phash) shuffles;
+    payload bytes stay at the scan."""
+    from ..operators.multimodal import phash_near_dup_pairs, with_fake_media
+
+    d = t(spark, sf_dir, "documents")
+    n = d.count()
+    media = with_fake_media(d.select("doc_id"), dup_groups=max(n // 5, 1))
+    return phash_near_dup_pairs(media).select(
+        "id_left", "id_right", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # --------------------------------------------------------------------

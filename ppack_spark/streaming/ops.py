@@ -1,0 +1,163 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY §2c: streaming absent), so this
+module is the forward-looking surface the builder's brief asks for:
+the same logical operations the batch registry queries declare
+(`events_window_agg`, `events_sessionize`, exact dedup), expressed as
+incremental streaming plans. Batch/stream parity is asserted in
+tests/test_streaming.py by replaying the events fixture through each
+streaming plan with an availableNow trigger and comparing against the
+batch registry query.
+
+Scale notes:
+
+* Watermarks bound state: the windowed aggregate keeps only windows
+  newer than (max event time − watermark); dedup keeps only keys
+  within the watermark horizon. Without them state grows without
+  bound at 100 TB/day rates.
+* ``streaming_sessionize`` uses ``applyInPandasWithState`` — the
+  custom-stateful-operator escape hatch — because session semantics
+  here must match the batch lag-gap rule (gap **>** 1800 s starts a
+  new session, events_sessionize in plans/registry_data.py) exactly;
+  the built-in ``session_window`` treats a gap of exactly 1800 s as a
+  NEW session (half-open window), which would silently diverge on
+  boundary events. State per user is three scalars (last_ts,
+  n_sessions, n_events), hash-partitioned by user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "streaming_window_agg",
+    "streaming_sessionize",
+    "streaming_dedup",
+    "run_to_memory",
+]
+
+# Raw parquet schema of the events fixture (ts is TIMESTAMP(NANOS),
+# surfaced as bigint under spark.sql.legacy.parquet.nanosAsLong).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet, with the same
+    nanos→microsecond timestamp normalization as the batch loader
+    (sources/etl.py), so batch and stream plans see identical types."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def streaming_window_agg(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch ``events_window_agg`` registry query:
+    tumbling-window count/sum per event type. The watermark lets Spark
+    finalize and evict windows once event time passes window_end +
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+_SESSION_OUTPUT = "user_id long, n_sessions long, n_events long"
+_SESSION_STATE = "last_ts long, n_sessions long, n_events long"
+_GAP_SECONDS = 1800
+
+
+def _sessionize_fn(key, pdf_iter, state):
+    """Per-user session counting with the batch lag-gap rule
+    (gap > 1800 s ⇒ new session). State carries (last_ts epoch-seconds,
+    n_sessions, n_events) across micro-batches."""
+    import pandas as pd
+
+    if state.exists:
+        last_ts, n_sessions, n_events = state.get
+    else:
+        last_ts, n_sessions, n_events = None, 0, 0
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], ignore_index=True)
+    for t in rows["ts"]:
+        t_sec = int(t.value // 1_000_000_000)  # pandas Timestamp → epoch s
+        if last_ts is None or t_sec - last_ts > _GAP_SECONDS:
+            n_sessions += 1
+        last_ts = t_sec
+        n_events += 1
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+def streaming_sessionize(events: DataFrame) -> DataFrame:
+    """Stateful sessionization, semantics-identical to the batch
+    ``events_sessionize`` query (lag-gap > 30 min). Emits the running
+    (n_sessions, n_events) per user each micro-batch (update mode)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            _SESSION_OUTPUT,
+            _SESSION_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins, later
+    duplicates are dropped. The watermark bounds the key state — a
+    duplicate arriving later than the horizon is not caught (the
+    standard cost of bounded state; at 100 TB the alternative is an
+    unbounded state store)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(key_cols)
+
+
+def run_to_memory(stream: DataFrame, name: str, output_mode: str) -> None:
+    """Replay the whole available input through the streaming plan into
+    an in-memory table (test/dev harness; availableNow processes every
+    pending file then stops)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,89 @@
+"""Multimodal binary-column plumbing: payload minting, expression
+dHash vs the Arrow-batched mapInPandas feature extractor, decode-stub
+contracts, resize and frame sampling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ppack_spark.operators.multimodal import (
+    PAYLOAD_BYTES,
+    decode_image_batch,
+    dhash_from_hex,
+    extract_media_features,
+    frame_sample_indices,
+    phash_near_dup_pairs,
+    resize_gray,
+    with_fake_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, tables):
+    d = tables["documents"].select("doc_id")
+    n = d.count()
+    return with_fake_media(d, dup_groups=max(n // 5, 1)), n
+
+
+def test_payload_is_binary_and_sized(media):
+    df, _ = media
+    row = df.first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert len(row["payload"]) == PAYLOAD_BYTES
+    assert row["kind"] in ("image", "audio", "video")
+    assert row["meta"]["width"] >= 64 and row["meta"]["height"] >= 64
+
+
+def test_planted_duplicate_groups_have_identical_payloads(media):
+    df, n = media
+    groups = (
+        df.groupBy("payload_hex")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("payload").alias("d"))
+        .toPandas()
+    )
+    assert (groups["d"] == 1).all()
+    assert (groups["n"] > 1).any(), "dup_groups should plant real duplicate payloads"
+
+
+def test_mapinpandas_features_match_expression_phash(media):
+    """The Arrow-batched extractor and the pure-JVM expression must
+    compute the SAME dHash from the same bytes (plumbing parity)."""
+    df, _ = media
+    feats = extract_media_features(df).select("media_id", "phash", "n_bytes", "thumb_w", "thumb_h")
+    expr = df.select(
+        F.col("doc_id").alias("media_id"),
+        dhash_from_hex("payload_hex").alias("phash_expr"),
+    )
+    joined = feats.join(expr, on="media_id").toPandas()
+    assert len(joined) > 0
+    assert (joined["phash"] == joined["phash_expr"]).all()
+    assert (joined["n_bytes"] == PAYLOAD_BYTES).all()
+    assert (joined["thumb_w"] == 8).all() and (joined["thumb_h"] == 8).all()
+
+
+def test_near_dup_contains_planted_groups(media):
+    df, n = media
+    pairs = phash_near_dup_pairs(df).toPandas()
+    assert len(pairs) > 0
+    assert (pairs["hamming"] == 0).any(), "identical payloads must collide at hamming 0"
+
+
+def test_decode_stub_contract():
+    payload = bytes(range(48))
+    (img,) = decode_image_batch([payload], [70], [65])
+    assert img.shape == (65, 70)
+    assert img.dtype == np.uint8
+    # deterministic: same payload, same pixels
+    (img2,) = decode_image_batch([payload], [70], [65])
+    assert (img == img2).all()
+
+
+def test_resize_and_frame_sampling():
+    img = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    thumb = resize_gray(img, 4, 4)
+    assert thumb.shape == (4, 4)
+    idx = frame_sample_indices(duration_s=10.0, fps=24.0, every_s=1.0)
+    assert idx[0] == 0 and len(idx) == 10
+    assert all(b - a == 24 for a, b in zip(idx, idx[1:]))

@@ -1,0 +1,102 @@
+"""Batch/stream parity for the Structured Streaming operators: the
+events fixture is split into time-ordered files, replayed as a
+multi-micro-batch stream, and compared against the batch registry
+queries (events_window_agg, events_sessionize) and batch dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ppack_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    streaming_dedup,
+    streaming_sessionize,
+    streaming_window_agg,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tables, tmp_path_factory):
+    """Events re-written as 4 time-range files with strictly increasing
+    modification times, so the file stream source (which orders by
+    mtime) replays micro-batches in event-time order — the arrival
+    assumption the stateful lag-gap sessionizer documents."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    base = tmp_path_factory.mktemp("events_stream")
+    out = str(base / "files")
+    os.makedirs(out)
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")  # keep ts as raw long
+    staged = str(base / "staged")
+    raw.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.parquet(staged)
+    parts = sorted(glob.glob(staged + "/part-*.parquet"))
+    now = time.time()
+    for i, p in enumerate(parts):
+        dst = os.path.join(out, f"{i:04d}.parquet")
+        shutil.copy(p, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    return out
+
+
+def test_streaming_window_agg_parity(spark, tables, events_stream_dir):
+    stream = read_events_stream(spark, events_stream_dir)
+    run_to_memory(streaming_window_agg(stream), "win_agg", "complete")
+    got = spark.table("win_agg").toPandas()
+
+    from ppack_spark.plans.registry_data import events_window_agg
+
+    want = events_window_agg(spark, SF_DIR).toPandas()
+    cols = ["window_start", "event_type"]
+    got = got.sort_values(cols, ignore_index=True)[want.columns.tolist()]
+    want = want.sort_values(cols, ignore_index=True)
+    assert len(got) == len(want)
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert got["sum_value"].to_numpy() == pytest.approx(want["sum_value"].to_numpy())
+
+
+def test_streaming_sessionize_parity(spark, tables, events_stream_dir):
+    """The stateful lag-gap sessionizer must reproduce the batch
+    window-function result after replaying all micro-batches."""
+    stream = read_events_stream(spark, events_stream_dir)
+    run_to_memory(streaming_sessionize(stream), "sessions", "update")
+    # update mode emits the running counters each micro-batch; both are
+    # monotone, so the final state per user is the max
+    got = (
+        spark.table("sessions")
+        .groupBy("user_id")
+        .agg(F.max("n_sessions").alias("n_sessions"), F.max("n_events").alias("n_events"))
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+    from ppack_spark.plans.registry_data import events_sessionize
+
+    want = (
+        events_sessionize(spark, SF_DIR)
+        .toPandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (got["n_sessions"].to_numpy() == want["n_sessions"].to_numpy()).all()
+
+
+def test_streaming_dedup(spark, tables, events_stream_dir):
+    stream = read_events_stream(spark, events_stream_dir)
+    run_to_memory(streaming_dedup(stream, ["user_id"]), "dedup_users", "append")
+    got = spark.table("dedup_users").toPandas()
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(got) == n_users
+    assert got["user_id"].is_unique
