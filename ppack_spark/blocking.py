@@ -67,6 +67,21 @@ def extract_blocks(
     expression passes are separate arguments); both kinds may also be
     mixed freely in ``blocking_variables`` as :class:`BlockingRule`.
     """
+    passes = _pass_frames(
+        data_a, data_b, unique_id_a, unique_id_b, blocking_variables, blocking_expressions
+    )
+    return reduce(DataFrame.unionByName, passes).distinct()
+
+
+def _pass_frames(
+    data_a: DataFrame,
+    data_b: DataFrame,
+    unique_id_a: str,
+    unique_id_b: str,
+    blocking_variables: Iterable[RuleLike] = (),
+    blocking_expressions: Iterable[Union[Column, str]] = (),
+) -> list[DataFrame]:
+    """One (id_left, id_right) frame per blocking pass (pre-union)."""
     a = with_suffix(data_a, "_left")
     b = with_suffix(data_b, "_right")
     id_l = suffixed(unique_id_a, "_left")
@@ -88,8 +103,7 @@ def extract_blocks(
             ]
             cond = reduce(lambda x, y: x & y, conds)
         passes.append(a.join(b, cond, "inner").select(id_l, id_r))
-
-    return reduce(DataFrame.unionByName, passes).distinct()
+    return passes
 
 
 def ordered_pairs(pairs: DataFrame, id_left: str | None = None, id_right: str | None = None) -> DataFrame:
@@ -107,12 +121,22 @@ def blocking_pass_counts(
     unique_id_a: str,
     unique_id_b: str,
     blocking_variables: Iterable[RuleLike],
-) -> list[int]:
-    """Diagnostics: per-pass candidate counts (pre-union, pre-distinct).
-    Useful for spotting a pass that explodes at scale."""
-    out = []
-    for rule in blocking_variables:
-        out.append(
-            extract_blocks(data_a, data_b, unique_id_a, unique_id_b, [rule]).count()
-        )
-    return out
+) -> DataFrame:
+    """Guardrail diagnostic: per-pass candidate-pair counts (pre-union,
+    pre-distinct) as one DataFrame ``(pass_idx, n_pairs)`` — a SINGLE
+    job (tagged union + groupBy), not one action per pass.
+
+    Run this before committing to a blocking plan: a low-cardinality
+    key (e.g. 25 nations) grows candidates quadratically per block at
+    scale — the pass that explodes shows up here long before the join
+    OOMs. The reference has no such guardrail; its passes are opaque
+    until collected (linking.R:35)."""
+    passes = _pass_frames(data_a, data_b, unique_id_a, unique_id_b, blocking_variables)
+    tagged = [
+        p.select(F.lit(i).cast("long").alias("pass_idx")) for i, p in enumerate(passes)
+    ]
+    return (
+        reduce(DataFrame.unionByName, tagged)
+        .groupBy("pass_idx")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

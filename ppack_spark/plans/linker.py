@@ -172,3 +172,19 @@ class Linker:
         if threshold is not None:
             scored = threshold_and_rank(scored, threshold)
         return scored
+
+    # --- cluster resolution -------------------------------------------
+    def cluster(self, threshold: float = 5.0) -> DataFrame:
+        """Resolve pairs with weight > ``threshold`` into entity
+        clusters (connected components; the post-linkage step the
+        reference leaves to its ground-truth ``cluster`` column,
+        scratch.R:131-133). Returns data_a plus a ``cluster_id``
+        column; unmatched records are singleton clusters."""
+        from ..exprs import suffixed
+        from ..operators.cluster import attach_cluster_ids, connected_components
+
+        id_l = suffixed(self.spec.unique_id_left, "_left")
+        id_r = suffixed(self.spec.unique_id_right, "_right")
+        edges = self.score().filter(F.col("weight") > threshold).select(id_l, id_r)
+        components = connected_components(edges, id_l, id_r)
+        return attach_cluster_ids(self.data_a, components, self.spec.unique_id_left)

@@ -169,6 +169,42 @@ def blocking_multi_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "blocking_pass_counts",
+    """
+    with a as (select * from customer), b as (select * from customer)
+    select 0 as pass_idx, count(*) as n_pairs
+    from a join b on a.c_nationkey = b.c_nationkey
+    union all
+    select 1 as pass_idx, count(*) as n_pairs
+    from a join b
+      on substr(a.c_name, 1, 12) = substr(b.c_name, 1, 12)
+     and a.c_mktsegment = b.c_mktsegment
+    """,
+)
+def blocking_pass_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking guardrail (VERDICT r1 scale-risk note): per-pass
+    candidate counts as one job, surfacing the pass that would explode
+    quadratically at 100x before the join runs."""
+    from ..blocking import blocking_pass_counts
+    from ..spec import BlockingRule
+
+    customer = t(spark, sf_dir, "customer")
+    return blocking_pass_counts(
+        customer,
+        customer,
+        "c_custkey",
+        "c_custkey",
+        [
+            BlockingRule.on("c_nationkey"),
+            BlockingRule.where(
+                (F.substring("c_name_left", 1, 12) == F.substring("c_name_right", 1, 12))
+                & (F.col("c_mktsegment_left") == F.col("c_mktsegment_right"))
+            ),
+        ],
+    )
+
+
+@query(
     "pairs_dataset",
     _PAIRS_SQL + """
     select p.c_custkey_left, p.c_custkey_right,

@@ -323,6 +323,62 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    "with recursive" + _SHINGLE_SQL.replace("with toks", " toks", 1) + """
+    , hp as (
+        select doc_id,
+               list_transform(shingles, x -> struct_pack(
+                   h1 := cast(('0x' || substr(md5(x), 1, 8)) as bigint),
+                   h2 := cast(('0x' || substr(md5(x), 9, 8)) as bigint))) as hp
+        from sh
+    ),
+    sig as (
+        select doc_id,
+               list_transform(range(0, 8), i ->
+                   list_min(list_transform(hp,
+                       p -> (p.h1 + i * p.h2) % 4294967296))) as sig
+        from hp
+    ),
+    bands as (
+        select doc_id, b,
+               cast(sig[2*b + 1] as varchar) || '|' || cast(sig[2*b + 2] as varchar) as val
+        from sig cross join unnest([0, 1, 2, 3]) as tb(b)
+    ),
+    pairs as (
+        select distinct a.doc_id as id_left, b.doc_id as id_right
+        from bands a
+        join bands b on a.b = b.b and a.val = b.val and a.doc_id < b.doc_id
+    ),
+    edges as (
+        select id_left as a, id_right as b from pairs
+        union
+        select id_right, id_left from pairs
+    ),
+    reach(src, dst) as (
+        select a, b from edges
+        union
+        select r.src, e.b from reach r join edges e on r.dst = e.a
+    )
+    select src as node, least(src, min(dst)) as component
+    from reach
+    group by src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the MinHash-LSH near-dup pairs:
+    connected components via distributed min-label propagation
+    (operators/cluster.py). The oracle computes the exact reachability
+    closure with a recursive CTE — exponentially worse than the Spark
+    plan, but exact at fixture scale."""
+    from ..operators.cluster import connected_components
+
+    pairs = minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, k=3
+    )
+    return connected_components(pairs)
+
+
+@query(
     "ngram_jaccard_pairs",
     _SHINGLE_SQL + """
     select a.doc_id as id_left, b.doc_id as id_right,

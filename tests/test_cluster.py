@@ -1,0 +1,71 @@
+"""Connected-components cluster resolution (operators/cluster.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import ppack_spark as pp
+from ppack_spark.operators.cluster import attach_cluster_ids, connected_components
+
+
+def _components_dict(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_chain_triangle_and_separate_components(spark):
+    # chain 1-2-3-4, triangle 10-11-12 (+ edge 11-12), isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_left long, id_right long",
+    )
+    got = _components_dict(connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_long_chain_converges(spark):
+    n = 40  # diameter >> typical dedup components; exercises the loop
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_left long, id_right long"
+    )
+    got = _components_dict(connected_components(edges, max_iter=60))
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_attach_cluster_ids_singletons(spark):
+    records = spark.createDataFrame([(i,) for i in range(6)], "rid long")
+    comps = connected_components(
+        spark.createDataFrame([(0, 1), (2, 3)], "id_left long, id_right long")
+    )
+    out = attach_cluster_ids(records, comps, "rid").toPandas().set_index("rid")
+    assert out.loc[0, "cluster_id"] == 0 and out.loc[1, "cluster_id"] == 0
+    assert out.loc[2, "cluster_id"] == 2 and out.loc[3, "cluster_id"] == 2
+    # records with no accepted pair are their own cluster
+    assert out.loc[4, "cluster_id"] == 4 and out.loc[5, "cluster_id"] == 5
+
+
+def test_linker_cluster_end_to_end(spark, tables):
+    bal_diff = F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right"))
+    spec = pp.LinkerSpec(
+        unique_id_left="c_custkey",
+        unique_id_right="c_custkey",
+        blocking_rules=[pp.BlockingRule.on("c_nationkey")],
+        comparisons=[
+            pp.Comparison.exact("c_mktsegment"),
+            pp.Comparison.buckets(
+                "acctbal",
+                bal_diff,
+                [(bal_diff < 100, "close"), (bal_diff < 1000, "near")],
+                "far",
+            ),
+        ],
+    )
+    customer = tables["customer"]
+    linker = pp.Linker(spark, customer, None, spec)
+    linker.estimate(maxiter=3, u_sample_size=1000)
+    clustered = linker.cluster(threshold=1.5)
+    assert "cluster_id" in clustered.columns
+    assert clustered.count() == customer.count()
+    # cluster ids are the min member id, so every id >= its cluster id
+    assert clustered.filter(F.col("cluster_id") > F.col("c_custkey")).count() == 0
