@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "events_window_agg",
     "events_sessionize",
     "blocking_multi_pass",
+    "blocking_pass_counts",
+    "jw_comparator_buckets",
     "comparison_vectors",
     "match_weight_scoring",
     "threshold_rank",

@@ -27,6 +27,7 @@ from .exprs import (
     suffixed,
     with_suffix,
 )
+from .operators.cluster import attach_cluster_ids, connected_components
 from .pairs import compute_pairs_dataset, sample_pair_ids, sample_pair_ids_inplan
 from .patterns import (
     collect_probabilities,
@@ -50,8 +51,10 @@ __all__ = [
     "JW_LEVELS",
     "Linker",
     "LinkerSpec",
+    "attach_cluster_ids",
     "blocking_pass_counts",
     "bucket_comparator",
+    "connected_components",
     "collect_probabilities",
     "compute_pairs_dataset",
     "dict_lookup_case_when",

@@ -359,6 +359,74 @@ def jw_comparator_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "levenshtein_comparator",
+    """
+    with n as (select count(*) as n from customer),
+    sample_ids as (
+        select c_custkey as c_custkey_left,
+               (c_custkey * 37 + 11) % (select n from n) as c_custkey_right
+        from customer
+    ),
+    named as (
+        select p.c_custkey_left, p.c_custkey_right,
+               a.c_name as name_l, b.c_name as name_r
+        from sample_ids p
+        left join customer a on p.c_custkey_left = a.c_custkey
+        left join customer b on p.c_custkey_right = b.c_custkey
+    ),
+    sim as (
+        select c_custkey_left, c_custkey_right,
+               case when greatest(length(name_l), length(name_r)) = 0 then 1.0
+                    else 1.0 - levenshtein(name_l, name_r)
+                          / cast(greatest(length(name_l), length(name_r)) as double)
+               end as lev
+        from named
+    )
+    select c_custkey_left, c_custkey_right,
+           round(lev, 6) as lev_sim,
+           case when lev = 1 then 'full agreement'
+                when lev > 0.9 then 'strong partial agreement'
+                when lev > 0.85 then 'weak partial agreement'
+                else 'no agreement' end as name_bucket
+    from sim
+    """,
+)
+def levenshtein_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-Levenshtein comparator (similarity.py): the JVM
+    builtin edit distance, fully codegen — the preferred fuzzy
+    comparator at scale (no Python round trip, unlike JW). Same bucket
+    thresholds as the JW factory; NULL inputs yield NULL similarity →
+    default bucket."""
+    from ..exprs import bucket_comparator
+    from ..similarity import levenshtein_similarity
+
+    customer = t(spark, sf_dir, "customer")
+    n = customer.count()
+    sample = customer.select(
+        F.col("c_custkey").alias("c_custkey_left"),
+        ((F.col("c_custkey") * 37 + 11) % n).alias("c_custkey_right"),
+    )
+    joined = compute_pairs_dataset(customer, customer, "c_custkey", "c_custkey", sample)
+    lev = levenshtein_similarity(F.col("c_name_left"), F.col("c_name_right"))
+    return do_comparisons(
+        joined,
+        {
+            "lev_sim": F.round(lev, 6),
+            "name_bucket": bucket_comparator(
+                lev,
+                [
+                    (lev == 1.0, "full agreement"),
+                    (lev > 0.9, "strong partial agreement"),
+                    (lev > 0.85, "weak partial agreement"),
+                ],
+                "no agreement",
+            ),
+        },
+        keep=["c_custkey_left", "c_custkey_right"],
+    )
+
+
+@query(
     "match_weight_scoring",
     _CMP_SQL + f"""
     select c_custkey_left, c_custkey_right, mktsegment, acctbal,

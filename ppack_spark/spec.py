@@ -95,6 +95,30 @@ class Comparison:
         )
 
     @staticmethod
+    def levenshtein(var: str, left: str | None = None, right: str | None = None) -> "Comparison":
+        """JW-bucket thresholds over normalized Levenshtein similarity —
+        the JVM-builtin (codegen) fuzzy comparator, preferred at scale
+        over the JW pandas UDF when bucket semantics suffice."""
+        from pyspark.sql import functions as F
+
+        from .exprs import bucket_comparator, suffixed
+        from .similarity import levenshtein_similarity
+
+        l = F.col(left if left is not None else suffixed(var, "_left"))
+        r = F.col(right if right is not None else suffixed(var, "_right"))
+        sim = levenshtein_similarity(l, r)
+        full, strong, weak, none = JW_LEVELS
+        return Comparison(
+            name=var,
+            expression=bucket_comparator(
+                sim,
+                [(sim == 1.0, full), (sim > 0.9, strong), (sim > 0.85, weak)],
+                none,
+            ),
+            levels=tuple(JW_LEVELS),
+        )
+
+    @staticmethod
     def buckets(
         name: str,
         measure: Union[Column, str],
