@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the scale properties the engine
+relies on (filter pushdown, column pruning, broadcast joins, derived-
+key extraction instead of nested-loop joins) asserted on the executed
+plans, so they cannot silently regress."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+import __spark_entry__ as entrymod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, tables, queries):
+    plan = _plan(queries["q1_pricing_summary"](spark, SF_DIR))
+    # the shipdate filter must reach the parquet scan...
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    # ...and the scan must not read columns the query never touches
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_segment_revenue_broadcasts_dimension(spark, tables, queries):
+    plan = _plan(queries["segment_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_blocking_expression_pass_is_hash_join(spark, tables, queries):
+    """The prefix blocking rule is authored as a join predicate;
+    Catalyst must extract the equality conjuncts into derived-key hash
+    joins — never a nested-loop/cartesian plan (SURVEY §4)."""
+    plan = _plan(queries["blocking_multi_pass"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_minhash_lsh_is_bucket_equi_join(spark, tables, queries):
+    plan = _plan(queries["minhash_lsh_pairs"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scoring_weight_is_single_python_free_projection(spark, tables, queries):
+    """Fitted params compile to an in-plan CASE expression: no Python
+    UDF node may appear anywhere in the scoring plan."""
+    plan = _plan(queries["match_weight_scoring"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_jw_udf_evaluated_once(spark, tables, queries):
+    """The JW pandas UDF feeds both the rounded similarity and the
+    bucket CASE; Spark must deduplicate the equal UDF calls into a
+    single ArrowEvalPython evaluation."""
+    plan = _plan(queries["jw_comparator_buckets"](spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "jw_similarity" in plan
+
+
+def test_exact_dedup_has_partial_aggregation(spark, tables, queries):
+    """Map-side partial agg must collapse duplicates before the
+    shuffle (two HashAggregate phases around one Exchange)."""
+    plan = _plan(queries["dedup_exact"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan

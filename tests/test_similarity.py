@@ -50,6 +50,19 @@ def test_jw_matches_duckdb_property(a, b):
     assert jaro_winkler_py(a, b) == pytest.approx(want, abs=1e-12)
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(alphabet="aéß漢б emoji🙂", max_size=10),
+    st.text(alphabet="aéß漢б emoji🙂", max_size=10),
+)
+def test_jw_matches_duckdb_unicode_property(a, b):
+    """DuckDB computes JW over UTF-8 BYTES, not codepoints; the Python
+    implementation must agree on multi-byte inputs too."""
+    con = duckdb.connect()
+    want = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+    assert jaro_winkler_py(a, b) == pytest.approx(want, abs=1e-12)
+
+
 def test_jw_nulls_propagate():
     assert jaro_winkler_py(None, "x") is None
     assert jaro_winkler_py("x", None) is None

@@ -88,6 +88,31 @@ def test_streaming_sessionize_parity(spark, tables, events_stream_dir):
     assert (got["n_sessions"].to_numpy() == want["n_sessions"].to_numpy()).all()
 
 
+def test_sessionize_exact_gap_boundary(spark, tmp_path_factory):
+    """gap == 1800 s must stay in the SAME session (the batch rule is
+    strictly '> 1800'); the built-in session_window would split here —
+    the documented reason streaming_sessionize is a custom stateful op.
+    Events at t0, t0+1800, t0+1800+1801 ⇒ 2 sessions, 3 events."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("boundary"))
+    t0 = 1_700_000_000  # epoch seconds
+    rows = [
+        (1, (t0) * 10**9, 7, "click", 1.0, "{}"),
+        (2, (t0 + 1800) * 10**9, 7, "click", 1.0, "{}"),
+        (3, (t0 + 1800 + 1801) * 10**9, 7, "click", 1.0, "{}"),
+    ]
+    src = os.path.join(base, "files")
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.parquet(src)
+    stream = read_events_stream(spark, src)
+    run_to_memory(streaming_sessionize(stream), "boundary_sess", "update")
+    row = spark.table("boundary_sess").collect()[-1]
+    assert row["n_events"] == 3
+    assert row["n_sessions"] == 2
+
+
 def test_streaming_dedup(spark, tables, events_stream_dir):
     stream = read_events_stream(spark, events_stream_dir)
     run_to_memory(streaming_dedup(stream, ["user_id"]), "dedup_users", "append")
