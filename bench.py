@@ -29,7 +29,9 @@ BENCH_QUERIES = [
     "segment_revenue",
     "top_orders_per_customer",
     "events_window_agg",
+    "events_sliding_window",
     "events_sessionize",
+    "events_asof_join",
     "blocking_multi_pass",
     "blocking_pass_counts",
     "jw_comparator_buckets",

@@ -27,6 +27,7 @@ from .exprs import (
     suffixed,
     with_suffix,
 )
+from .operators.asof import asof_join
 from .operators.cluster import attach_cluster_ids, connected_components
 from .pairs import compute_pairs_dataset, sample_pair_ids, sample_pair_ids_inplan
 from .patterns import (
@@ -51,6 +52,7 @@ __all__ = [
     "JW_LEVELS",
     "Linker",
     "LinkerSpec",
+    "asof_join",
     "attach_cluster_ids",
     "blocking_pass_counts",
     "bucket_comparator",

@@ -1,0 +1,82 @@
+"""As-of (backward-looking temporal) join.
+
+Spark has no native ASOF JOIN (DuckDB does; so do kdb/pandas). The
+standard scalable construction is the union-sort trick used here:
+
+    tag left/right rows → union → one window per partition key ordered
+    by (ts, side) → ``last(right_col, ignorenulls=True)`` carries the
+    most recent right-side values forward onto each left row.
+
+Cost: ONE shuffle on the partition key + a per-partition sort — the
+same shape as any windowed aggregate, with none of the range-join
+blowup of the join-then-filter formulation (which produces
+O(left × right-per-key) intermediates before picking the max). Ties
+(left.ts == right.ts) match inclusively, like DuckDB's ``ON l.ts >=
+r.ts``: the right row sorts before the left row at equal timestamps.
+
+Right rows should be unique per (key, ts) for deterministic output —
+pre-aggregate the right side if needed (the registry query does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    ts_matched: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left row to the most recent right row with
+    ``right.ts <= left.ts`` within the same ``on`` key(s).
+
+    Returns every left column plus the matched ``right_cols`` and the
+    matched right timestamp (``ts_matched``, default ``{ts}_matched``).
+    ``how='inner'`` drops left rows with no prior right row (DuckDB
+    ``ASOF JOIN``); ``how='left'`` keeps them with nulls (``ASOF LEFT
+    JOIN``).
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on_cols + [ts]]
+    ts_matched = ts_matched or f"{ts}_matched"
+
+    carried = [ts_matched] + right_cols
+    l = left.withColumn("__side", F.lit(1))
+    l = l.withColumn(ts_matched, F.lit(None).cast(right.schema[ts].dataType))
+    for c in right_cols:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+
+    r = right.select(
+        *on_cols,
+        F.col(ts),
+        F.lit(0).alias("__side"),
+        F.col(ts).alias(ts_matched),
+        *[F.col(c) for c in right_cols],
+    )
+    for c in left.columns:
+        if c not in on_cols + [ts]:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    u = l.select(l.columns).unionByName(r.select(l.columns))
+    w = (
+        Window.partitionBy(*on_cols)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in carried:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1).drop("__side")
+    if how == "inner":
+        out = out.filter(F.col(ts_matched).isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return out

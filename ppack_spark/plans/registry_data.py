@@ -126,6 +126,80 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_sliding_window",
+    """
+    select window_start, event_type,
+           count(*) as n,
+           round(sum(value), 6) as sum_value
+    from (
+        select time_bucket(interval '5 minutes', ts)
+               - to_minutes(5 * s.i) as window_start,
+               event_type, value
+        from events cross join (select unnest([0, 1]) as i) s
+    )
+    group by window_start, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregate: 10-minute windows every 5
+    minutes — each event lands in 2 windows. Spark's native
+    window(ts, '10 minutes', '5 minutes'); the oracle replays the
+    2-window fan-out with an explicit series."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "events_asof_join",
+    """
+    with clicks as (
+        select user_id, event_id, ts from events where event_type = 'click'
+    ),
+    purch as (
+        select user_id, ts, max(value) as purchase_value
+        from events where event_type = 'purchase'
+        group by user_id, ts
+    )
+    select c.user_id, c.event_id,
+           epoch(c.ts) as click_ts_s,
+           epoch(p.ts) as purchase_ts_s,
+           round(p.purchase_value, 6) as purchase_value
+    from clicks c
+    asof join purch p on c.user_id = p.user_id and c.ts >= p.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click joined to the user's
+    most recent prior-or-simultaneous purchase — gated against DuckDB's
+    native ASOF JOIN. The right side is pre-aggregated per (user, ts)
+    so the match is deterministic in both engines."""
+    from ..operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(clicks, purch, on="user_id", ts="ts", right_cols=["purchase_value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("click_ts_s"),
+        F.col("ts_matched").cast("long").alias("purchase_ts_s"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
 # --------------------------------------------------------------------
 # documents — dedup + text analysis
 # --------------------------------------------------------------------

@@ -1,0 +1,51 @@
+"""asof_join edge semantics: inclusive ties, no-match handling,
+inner vs left, multi-key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ppack_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 15, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 18, 200.0), (2, 99, 300.0)],
+        "k long, ts long, v double",
+    )
+    return left, right
+
+
+def test_inclusive_tie_and_latest_prior(spark):
+    left, right = _frames(spark)
+    out = {
+        r["tag"]: (r["ts_matched"], r["v"])
+        for r in asof_join(left, right, on="k", ts="ts").collect()
+    }
+    assert out["a"] == (10, 100.0)  # tie: ts == right ts matches (>=)
+    assert out["b"] == (18, 200.0)  # latest prior, not the first
+    assert "c" not in out           # before any right row → dropped (inner)
+    assert "d" not in out           # right row is in the future
+
+
+def test_left_keeps_unmatched(spark):
+    left, right = _frames(spark)
+    out = {
+        r["tag"]: r["ts_matched"]
+        for r in asof_join(left, right, on="k", ts="ts", how="left").collect()
+    }
+    assert len(out) == 4
+    assert out["c"] is None and out["d"] is None
+
+
+def test_single_shuffle_plan(spark):
+    """The union-sort construction must stay one exchange on the key —
+    no join node at all (the range-join blowup is the thing avoided)."""
+    left, right = _frames(spark)
+    plan = asof_join(left, right, on="k", ts="ts")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # hash partition + union legs
