@@ -30,8 +30,10 @@ BENCH_QUERIES = [
     "top_orders_per_customer",
     "events_window_agg",
     "events_sliding_window",
+    "events_rollup",
     "events_sessionize",
     "events_asof_join",
+    "events_range_join",
     "blocking_multi_pass",
     "blocking_pass_counts",
     "jw_comparator_buckets",

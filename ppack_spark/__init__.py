@@ -29,6 +29,7 @@ from .exprs import (
 )
 from .operators.asof import asof_join
 from .operators.cluster import attach_cluster_ids, connected_components
+from .operators.rangejoin import range_join_bucketed
 from .pairs import compute_pairs_dataset, sample_pair_ids, sample_pair_ids_inplan
 from .patterns import (
     collect_probabilities,
@@ -72,6 +73,7 @@ __all__ = [
     "ordered_pairs",
     "pattern_counts",
     "posterior_probability",
+    "range_join_bucketed",
     "run_em",
     "sample_pair_ids",
     "sample_pair_ids_inplan",

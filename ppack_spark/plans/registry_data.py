@@ -158,6 +158,77 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_range_join",
+    """
+    with clicks as (
+        select user_id, event_id as click_id, epoch(ts) as ts_s
+        from events where event_type = 'click'
+    ),
+    purch as (
+        select user_id, event_id as purchase_id,
+               epoch(ts) as start_s, epoch(ts) + 1800 as end_s
+        from events where event_type = 'purchase'
+    )
+    select c.user_id, c.click_id, p.purchase_id, c.ts_s, p.start_s
+    from clicks c
+    join purch p
+      on c.user_id = p.user_id
+     and c.ts_s >= p.start_s and c.ts_s < p.end_s
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): clicks falling inside the
+    30-minute window after each purchase, via the bucketed equi-join
+    construction — hash join on (user, time-bucket), never a
+    nested-loop. Oracle: the plain non-equi join DuckDB optimizes as
+    an IEJoin."""
+    from ..operators.rangejoin import range_join_bucketed
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("long").alias("start_s"),
+        (F.col("ts").cast("long") + 1800).alias("end_s"),
+    )
+    out = range_join_bucketed(
+        clicks, purch, on="user_id", ts="ts_s", start="start_s", end="end_s",
+        bucket_width=1800,
+    )
+    return out.select("user_id", "click_id", "purchase_id", "ts_s", "start_s")
+
+
+@query(
+    "events_rollup",
+    """
+    select epoch(date_trunc('day', ts)) as day_s, event_type,
+           count(*) as n,
+           round(sum(value), 6) as sum_value
+    from events
+    group by rollup(day_s, event_type)
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (hypertable-style day→type→grand-total
+    subtotals in one pass): Spark's native ROLLUP grouping sets —
+    partial aggregation applies per grouping set, so the shuffle stays
+    O(groups), not O(rows)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.rollup(F.date_trunc("day", "ts").cast("long").alias("day_s"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+@query(
     "events_asof_join",
     """
     with clicks as (
@@ -703,6 +774,21 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         e, block_col="label", threshold=0.25, round_digits=6
     )
+
+
+@query("ann_ivf_topk")  # no SQL oracle: k-means training is iterative;
+# recall@10 >= 0.8 vs the exact baseline is asserted in tests/test_ann.py
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means inverted lists, each query scans
+    its n_probe nearest centroids' lists (equi-join on centroid id).
+    Config matches the recall-gated one in tests/test_ann.py."""
+    from ..operators.ann import cosine_topk_ivf
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(queries, e, k=10, n_centroids=8, n_probe=5)
 
 
 @query("ann_lsh_topk")  # no SQL oracle: approximate by construction;

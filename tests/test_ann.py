@@ -48,6 +48,25 @@ def test_lsh_recall_at_10(embeddings, exact_pairs):
     assert recall >= 0.8, f"recall@10 = {recall:.3f}"
 
 
+def test_ivf_recall_at_10(embeddings, exact_pairs):
+    """IVF (k-means inverted lists, n_probe of n_centroids scanned)
+    must reach recall@10 >= 0.8 at the shipped config. The fixture
+    vectors are near-random — the worst case for any partition-based
+    index — so the probe fraction is necessarily high; on clustered
+    real embeddings the same recall needs far fewer probes."""
+    from ppack_spark.operators.ann import cosine_topk_ivf
+
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    rows = (
+        cosine_topk_ivf(q, embeddings, k=K, n_centroids=8, n_probe=5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    got = {(r[0], r[1]) for r in rows}
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"IVF recall@10 = {recall:.3f}"
+
+
 def test_multi_probe_improves_recall(embeddings, exact_pairs):
     r0 = _recall(embeddings, exact_pairs, n_planes=4, multi_probe=0)
     r2 = _recall(embeddings, exact_pairs, n_planes=4, multi_probe=2)
