@@ -1,17 +1,21 @@
 from .ops import (
     EVENTS_SCHEMA,
+    index_corpus_bands,
     read_events_stream,
     run_to_memory,
     streaming_dedup,
+    streaming_near_dup_candidates,
     streaming_sessionize,
     streaming_window_agg,
 )
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "index_corpus_bands",
     "read_events_stream",
     "run_to_memory",
     "streaming_dedup",
+    "streaming_near_dup_candidates",
     "streaming_sessionize",
     "streaming_window_agg",
 ]

@@ -37,6 +37,8 @@ __all__ = [
     "streaming_window_agg",
     "streaming_sessionize",
     "streaming_dedup",
+    "streaming_near_dup_candidates",
+    "index_corpus_bands",
     "run_to_memory",
 ]
 
@@ -147,6 +149,104 @@ def streaming_dedup(
     standard cost of bounded state; at 100 TB the alternative is an
     unbounded state store)."""
     return events.withWatermark("ts", watermark).dropDuplicates(key_cols)
+
+
+def streaming_near_dup_candidates(
+    doc_stream: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental near-dup detection: MinHash-LSH candidates of each
+    ARRIVING document against an indexed static corpus.
+
+    The stream side is stateless per-row map work (signature → band
+    explode, operators/dedup.py math verbatim); the match is a
+    stream-static equi-join on the (band, value) bucket — the indexed
+    corpus never rescans, and new documents only ever touch the
+    buckets they hash into. Build ``corpus_index`` once with
+    :func:`index_corpus_bands`.
+
+    This is the 100 TB ingest shape: dedup-on-arrival against the
+    lake, instead of periodic O(corpus²) batch sweeps.
+    """
+    from ..operators.dedup import minhash_signature
+
+    n_bands = num_hashes // band_size
+    sig = doc_stream.select(
+        F.col(id_col).alias("new_id"),
+        minhash_signature(text_col, num_hashes, k).alias("sig"),
+    )
+    bands = sig.select(
+        "new_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col("sig")[b * band_size + j].cast("string")
+                                for j in range(band_size)
+                            ],
+                        ).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("new_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    return (
+        bands.join(corpus_index, on=["band", "val"], how="inner")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+
+
+def index_corpus_bands(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Static LSH band index ``(band, val, corpus_id)`` for
+    :func:`streaming_near_dup_candidates` (persist/bucket it by
+    (band, val) in real deployments)."""
+    from ..operators.dedup import minhash_signature
+    from ..operators.util import spread
+
+    n_bands = num_hashes // band_size
+    sig = spread(corpus).select(
+        F.col(id_col).alias("corpus_id"),
+        minhash_signature(text_col, num_hashes, k).alias("sig"),
+    )
+    return sig.select(
+        "corpus_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col("sig")[b * band_size + j].cast("string")
+                                for j in range(band_size)
+                            ],
+                        ).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(F.col("bv.band").alias("band"), F.col("bv.val").alias("val"), "corpus_id")
 
 
 def run_to_memory(stream: DataFrame, name: str, output_mode: str) -> None:

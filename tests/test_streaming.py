@@ -113,6 +113,35 @@ def test_sessionize_exact_gap_boundary(spark, tmp_path_factory):
     assert row["n_sessions"] == 2
 
 
+def test_streaming_near_dup_candidates_parity(spark, tables, tmp_path_factory):
+    """Docs streamed against the static LSH index must surface exactly
+    the batch minhash_lsh_pairs candidate set (as unordered pairs)."""
+    from ppack_spark.operators.dedup import minhash_lsh_pairs
+    from ppack_spark.streaming import index_corpus_bands, streaming_near_dup_candidates
+
+    docs = tables["documents"]
+    src = str(tmp_path_factory.mktemp("docs_stream") / "files")
+    docs.select("doc_id", "text").coalesce(2).write.parquet(src)
+
+    index = index_corpus_bands(docs).localCheckpoint()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cands = streaming_near_dup_candidates(stream, index)
+    run_to_memory(cands, "near_dup_cands", "append")
+    got = {
+        (min(r["new_id"], r["corpus_id"]), max(r["new_id"], r["corpus_id"]))
+        for r in spark.table("near_dup_cands").collect()
+    }
+    want = {
+        (r["id_left"], r["id_right"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup(spark, tables, events_stream_dir):
     stream = read_events_stream(spark, events_stream_dir)
     run_to_memory(streaming_dedup(stream, ["user_id"]), "dedup_users", "append")
