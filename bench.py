@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_asof_join",
     "events_range_join",
+    "events_value_quantiles",
     "blocking_multi_pass",
     "blocking_pass_counts",
     "jw_comparator_buckets",

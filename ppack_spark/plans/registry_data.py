@@ -158,6 +158,31 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_quantiles",
+    """
+    select event_type,
+           round(quantile_cont(value, 0.5), 6) as p50,
+           round(quantile_cont(value, 0.9), 6) as p90,
+           round(quantile_cont(value, 0.99), 6) as p99
+    from events
+    group by event_type
+    """,
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles per group (Spark's exact
+    ``percentile``, not the t-digest approx variant, so the linear
+    interpolation matches DuckDB's quantile_cont bit-for-bit after
+    rounding). At 100 TB one switches to ``percentile_approx`` and
+    loses the exact oracle — the registry gates the exact path."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@query(
     "events_range_join",
     """
     with clicks as (
