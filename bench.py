@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "minhash_lsh_pairs",
     "simhash_near_dup",
+    "dedup_clusters",
     "media_metadata",
     "media_phash_near_dup",
     "ngram_jaccard_pairs",
