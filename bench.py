@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "calibration_curve",
     "dedup_exact",
     "token_stats",
+    "tfidf_top_terms",
     "doc_fingerprints",
     "minhash_lsh_pairs",
     "simhash_near_dup",

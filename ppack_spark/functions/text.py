@@ -24,6 +24,7 @@ __all__ = [
     "quality_features",
     "language_scores",
     "doc_fingerprint",
+    "tfidf_top_terms",
     "STOPWORDS",
 ]
 
@@ -108,3 +109,44 @@ def doc_fingerprint(text: Column | str) -> Column:
     ``md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))``."""
     norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
     return F.md5(norm)
+
+
+def tfidf_top_terms(
+    docs,
+    n_docs: int,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-``k`` terms per document by TF-IDF (tf · ln(N/df)).
+
+    Plan shape: explode tokens → (doc, term) counts (map-side partial
+    agg) → document-frequency aggregate on the term → equi-join tf×df
+    (AQE broadcasts the df side when it fits) → per-doc ranking window.
+    All shuffles key on term or doc id; nothing is quadratic. ``n_docs``
+    is passed in so callers batch it with counts they already have.
+
+    Deterministic tie-break (tfidf desc, term asc) and an exact DuckDB
+    oracle — both engines evaluate the identical double expression.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, on="term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").alias("tf"),
+            F.col("df").alias("df"),
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

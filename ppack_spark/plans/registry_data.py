@@ -435,6 +435,45 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    """
+    with tok as (
+        select doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) as term
+        from documents
+    ),
+    tf as (
+        select doc_id, term, count(*) as tf from tok group by doc_id, term
+    ),
+    df as (
+        select term, count(*) as df from tf group by term
+    ),
+    n as (select count(*) as n from documents),
+    scored as (
+        select t.doc_id, t.term, t.tf, d.df,
+               t.tf * ln((select n from n)::double / d.df) as tfidf
+        from tf t join df d on t.term = d.term
+    )
+    select doc_id, term, tf, df, round(tfidf, 6) as tfidf, rnk
+    from (
+        select *, row_number() over (
+            partition by doc_id order by tfidf desc, term
+        ) as rnk
+        from scored
+    ) where rnk <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting: top-3 terms per document — the standard
+    quality-filter / term-importance primitive over the corpus
+    (functions/text.py:tfidf_top_terms)."""
+    from ..functions.text import tfidf_top_terms
+
+    d = t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, n_docs=d.count(), k=3)
+
+
+@query(
     "doc_fingerprints",
     _SHINGLE_SQL + """
     select s.doc_id,
