@@ -186,12 +186,18 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_range_join",
     """
     with clicks as (
-        select user_id, event_id as click_id, epoch(ts) as ts_s
+        -- floor inside the CTE: DuckDB epoch() is fractional-second
+        -- DOUBLE; Spark compares truncated seconds, so both engines
+        -- must apply the identical truncated-second predicate.
+        -- (bare cast(double as bigint) ROUNDS in DuckDB — floor first)
+        select user_id, event_id as click_id,
+               cast(floor(epoch(ts)) as bigint) as ts_s
         from events where event_type = 'click'
     ),
     purch as (
         select user_id, event_id as purchase_id,
-               epoch(ts) as start_s, epoch(ts) + 1800 as end_s
+               cast(floor(epoch(ts)) as bigint) as start_s,
+               cast(floor(epoch(ts)) as bigint) + 1800 as end_s
         from events where event_type = 'purchase'
     )
     select c.user_id, c.click_id, p.purchase_id, c.ts_s, p.start_s
@@ -265,8 +271,8 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         group by user_id, ts
     )
     select c.user_id, c.event_id,
-           epoch(c.ts) as click_ts_s,
-           epoch(p.ts) as purchase_ts_s,
+           cast(floor(epoch(c.ts)) as bigint) as click_ts_s,
+           cast(floor(epoch(p.ts)) as bigint) as purchase_ts_s,
            round(p.purchase_value, 6) as purchase_value
     from clicks c
     asof join purch p on c.user_id = p.user_id and c.ts >= p.ts
