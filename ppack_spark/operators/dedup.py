@@ -13,9 +13,11 @@ Four families, each a distinct cost/recall point:
   equi-join on (band_index, band_value): Jaccard-similar documents
   collide with high probability, everything else never meets —
   this is the scale path that replaces the O(n²) pair comparison.
-* **SimHash** — 64-bit bit-vote fingerprint; near-duplicates differ
-  in few bits. Computed with explode+groupBy bit-vote (one shuffle
-  per corpus, amortized across all comparisons).
+* **SimHash** — bit-vote fingerprint; near-duplicates differ in few
+  bits. Computed with explode+groupBy conditional-sum bit-vote (one
+  codegen'd shuffle per corpus, O(docs) shuffle rows via partial
+  aggregation) — the per-row array-fold alternative is interpreted
+  and ~50× slower.
 * **n-gram Jaccard** — exact set similarity over word shingles for
   verification of LSH candidates (array_intersect/array_union,
   JVM-side).
@@ -43,7 +45,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "jaccard_similarity",
     "ngram_jaccard_pairs",
-    "simhash",
+    "simhash_df",
     "simhash_pairs",
 ]
 
@@ -245,46 +247,64 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text: Column | str, bits: int = 32) -> Column:
-    """SimHash fingerprint over word tokens (bit-vote, ``bits`` wide).
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """SimHash fingerprints (bit-vote, ``bits`` wide): one row per
+    document with a ``simhash`` long column. ``carry_cols`` are extra
+    per-document columns (e.g. a blocking key) carried through the
+    aggregation — they must be functionally dependent on ``id_col``.
 
     Per token: hash = first 8 hex chars of md5 → 32-bit int. Each bit
     votes +1 if set, −1 if not; fingerprint bit b is 1 iff the vote is
     positive. Near-duplicate documents land at small Hamming distance.
 
-    Pure expression: ONE fold over the token array accumulating a
-    ``bits``-wide vote vector (aggregate + zip_with) — the md5 token
-    hash appears exactly once in the expression tree, so each token is
-    hashed once, not once per bit (the naive per-bit-aggregate form
-    re-evaluates the hash transform ``bits`` times). Per-row map work,
-    no shuffle, oracle-expressible in DuckDB with the same
-    md5/hex-cast arithmetic.
+    Plan shape: explode distinct tokens → groupBy(doc) with ``bits``
+    codegen'd conditional-sum aggregates → one final expression packing
+    positive votes into the fingerprint. The md5 appears once per
+    token ROW, inside whole-stage codegen — unlike the earlier
+    aggregate/zip_with fold over the token array, which Spark
+    interprets expression-node-by-node (~50× slower at sf0.1). The
+    groupBy shuffles one ``bits``-wide partial-agg row per document
+    per map partition — O(docs), not O(tokens).
     """
-    toks = F.array_distinct(F.split(F.lower(F.trim(_col(text))), r"\s+"))
-    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
-    votes = F.aggregate(
-        h,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, x: F.zip_with(
-            acc,
-            F.transform(
-                masks,
-                lambda m: F.when(x.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
-            ),
-            lambda a, b: a + b,
-        ),
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("_tok"),
     )
-    # fingerprint bit b set iff vote_b > 0: sum the set bits' powers.
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            masks,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    # materialize the token hash in its own projection so md5 is
+    # evaluated once per token row, not re-derived inside each of the
+    # ``bits`` aggregate expressions (CSE across agg buffers is not
+    # guaranteed).
+    hashed = toks.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("_hv"),
     )
+    votes = [
+        F.sum(
+            F.when(
+                F.col("_hv").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy(id_col, *carry_cols).agg(*votes)
+    fp: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col(id_col), *[F.col(c) for c in carry_cols], fp.alias("simhash"))
 
 
 def simhash_pairs(
@@ -301,10 +321,13 @@ def simhash_pairs(
     standard trick is to join on rotated fingerprint prefixes — here
     the block column plays that role for the fixtures.
     """
-    s = spread(df).select(
-        F.col(id_col), *([F.col(block_col)] if block_col else []),
-        simhash(text_col, bits).alias("sh"),
-    )
+    s = simhash_df(
+        spread(df),
+        text_col=text_col,
+        id_col=id_col,
+        bits=bits,
+        carry_cols=(block_col,) if block_col else (),
+    ).withColumnRenamed("simhash", "sh")
     left = s.select(
         *([F.col(block_col)] if block_col else []),
         F.col(id_col).alias("id_left"), F.col("sh").alias("sh_l"),

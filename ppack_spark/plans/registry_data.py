@@ -24,7 +24,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
-    simhash,
+    simhash_df,
     simhash_pairs,
 )
 from .registry import query, t
@@ -642,7 +642,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (bit-vote over md5 token hashes)."""
     d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash("text", bits=32).alias("simhash"))
+    return simhash_df(d, text_col="text", id_col="doc_id", bits=32)
 
 
 @query(
