@@ -85,16 +85,43 @@ class Linker:
     # --- estimation ---------------------------------------------------
     def _synthetic_ids(self, df: DataFrame, unique_id: str) -> DataFrame:
         """(unique_id, __sid) mapping with contiguous 0-based synthetic
-        ids, minted like the reference's ``row_number()`` pass
+        ids, serving the reference's ``row_number()`` pass
         (scratch.R:63-69) so uniform index sampling works for ANY id
-        domain (1-based, non-contiguous, strings). The global
-        row_number sorts only the projected id column; it exists solely
-        to make the Monte-Carlo u sample uniform."""
+        domain (1-based, non-contiguous, strings).
+
+        The sample only needs a bijection ids → [0, n) — global ORDER
+        is irrelevant — so ids are minted per-partition: local
+        row_number within each shuffle partition plus a partition
+        offset from a tiny (#partitions-row) collected count table,
+        broadcast back. Fully parallel; no single-partition global
+        sort (a bare ``Window.orderBy`` funnels every distinct id
+        through one task — a one-task sort of billions of rows at
+        scale)."""
         from pyspark.sql import Window
 
-        w = Window.orderBy(F.col(unique_id))
-        return df.select(unique_id).distinct().select(
-            F.col(unique_id), (F.row_number().over(w) - 1).alias("__sid")
+        part = (
+            df.select(unique_id)
+            .distinct()
+            .select(F.col(unique_id), F.spark_partition_id().alias("__part"))
+        )
+        w = Window.partitionBy("__part").orderBy(F.col(unique_id))
+        local = part.withColumn("__local", F.row_number().over(w) - 1)
+        # Pin partition assignment: __part feeds both the offset count
+        # job and the final join, and must agree between the two.
+        local = local.persist()
+        counts = {
+            r["__part"]: r["n"]
+            for r in local.groupBy("__part").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        offsets, acc = [], 0
+        for p in sorted(counts):
+            offsets.append((p, acc))
+            acc += counts[p]
+        off_df = self.spark.createDataFrame(
+            offsets or [(0, 0)], "__part int, __offset long"
+        )
+        return local.join(F.broadcast(off_df), on="__part").select(
+            F.col(unique_id), (F.col("__local") + F.col("__offset")).alias("__sid")
         )
 
     def estimate_u(

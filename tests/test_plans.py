@@ -73,6 +73,31 @@ def test_jw_udf_evaluated_once(spark, tables, queries):
     assert "jw_similarity" in plan
 
 
+def test_synthetic_ids_fully_parallel_and_contiguous(spark, tables):
+    """u-sampling's synthetic-id minting must never funnel the id
+    domain through one task (no single-partition Exchange feeding a
+    global Sort), and must still be a bijection onto [0, n)."""
+    import ppack_spark as pp
+
+    spec = pp.LinkerSpec(
+        unique_id_left="c_custkey",
+        unique_id_right="c_custkey",
+        blocking_rules=[pp.BlockingRule.on("c_nationkey")],
+        comparisons=[pp.Comparison.exact("c_mktsegment")],
+    )
+    linker = pp.Linker(spark, tables["customer"], None, spec)
+    sids = linker._synthetic_ids(tables["customer"], "c_custkey")
+    assert "Exchange SinglePartition" not in _plan(sids)
+    n = tables["customer"].select("c_custkey").distinct().count()
+    stats = sids.agg(
+        F.min("__sid").alias("lo"),
+        F.max("__sid").alias("hi"),
+        F.count_distinct("__sid").alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert (stats["lo"], stats["hi"], stats["nd"], stats["n"]) == (0, n - 1, n, n)
+
+
 def test_exact_dedup_has_partial_aggregation(spark, tables, queries):
     """Map-side partial agg must collapse duplicates before the
     shuffle (two HashAggregate phases around one Exchange)."""
