@@ -7,6 +7,14 @@ Jaro-Winkler measure (Winkler 1990): prefix scale 0.1, max prefix 4,
 boost threshold 0.7 — the same constants DuckDB uses, verified against
 its output in tests/test_similarity.py.
 
+Inside each Arrow batch the residual (non-null, non-equal, non-empty)
+pairs are scored by a C implementation (rapidfuzz ``cpdist``, else
+jellyfish) when one is importable — but only after it exactly
+reproduces the pure-Python reference on a discriminating self-check
+corpus (``_JW_SELFCHECK``); otherwise the exact pure-Python loop runs.
+At 26M+ candidate pairs the C path keeps the JW column from dominating
+the comparison stage.
+
 UDF placement policy (SURVEY §7 risk register): similarity UDFs run
 strictly *post-blocking* over the candidate pairs — never inside a
 join predicate, where they would break whole-stage codegen and force a
@@ -86,18 +94,109 @@ def jaro_winkler_py(s1: str | None, s2: str | None) -> float | None:
     return jaro
 
 
+# Pairs chosen to discriminate implementation variants: boost applied
+# below the 0.7 threshold, transposition counting, byte-vs-codepoint
+# unicode handling, prefix cap at 4.
+_JW_SELFCHECK = [
+    ("martha", "marhta"),
+    ("dwayne", "duane"),
+    ("dixon", "dicksonx"),
+    ("axxxxx", "ayyyyy"),  # common prefix but jaro <= 0.7: no boost
+    ("abcdefgh", "abcdxyzw"),  # prefix longer than the cap of 4
+    ("café", "cafe"),  # multi-byte UTF-8: DuckDB scores BYTES
+    ("über", "uber"),
+    ("ab", "ba"),
+    ("a", "b"),
+    ("abcde", "edcba"),
+]
+
+
+def _pyloop_jw_batch(sub_l: list, sub_r: list) -> list:
+    """Reference batch scorer: pure-Python JW per pair (exactness
+    reference; DuckDB byte semantics pinned in tests/test_similarity.py)."""
+    return [jaro_winkler_py(l, r) for l, r in zip(sub_l, sub_r)]
+
+
+def _load_fast_jw_batch():
+    """Return a C-accelerated batch scorer (bytes pairs → list[float])
+    when one is importable AND exactly reproduces ``jaro_winkler_py``
+    on the discriminating self-check corpus; else None. The self-check
+    means an environment with a semantically different rapidfuzz/
+    jellyfish build silently falls back to the exact pure-Python path
+    rather than diverging from the DuckDB oracle."""
+    scorer = None
+    try:
+        from rapidfuzz.distance import JaroWinkler
+        from rapidfuzz.process import cpdist
+
+        def scorer(sub_l, sub_r):  # noqa: F811
+            return cpdist(sub_l, sub_r, scorer=JaroWinkler.similarity).tolist()
+
+    except ImportError:
+        try:
+            import jellyfish
+
+            def scorer(sub_l, sub_r):
+                return [
+                    jellyfish.jaro_winkler_similarity(l.decode("latin-1"), r.decode("latin-1"))
+                    for l, r in zip(sub_l, sub_r)
+                ]
+
+        except ImportError:
+            return None
+    check_l = [a.encode("utf-8") for a, _ in _JW_SELFCHECK]
+    check_r = [b.encode("utf-8") for _, b in _JW_SELFCHECK]
+    want = _pyloop_jw_batch(check_l, check_r)
+    try:
+        got = scorer(check_l, check_r)
+    except Exception:
+        return None
+    if any(abs(g - w) > 1e-12 for g, w in zip(got, want)):
+        return None
+    return scorer
+
+
+_FAST_JW_BATCH: list = []  # lazy one-element cache (None = checked, absent)
+
+
+def _jw_batch(l_arr, r_arr) -> np.ndarray:
+    """Elementwise JW over two object arrays of str/None. NULL/empty/
+    equal rows are resolved in Python (DuckDB edge semantics: empty →
+    0.0 even for ''=='', equal → 1.0); the residual pairs go to the
+    verified C batch scorer when available, else the pure-Python loop."""
+    if not _FAST_JW_BATCH:
+        _FAST_JW_BATCH.append(_load_fast_jw_batch())
+    fast = _FAST_JW_BATCH[0]
+    n = len(l_arr)
+    out = np.empty(n, dtype=object)
+    sub_l: list = []
+    sub_r: list = []
+    sub_idx: list = []
+    for i in range(n):
+        l, r = l_arr[i], r_arr[i]
+        if not isinstance(l, str) or not isinstance(r, str):
+            out[i] = None
+            continue
+        bl, br = l.encode("utf-8"), r.encode("utf-8")
+        if len(bl) == 0 or len(br) == 0:
+            out[i] = 0.0
+        elif bl == br:
+            out[i] = 1.0
+        else:
+            sub_idx.append(i)
+            sub_l.append(bl)
+            sub_r.append(br)
+    if sub_idx:
+        scores = (fast or _pyloop_jw_batch)(sub_l, sub_r)
+        for k, i in enumerate(sub_idx):
+            out[i] = float(scores[k])
+    return out
+
+
 @pandas_udf(T.DoubleType())
 def jw_similarity(left: pd.Series, right: pd.Series) -> pd.Series:
     """Arrow-batched Jaro-Winkler over two string columns."""
-    l_arr = left.to_numpy(dtype=object)
-    r_arr = right.to_numpy(dtype=object)
-    out = np.empty(len(l_arr), dtype=object)
-    for i in range(len(l_arr)):
-        l, r = l_arr[i], r_arr[i]
-        out[i] = jaro_winkler_py(
-            l if isinstance(l, str) else None,
-            r if isinstance(r, str) else None,
-        )
+    out = _jw_batch(left.to_numpy(dtype=object), right.to_numpy(dtype=object))
     return pd.Series(out, dtype="float64")
 
 

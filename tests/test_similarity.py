@@ -77,6 +77,97 @@ def test_jw_udf_in_plan(spark):
     assert rows[1]["jw"] is None
 
 
+def test_jw_batch_matches_pure_python():
+    """The batch dispatcher (whatever scorer it selected in this
+    environment) must agree with the exactness reference on the full
+    word cross-product, including None/empty/equal edge rows."""
+    import numpy as np
+
+    from ppack_spark.similarity import _jw_batch
+
+    pairs = [(a, b) for a in WORDS for b in WORDS] + [
+        (None, "x"), ("x", None), (None, None), ("", ""), ("same", "same")
+    ]
+    l_arr = np.array([p[0] for p in pairs], dtype=object)
+    r_arr = np.array([p[1] for p in pairs], dtype=object)
+    got = _jw_batch(l_arr, r_arr)
+    for (a, b), g in zip(pairs, got):
+        want = jaro_winkler_py(a, b)
+        if want is None:
+            assert g is None, (a, b)
+        else:
+            assert g == pytest.approx(want, abs=1e-12), (a, b)
+
+
+def test_jw_fast_path_self_check_rejects_divergent_scorer(monkeypatch):
+    """A C scorer that disagrees with the reference on the self-check
+    corpus must be rejected (fall back to pure Python), so an
+    environment with a semantically different lib can never silently
+    diverge from the DuckDB oracle."""
+    import ppack_spark.similarity as sim
+
+    class FakeJW:
+        @staticmethod
+        def similarity(a, b):
+            return 0.5
+
+    def fake_cpdist(ql, cl, scorer):
+        import numpy as np
+
+        return np.array([scorer(a, b) for a, b in zip(ql, cl)])
+
+    import sys
+    import types
+
+    dist_mod = types.ModuleType("rapidfuzz.distance")
+    dist_mod.JaroWinkler = FakeJW
+    proc_mod = types.ModuleType("rapidfuzz.process")
+    proc_mod.cpdist = fake_cpdist
+    root_mod = types.ModuleType("rapidfuzz")
+    root_mod.distance = dist_mod
+    root_mod.process = proc_mod
+    monkeypatch.setitem(sys.modules, "rapidfuzz", root_mod)
+    monkeypatch.setitem(sys.modules, "rapidfuzz.distance", dist_mod)
+    monkeypatch.setitem(sys.modules, "rapidfuzz.process", proc_mod)
+    assert sim._load_fast_jw_batch() is None  # divergent → rejected
+
+    class ExactJW:
+        @staticmethod
+        def similarity(a, b):
+            return sim.jaro_winkler_py(a, b)
+
+    dist_mod.JaroWinkler = ExactJW
+    assert sim._load_fast_jw_batch() is not None  # exact → accepted
+
+
+def test_jw_fast_path_microbench():
+    """When a verified C scorer is present, it must beat the pure-
+    Python loop by ≥5× on a 200k-pair microbench (the 26M-pair JW
+    column budget at scale). Skipped where no C lib is installed —
+    the dispatcher then runs the exact reference implementation."""
+    import time
+
+    import numpy as np
+
+    import ppack_spark.similarity as sim
+
+    fast = sim._load_fast_jw_batch()
+    if fast is None:
+        pytest.skip("no verified C JW implementation in this environment")
+    rng = np.random.default_rng(0)
+    alphabet = np.array(list("abcdefghijklmnop"))
+    names = ["".join(rng.choice(alphabet, size=10)) for _ in range(2000)]
+    sub_l = [names[i % 2000].encode() for i in range(200_000)]
+    sub_r = [names[(i * 7 + 3) % 2000].encode() for i in range(200_000)]
+    t0 = time.perf_counter()
+    fast(sub_l, sub_r)
+    t_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sim._pyloop_jw_batch(sub_l[:20_000], sub_r[:20_000])
+    t_py = (time.perf_counter() - t0) * 10  # scaled to 200k
+    assert t_py / t_fast >= 5.0
+
+
 def test_levenshtein_similarity(spark):
     df = spark.createDataFrame(
         [("kitten", "sitting"), ("abc", "abc"), ("", ""), ("a", None)],
