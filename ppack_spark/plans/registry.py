@@ -469,6 +469,39 @@ def threshold_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "posterior_probability",
+    _CMP_SQL + f"""
+    , scored as (
+        select c_custkey_left, c_custkey_right, {_WEIGHT_SQL} as weight from cmp
+    )
+    select c_custkey_left, c_custkey_right,
+           round(weight, 6) as weight,
+           round((0.05 / 0.95) * exp(weight)
+                 / ((0.05 / 0.95) * exp(weight) + 1.0), 9) as match_probability
+    from scored
+    """,
+)
+def posterior_probability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoring.posterior_probability: weight → p = λ·e^w/(λ·e^w+(1−λ))
+    with fitted λ inlined as a literal — in-plan, codegen, the exact
+    expression the oracle replays with λ=0.05."""
+    from ..em import FSParams
+    from ..scoring import posterior_probability
+
+    cmp = _comparisons(spark, sf_dir)
+    scored = cmp.withColumn("weight", match_weight_column(M_PROBS, U_PROBS))
+    params = FSParams(
+        m_probabilities=M_PROBS, u_probabilities=U_PROBS, lam=0.05, total_pairs=0.0
+    )
+    return posterior_probability(scored, params).select(
+        "c_custkey_left",
+        "c_custkey_right",
+        F.round("weight", 6).alias("weight"),
+        F.round("match_probability", 9).alias("match_probability"),
+    )
+
+
+@query(
     "calibration_curve",
     _CMP_SQL + f"""
     , scored as (
@@ -570,6 +603,38 @@ def linkage_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "comparator string, level string, m double, u double, weight double, lam double",
+    )
+
+
+@query(
+    "calibration_glm",
+    """
+    select cast(intercept as double) as intercept,
+           cast(coefficient as double) as coefficient
+    from (values (-0.311, 1.195)) as t(intercept, coefficient)
+    """,
+)
+def calibration_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eval.fit_calibration (reference scratch.R:137 ``glm(true_match ~
+    weight, binomial)``) on an sf-independent deterministic fixture:
+    weight is an integer-arithmetic grid in [−4, 4] and truth a
+    deterministic pseudo-uniform draw against a logistic curve with
+    (intercept, slope) = (−0.3, 1.2), so the unique MLE is a fixed
+    point (rounded to 3 decimals) this VALUES oracle pins. Iterative
+    Spark ML — not SQL-expressible — hence the fixed-point-style gate,
+    same pattern as linkage_em_params."""
+    from ..eval import fit_calibration
+
+    w = (F.col("id") % 81).cast("double") / 10.0 - 4.0
+    u = ((F.col("id") * 2654435761) % 1000003).cast("double") / 1000003.0
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(1.2) * w - F.lit(0.3))))
+    labelled = spark.range(0, 2000).select(
+        w.alias("weight"), (u < p).cast("double").alias("true_match")
+    )
+    intercept, coefficient = fit_calibration(labelled)
+    return spark.createDataFrame(
+        [(round(intercept, 3), round(coefficient, 3))],
+        "intercept double, coefficient double",
     )
 
 
