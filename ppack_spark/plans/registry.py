@@ -426,6 +426,49 @@ def levenshtein_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOUNDEX_FIXTURE = [
+    # (pair_id, name_left, name_right, expected phonetic level)
+    (0, "Robert", "Rupert", "agree"),
+    (1, "Ashcraft", "Ashcroft", "agree"),
+    (2, "Jackson", "Jaxon", "agree"),
+    (3, "Mueller", "Miller", "agree"),
+    (4, "Smith", "Smyth", "agree"),
+    (5, "Honeyman", "Hanman", "disagree"),
+    (6, "Robert", "Smith", "disagree"),
+    (7, "Lee", "Lu", "agree"),
+    (8, "O'Brien", "OBrien", "agree"),
+    (9, "Tymczak", "Pfister", "disagree"),
+    (10, "x", "Robert", "disagree"),
+    (11, None, "Smith", None),  # NULL input → NULL gamma (missing level)
+]
+
+
+@query(
+    "soundex_comparator",
+    """
+    select cast(pair_id as bigint) as pair_id, phonetic
+    from (values
+        (0, 'agree'), (1, 'agree'), (2, 'agree'), (3, 'agree'),
+        (4, 'agree'), (5, 'disagree'), (6, 'disagree'), (7, 'agree'),
+        (8, 'agree'), (9, 'disagree'), (10, 'disagree'), (11, null)
+    ) as t(pair_id, phonetic)
+    """,
+)
+def soundex_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison.soundex (spec.py): phonetic agreement via the Spark
+    builtin American Soundex. DuckDB has no soundex, so the oracle is
+    a VALUES fixture of known codes (Robert/Rupert → R163, Ashcraft/
+    Ashcroft → A261, ...) including the NULL-propagation row."""
+    from ..spec import Comparison
+
+    df = spark.createDataFrame(
+        [(p, l, r) for p, l, r, _ in _SOUNDEX_FIXTURE],
+        "pair_id long, name_left string, name_right string",
+    )
+    cmp = Comparison.soundex("name")
+    return df.select("pair_id", cmp.expression.alias("phonetic"))
+
+
 @query(
     "match_weight_scoring",
     _CMP_SQL + f"""

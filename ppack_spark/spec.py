@@ -119,6 +119,27 @@ class Comparison:
         )
 
     @staticmethod
+    def soundex(var: str, left: str | None = None, right: str | None = None) -> "Comparison":
+        """Phonetic-agreement comparator: agree iff the American
+        Soundex codes match, via the Spark *builtin* ``F.soundex``
+        (JVM-side, codegen). Same NULL semantics as ``exact``: either
+        input NULL → NULL gamma (the missing-data level). DuckDB has
+        no soundex builtin, so the registry gates this against a
+        VALUES fixture of known codes instead of a replayed oracle."""
+        from pyspark.sql import functions as F
+
+        from .exprs import suffixed
+
+        l = F.soundex(F.col(left if left is not None else suffixed(var, "_left")))
+        r = F.soundex(F.col(right if right is not None else suffixed(var, "_right")))
+        agree, disagree = EXACT_LEVELS
+        return Comparison(
+            name=var,
+            expression=F.when(l == r, agree).when(l != r, disagree),
+            levels=tuple(EXACT_LEVELS),
+        )
+
+    @staticmethod
     def buckets(
         name: str,
         measure: Union[Column, str],
