@@ -9,6 +9,15 @@ Each query is forced end-to-end with the ``noop`` sink (full plan
 execution, no driver-side collect of O(pairs) rows). The session comes
 from ppack_spark.session.get_spark — AQE on, 48g local heap, shuffle
 partitions sized to the core count.
+
+Every query runs ``$SPARK_GRAFT_BENCH_ITERS`` (default 3) iterations
+and reports the MIN — the first iteration pays one-off JVM/codegen/
+scan-cache warmup that is pure local-mode noise (run-to-run spread on
+the 26M-pair linkage chain was ~2× single-shot); the warm minimum is
+the number that extrapolates to cluster throughput. The reported
+per-query ``spread`` drops the single worst sample (the cold run)
+first: it measures reproducibility of the warm number, not the
+cold-start delta.
 """
 
 from __future__ import annotations
@@ -41,8 +50,10 @@ BENCH_QUERIES = [
     "comparison_vectors",
     "match_weight_scoring",
     "threshold_rank",
+    "posterior_probability",
     "calibration_curve",
     "dedup_exact",
+    "simhash_fingerprints",
     "token_stats",
     "tfidf_top_terms",
     "doc_fingerprints",
@@ -76,15 +87,22 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+    iters = max(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")), 1)
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.monotonic()
+        samples: list[float] = []
         try:
-            _force(fn(spark, sf_dir))
-            times[name] = round(time.monotonic() - t0, 3)
+            for _ in range(iters):
+                t0 = time.monotonic()
+                _force(fn(spark, sf_dir))
+                samples.append(time.monotonic() - t0)
+            times[name] = round(min(samples), 3)
+            warm = sorted(samples)[:-1] or samples  # drop the worst (cold) run
+            spread[name] = round(max(warm) - min(warm), 3)
         except Exception as exc:  # keep the bench line parseable
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             times[name] = -1.0
@@ -98,6 +116,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "iters": iters,
+                "spread": spread,
             }
         )
     )

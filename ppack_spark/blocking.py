@@ -135,8 +135,17 @@ def blocking_pass_counts(
     tagged = [
         p.select(F.lit(i).cast("long").alias("pass_idx")) for i, p in enumerate(passes)
     ]
-    return (
+    counts = (
         reduce(DataFrame.unionByName, tagged)
         .groupBy("pass_idx")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    # A pass yielding ZERO pairs must still report an explicit
+    # n_pairs=0 row — the diagnostic going silent exactly when a pass
+    # is degenerate/misconfigured defeats its purpose.
+    all_passes = data_a.sparkSession.range(len(passes)).select(
+        F.col("id").alias("pass_idx")
+    )
+    return all_passes.join(counts, on="pass_idx", how="left").select(
+        "pass_idx", F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs")
     )

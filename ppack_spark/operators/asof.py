@@ -4,8 +4,10 @@ Spark has no native ASOF JOIN (DuckDB does; so do kdb/pandas). The
 standard scalable construction is the union-sort trick used here:
 
     tag left/right rows → union → one window per partition key ordered
-    by (ts, side) → ``last(right_col, ignorenulls=True)`` carries the
-    most recent right-side values forward onto each left row.
+    by (ts, side) → a single ``last(struct(ts, *right_cols),
+    ignorenulls=True)`` carries the most recent right ROW forward onto
+    each left row (one struct, so every carried value — including
+    NULLs — comes from the same matched right row).
 
 Cost: ONE shuffle on the partition key + a per-partition sort — the
 same shape as any windowed aggregate, with none of the range-join
@@ -44,23 +46,33 @@ def asof_join(
     ``ASOF JOIN``); ``how='left'`` keeps them with nulls (``ASOF LEFT
     JOIN``).
     """
+    from pyspark.sql import types as T
+
     on_cols = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on_cols + [ts]]
     ts_matched = ts_matched or f"{ts}_matched"
 
-    carried = [ts_matched] + right_cols
-    l = left.withColumn("__side", F.lit(1))
-    l = l.withColumn(ts_matched, F.lit(None).cast(right.schema[ts].dataType))
-    for c in right_cols:
-        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    # ALL carried values travel in ONE struct filled by a single
+    # last(ignorenulls=True): if the matched right row has NULL in some
+    # right_col, the output keeps that NULL (DuckDB ASOF semantics) —
+    # independent per-column last() would back-fill it from an OLDER
+    # right row, stitching values from different right rows.
+    carry_type = T.StructType(
+        [T.StructField(ts_matched, right.schema[ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__carry", F.lit(None).cast(carry_type)
+    )
 
     r = right.select(
         *on_cols,
         F.col(ts),
         F.lit(0).alias("__side"),
-        F.col(ts).alias(ts_matched),
-        *[F.col(c) for c in right_cols],
+        F.struct(
+            F.col(ts).alias(ts_matched), *[F.col(c) for c in right_cols]
+        ).alias("__carry"),
     )
     for c in left.columns:
         if c not in on_cols + [ts]:
@@ -72,11 +84,14 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carried:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = u.filter(F.col("__side") == 1).drop("__side")
+    u = u.withColumn("__carry", F.last("__carry", ignorenulls=True).over(w))
+    out = u.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.filter(F.col(ts_matched).isNotNull())
+        out = out.filter(F.col("__carry").isNotNull())
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    return out
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        F.col(f"__carry.{ts_matched}").alias(ts_matched),
+        *[F.col(f"__carry.{c}").alias(c) for c in right_cols],
+    )

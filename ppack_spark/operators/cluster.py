@@ -58,6 +58,7 @@ def connected_components(
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )
+    changed = -1
     for _ in range(max_iter):
         nbr = (
             e.join(labels, e["dst"] == labels["node"])
@@ -78,6 +79,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Silent partial propagation would hand out WRONG (split)
+        # component ids for any component with diameter > max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter "
+            "(diameter-bound) or switch to the large-star/small-star variant"
+        )
     return labels
 
 

@@ -206,7 +206,21 @@ class Linker:
         clusters (connected components; the post-linkage step the
         reference leaves to its ground-truth ``cluster`` column,
         scratch.R:131-133). Returns data_a plus a ``cluster_id``
-        column; unmatched records are singleton clusters."""
+        column; unmatched records are singleton clusters.
+
+        Self-link (dedup) only: a two-dataset link's edge list mixes
+        two id namespaces, and feeding it to connected_components
+        would conflate A's record k with B's record k — silently
+        merging unrelated entities. Cross-dataset clustering needs
+        source-tagged node ids (splink-style) and a two-sided return
+        shape; until that exists, refuse loudly rather than corrupt."""
+        if not self.self_link:
+            raise NotImplementedError(
+                "Linker.cluster() supports self-link dedup only: a two-dataset "
+                "link's (id_left, id_right) edges span two id namespaces, and "
+                "untagged connected components would conflate records from "
+                "data_a and data_b that share an id value"
+            )
         from ..exprs import suffixed
         from ..operators.cluster import attach_cluster_ids, connected_components
 

@@ -34,16 +34,36 @@ DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def _default_driver_memory() -> str:
+    """Local-mode heap default: min(48g, ~70% of MemAvailable), floor
+    2g. The driver IS the executor in local mode, so the 1g Spark
+    default GC-thrashes on O(pairs) work (26M-pair blocking at sf0.1
+    stalls at 1g, runs in ~40s at 48g) — but a fixed 48g -Xmx fails
+    JVM startup or invites OOM-kills on smaller hosts, hence the
+    MemAvailable probe. ``SPARK_DRIVER_MEMORY`` overrides."""
+    avail_kb = None
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                    break
+    except OSError:
+        pass
+    if avail_kb is None:
+        return "4g"  # no probe (non-Linux): a conservative default
+    gb = max(min(int(avail_kb * 0.7 / 1024 / 1024), 48), 2)
+    return f"{gb}g"
+
+
 def get_spark(app_name: str = "ppack_spark", extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or reuse) the session. ``SPARK_GRAFT_CPUS`` sets local parallelism."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     conf = dict(DEFAULT_CONF)
-    # Local mode = single JVM: the driver IS the executor, so the 1g
-    # driver default GC-thrashes on O(pairs) work (26M-pair blocking at
-    # sf0.1 stalls at 1g, runs in ~40s at 48g). Always set an explicit
-    # local-mode heap; SPARK_DRIVER_MEMORY overrides.
-    conf["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+    conf["spark.driver.memory"] = os.environ.get(
+        "SPARK_DRIVER_MEMORY", _default_driver_memory()
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

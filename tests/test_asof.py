@@ -42,6 +42,22 @@ def test_left_keeps_unmatched(spark):
     assert out["c"] is None and out["d"] is None
 
 
+def test_null_in_matched_row_not_backfilled(spark):
+    """If the MATCHED (most recent) right row has NULL in a right_col,
+    the output must keep that NULL — not back-fill it from an older
+    right row (DuckDB ASOF returns the matched row's NULL). All
+    carried values must come from the same right row."""
+    left = spark.createDataFrame([(1, 30, "x")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0, "old"), (1, 20, None, "new")],
+        "k long, ts long, v double, label string",
+    )
+    row = asof_join(left, right, on="k", ts="ts").collect()[0]
+    assert row["ts_matched"] == 20
+    assert row["label"] == "new"
+    assert row["v"] is None  # matched row's NULL, not 100.0 from ts=10
+
+
 def test_single_shuffle_plan(spark):
     """The union-sort construction must stay one exchange on the key —
     no join node at all (the range-join blowup is the thing avoided)."""

@@ -33,6 +33,34 @@ def test_long_chain_converges(spark):
     assert len(got) == n + 1
 
 
+def test_non_convergence_raises(spark):
+    """Exhausting max_iter before the fixpoint must raise — silent
+    partial propagation hands out wrong (split) component ids."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_left long, id_right long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_linker_cluster_two_dataset_raises(spark, tables):
+    """Two-dataset link edges span two id namespaces; untagged
+    connected components would conflate A's record k with B's record
+    k — cluster() must refuse, not corrupt."""
+    customer = tables["customer"]
+    a = customer.filter(F.col("c_custkey") % 2 == 0)
+    b = customer.filter(F.col("c_custkey") % 2 == 1)
+    spec = pp.LinkerSpec(
+        unique_id_left="c_custkey",
+        unique_id_right="c_custkey",
+        blocking_rules=[pp.BlockingRule.on("c_nationkey")],
+        comparisons=[pp.Comparison.exact("c_mktsegment")],
+    )
+    linker = pp.Linker(spark, a, b, spec)
+    with pytest.raises(NotImplementedError, match="self-link"):
+        linker.cluster()
+
+
 def test_attach_cluster_ids_singletons(spark):
     records = spark.createDataFrame([(i,) for i in range(6)], "rid long")
     comps = connected_components(

@@ -172,3 +172,29 @@ def test_blocking_rule_coercion(tables):
     )
     assert pairs.columns == ["c_custkey_left", "c_custkey_right"]
     assert pairs.count() > 0
+
+
+def test_blocking_pass_counts_reports_zero_pass(spark, tables):
+    """A pass yielding zero candidate pairs must still produce an
+    explicit n_pairs=0 row — the guardrail may not go silent exactly
+    when a pass is degenerate/misconfigured."""
+    from ppack_spark.blocking import blocking_pass_counts
+
+    customer = tables["customer"]
+    counts = {
+        r["pass_idx"]: r["n_pairs"]
+        for r in blocking_pass_counts(
+            customer,
+            customer,
+            "c_custkey",
+            "c_custkey",
+            [
+                BlockingRule.on("c_nationkey"),
+                # impossible rule: name never equals mktsegment
+                BlockingRule.where(F.col("c_name_left") == F.col("c_mktsegment_right")),
+            ],
+        ).collect()
+    }
+    assert set(counts) == {0, 1}
+    assert counts[0] > 0
+    assert counts[1] == 0

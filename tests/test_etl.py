@@ -66,3 +66,17 @@ def test_partition_pruning_reaches_scan(spark, etl_dirs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "c_mktsegment" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_default_driver_memory_derivation():
+    """The local-heap default must adapt to the host: a g-suffixed
+    integer, capped at 48g, floored at 2g (a fixed 48g -Xmx fails JVM
+    startup on small hosts)."""
+    import re
+
+    from ppack_spark.session import _default_driver_memory
+
+    mem = _default_driver_memory()
+    m = re.fullmatch(r"(\d+)g", mem)
+    assert m, mem
+    assert 2 <= int(m.group(1)) <= 48
