@@ -169,6 +169,7 @@ class Linker:
         u_sample_size: int = 1_000_000,
         total_pairs: float | None = None,
         seed: int = 42,
+        lambda_init: float = 1e-7,
     ) -> FSParams:
         n_a = self.data_a.count()
         n_b = n_a if self.self_link else self.data_b.count()
@@ -187,6 +188,7 @@ class Linker:
             u_probabilities=u_probabilities,
             maxiter=maxiter,
             levels=self.spec.comparator_levels(),
+            lambda_init=lambda_init,
         )
         return self.params
 
