@@ -81,8 +81,18 @@ def _pass_frames(
     blocking_variables: Iterable[RuleLike] = (),
     blocking_expressions: Iterable[Union[Column, str]] = (),
 ) -> list[DataFrame]:
-    """One (id_left, id_right) frame per blocking pass (pre-union)."""
-    a = with_suffix(data_a, "_left")
+    """One (id_left, id_right) frame per blocking pass (pre-union).
+
+    The probe (left) side is ``spread()`` to full parallelism first:
+    fixture-sized parquet arrives as a single input partition, and a
+    broadcast join + partial-aggregate over the O(pairs) output would
+    otherwise execute as ONE task pinned to one core (observed 38 s →
+    ~8 s at sf0.1). On a real cluster the scan is already many
+    partitions and the repartition collapses to a cheap no-op pass
+    over table-sized (not pair-sized) rows."""
+    from .operators.util import spread
+
+    a = with_suffix(spread(data_a), "_left")
     b = with_suffix(data_b, "_right")
     id_l = suffixed(unique_id_a, "_left")
     id_r = suffixed(unique_id_b, "_right")
