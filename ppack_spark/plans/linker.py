@@ -231,3 +231,58 @@ class Linker:
         edges = self.score().filter(F.col("weight") > threshold).select(id_l, id_r)
         components = connected_components(edges, id_l, id_r)
         return attach_cluster_ids(self.data_a, components, self.spec.unique_id_left)
+
+    def cluster_links(self, threshold: float = 5.0) -> DataFrame:
+        """Two-dataset-safe cluster resolution. Node ids are prefixed
+        with a source-dataset tag (``a:``/``b:``, the splink
+        disambiguation) before connected components, so overlapping id
+        domains can never conflate A's record k with B's record k.
+
+        Returns ``(source, <unique_id>, cluster_id)`` covering every
+        record of both inputs; ``cluster_id`` is an opaque string label
+        (the min tagged node id of the component), singletons get their
+        own tagged id. Works for self-link too (both sides then carry
+        the ``a:`` tag and the result equals ``cluster()`` up to the
+        label representation)."""
+        from ..exprs import suffixed
+        from ..operators.cluster import connected_components
+
+        id_l = suffixed(self.spec.unique_id_left, "_left")
+        id_r = suffixed(self.spec.unique_id_right, "_right")
+        tag_r = "a:" if self.self_link else "b:"
+        edges = (
+            self.score()
+            .filter(F.col("weight") > threshold)
+            .select(
+                F.concat(F.lit("a:"), F.col(id_l).cast("string")).alias("node_l"),
+                F.concat(F.lit(tag_r), F.col(id_r).cast("string")).alias("node_r"),
+            )
+        )
+        components = connected_components(edges, "node_l", "node_r")
+
+        out_col = self.spec.unique_id_left  # both sides aligned on one name
+
+        def _attach(df: DataFrame, uid: str, tag: str, source: str) -> DataFrame:
+            tagged = F.concat(F.lit(tag), F.col(uid).cast("string"))
+            comp = components.select(
+                F.col("node").alias("__node"), F.col("component").alias("cluster_id")
+            )
+            return (
+                df.select(
+                    F.lit(source).alias("source"),
+                    F.col(uid).alias(out_col),
+                    tagged.alias("__node"),
+                )
+                .join(comp, on="__node", how="left")
+                .select(
+                    "source",
+                    out_col,
+                    F.coalesce(F.col("cluster_id"), F.col("__node")).alias("cluster_id"),
+                )
+            )
+
+        out_a = _attach(self.data_a, self.spec.unique_id_left, "a:", "a")
+        if self.self_link:
+            return out_a
+        out_b = _attach(self.data_b, self.spec.unique_id_right, tag_r, "b")
+        return out_a.unionByName(out_b)

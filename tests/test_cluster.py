@@ -61,6 +61,44 @@ def test_linker_cluster_two_dataset_raises(spark, tables):
         linker.cluster()
 
 
+def test_cluster_links_disambiguates_overlapping_id_domains(spark, tables):
+    """cluster_links: A and B both 0-based-ish (overlapping c_custkey
+    values after renumbering) — records from different sources sharing
+    an id value must NOT be conflated into one node, and every record
+    of both sides gets a cluster_id."""
+    customer = tables["customer"]
+    # force heavy id overlap: both sides renumbered into 0..n/2
+    a = customer.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") / 2
+    )
+    b = customer.filter(F.col("c_custkey") % 2 == 1).withColumn(
+        "c_custkey", (F.col("c_custkey") - 1) / 2
+    )
+    spec = pp.LinkerSpec(
+        unique_id_left="c_custkey",
+        unique_id_right="c_custkey",
+        blocking_rules=[pp.BlockingRule.on("c_nationkey")],
+        comparisons=[pp.Comparison.exact("c_mktsegment")],
+    )
+    linker = pp.Linker(spark, a, b, spec)
+    linker.estimate(maxiter=3, u_sample_size=500)
+    out = linker.cluster_links(threshold=0.5)
+    assert out.count() == a.count() + b.count()
+    rows = out.collect()
+    # a record's cluster label always originates from a tagged node,
+    # so an A-singleton can never carry a B-record's id (and vice versa)
+    for r in rows:
+        assert r["cluster_id"].startswith(("a:", "b:"))
+    # same (source, id) maps to exactly one cluster; and the edge set
+    # being cross-source only, any multi-member cluster contains at
+    # most one record per (source, id)
+    seen = {}
+    for r in rows:
+        key = (r["source"], r["c_custkey"])
+        assert key not in seen
+        seen[key] = r["cluster_id"]
+
+
 def test_attach_cluster_ids_singletons(spark):
     records = spark.createDataFrame([(i,) for i in range(6)], "rid long")
     comps = connected_components(
