@@ -87,3 +87,46 @@ def test_resize_and_frame_sampling():
     idx = frame_sample_indices(duration_s=10.0, fps=24.0, every_s=1.0)
     assert idx[0] == 0 and len(idx) == 10
     assert all(b - a == 24 for a, b in zip(idx, idx[1:]))
+
+
+def test_decode_image_batch_pil_branch(monkeypatch):
+    """The real-codec branch (PIL importable) must produce grayscale
+    uint8 arrays from Image.open(...).convert('L'). The container has
+    no PIL, so inject a minimal fake module implementing the exact
+    call surface the branch uses — this verifies the branch's code
+    path (argument flow, dtype/shape contract), not libjpeg itself."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class FakeImg:
+        def __init__(self, data: bytes):
+            self._data = data
+
+        def convert(self, mode: str):
+            assert mode == "L"
+            # deterministic "decode": 4x4 gray tile from the first byte
+            v = self._data[0] if self._data else 0
+            self._arr = np.full((4, 4), v, dtype=np.uint8)
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self._arr.astype(dtype or np.uint8)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda buf: FakeImg(buf.read())
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    from ppack_spark.operators.multimodal import decode_image_batch
+
+    payloads = [bytes([7] * 16), bytes([250] * 16)]
+    out = decode_image_batch(payloads, [8, 8], [8, 8])
+    assert len(out) == 2
+    for img, expect in zip(out, (7, 250)):
+        assert img.dtype == np.uint8
+        assert img.shape == (4, 4)  # decoder-reported, not meta, size
+        assert int(img[0, 0]) == expect
