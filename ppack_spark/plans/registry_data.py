@@ -593,6 +593,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _register_dedup_clusters_star() -> None:
+    """Same edge set and recursive-CTE oracle as ``dedup_clusters``,
+    resolved by the alternating large-star/small-star algorithm
+    (Kiveris SoCC'14) instead of min-label propagation — gating the
+    O(log n)-round variant against the identical exact closure."""
+    from .registry import ORACLE
+
+    @query("dedup_clusters_star", ORACLE["dedup_clusters"])
+    def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.cluster import connected_components_star
+
+        pairs = minhash_lsh_pairs(
+            t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, k=3
+        )
+        return connected_components_star(pairs)
+
+
+_register_dedup_clusters_star()
+
+
 @query(
     "ngram_jaccard_pairs",
     _SHINGLE_SQL + """

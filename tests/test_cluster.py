@@ -6,7 +6,11 @@ import pytest
 from pyspark.sql import functions as F
 
 import ppack_spark as pp
-from ppack_spark.operators.cluster import attach_cluster_ids, connected_components
+from ppack_spark.operators.cluster import (
+    attach_cluster_ids,
+    connected_components,
+    connected_components_star,
+)
 
 
 def _components_dict(df):
@@ -31,6 +35,40 @@ def test_long_chain_converges(spark):
     got = _components_dict(connected_components(edges, max_iter=60))
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_star_variant_matches_label_propagation(spark):
+    """large-star/small-star must produce the identical (node,
+    component) mapping as min-label propagation on a mixed fixture."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21), (7, 7)],
+        "id_left long, id_right long",
+    )
+    assert _components_dict(connected_components_star(edges)) == _components_dict(
+        connected_components(edges)
+    )
+
+
+def test_star_variant_long_chain_logarithmic_rounds(spark):
+    """A diameter-300 chain: min-label propagation needs ~300 rounds
+    (and raises at max_iter=30); the star variant converges within a
+    logarithmic round budget."""
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_left long, id_right long"
+    )
+    got = _components_dict(connected_components_star(edges, max_iter=15))
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_star_variant_random_graph_parity(spark):
+    """Deterministic pseudo-random graph: both algorithms agree."""
+    rows = [((i * 131 + 7) % 97, (i * 31 + 3) % 97) for i in range(120)]
+    edges = spark.createDataFrame(rows, "id_left long, id_right long")
+    assert _components_dict(connected_components_star(edges)) == _components_dict(
+        connected_components(edges, max_iter=60)
+    )
 
 
 def test_non_convergence_raises(spark):
