@@ -125,6 +125,63 @@ def ordered_pairs(pairs: DataFrame, id_left: str | None = None, id_right: str | 
     return pairs.filter(F.col(id_left) < F.col(id_right))
 
 
+def salted_block_pairs(
+    data: DataFrame,
+    unique_id: str,
+    block_col: str,
+    num_salts: int = 8,
+) -> DataFrame:
+    """Self-link candidate pairs within ``block_col`` blocks via salted
+    triangle decomposition — the explicit skew path for HOT blocking
+    keys, beyond what AQE skew-join splitting can do for a self-join.
+
+    A low-cardinality key (25 nations at 1B rows) makes one block's
+    pair count quadratic and pins it to however many tasks hold that
+    key. Salting splits each block into ``num_salts`` groups by
+    ``pmod(xxhash64(id), s)`` and joins every unordered group pair
+    (a ≤ b) as an equi-join on (block, a, b): each side replicates its
+    rows ~s/2×, the shuffle grows s×, but the largest join partition
+    shrinks s²× — turning one quadratic straggler into s·(s+1)/2
+    uniform tasks. Every unordered id pair meets exactly once:
+    within-group (a == b) pairs are deduplicated by ``id_l < id_r``,
+    cross-group pairs are oriented with least/greatest.
+
+    Exact-parity-gated against the unsalted pass (registry
+    ``blocking_salted_pass`` + tests)."""
+    s = int(num_salts)
+    if s < 1:
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
+    base = data.select(
+        F.col(unique_id).alias("__id"),
+        F.col(block_col).alias("__blk"),
+        F.pmod(F.xxhash64(F.col(unique_id)), F.lit(s)).alias("__g"),
+    )
+    # left leg: row with salt a participates in group-pairs (a, b≥a)
+    left = base.select(
+        "__id",
+        "__blk",
+        F.col("__g").alias("__a"),
+        F.explode(F.sequence(F.col("__g"), F.lit(s - 1))).alias("__b"),
+    )
+    # right leg: row with salt b participates in group-pairs (a≤b, b)
+    right = base.select(
+        F.col("__id").alias("__id_r"),
+        "__blk",
+        F.explode(F.sequence(F.lit(0), F.col("__g"))).alias("__a"),
+        F.col("__g").alias("__b"),
+    )
+    joined = left.join(right, on=["__blk", "__a", "__b"], how="inner")
+    within = (F.col("__a") == F.col("__b")) & (F.col("__id") < F.col("__id_r"))
+    cross = F.col("__a") != F.col("__b")
+    return (
+        joined.filter(within | cross)
+        .select(
+            F.least("__id", "__id_r").alias("id_left"),
+            F.greatest("__id", "__id_r").alias("id_right"),
+        )
+    )
+
+
 def blocking_pass_counts(
     data_a: DataFrame,
     data_b: DataFrame,

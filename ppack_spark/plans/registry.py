@@ -205,6 +205,27 @@ def blocking_pass_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "blocking_salted_pass",
+    """
+    select a.c_custkey as id_left, b.c_custkey as id_right
+    from customer a
+    join customer b
+      on a.c_nationkey = b.c_nationkey
+     and a.c_custkey < b.c_custkey
+    """,
+)
+def blocking_salted_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted triangle-decomposition self-join (blocking.py
+    salted_block_pairs): the explicit skew path for hot blocking keys.
+    Oracle is the plain unsalted block join — the decomposition must
+    reproduce every unordered pair exactly once."""
+    from ..blocking import salted_block_pairs
+
+    customer = t(spark, sf_dir, "customer")
+    return salted_block_pairs(customer, "c_custkey", "c_nationkey", num_salts=8)
+
+
+@query(
     "pairs_dataset",
     _PAIRS_SQL + """
     select p.c_custkey_left, p.c_custkey_right,

@@ -198,3 +198,28 @@ def test_blocking_pass_counts_reports_zero_pass(spark, tables):
     assert set(counts) == {0, 1}
     assert counts[0] > 0
     assert counts[1] == 0
+
+
+def test_salted_block_pairs_exact_parity(spark, tables):
+    """The salted triangle decomposition must produce the identical
+    pair set as the plain blocked self-join — each unordered pair
+    exactly once (no distinct in the plan), for several salt counts
+    including s=1 (degenerate, no split)."""
+    from ppack_spark.blocking import salted_block_pairs
+
+    customer = tables["customer"]
+    want = sorted(
+        (r["c_custkey_left"], r["c_custkey_right"])
+        for r in ordered_pairs(
+            extract_blocks(
+                customer, customer, "c_custkey", "c_custkey", ["c_nationkey"]
+            )
+        ).collect()
+    )
+    for s in (1, 3, 8):
+        got_df = salted_block_pairs(customer, "c_custkey", "c_nationkey", num_salts=s)
+        got = sorted((r["id_left"], r["id_right"]) for r in got_df.collect())
+        assert got == want, f"num_salts={s}"
+        assert len(got) == len(set(got)), "pair met more than once"
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
