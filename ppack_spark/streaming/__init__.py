@@ -3,6 +3,7 @@ from .ops import (
     index_corpus_bands,
     read_events_stream,
     run_to_memory,
+    streaming_asof_enrich,
     streaming_dedup,
     streaming_near_dup_candidates,
     streaming_sessionize,
@@ -14,6 +15,7 @@ __all__ = [
     "index_corpus_bands",
     "read_events_stream",
     "run_to_memory",
+    "streaming_asof_enrich",
     "streaming_dedup",
     "streaming_near_dup_candidates",
     "streaming_sessionize",

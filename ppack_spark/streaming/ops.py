@@ -39,6 +39,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_near_dup_candidates",
     "index_corpus_bands",
+    "streaming_asof_enrich",
     "run_to_memory",
 ]
 
@@ -247,6 +248,45 @@ def index_corpus_bands(
             )
         ).alias("bv"),
     ).select(F.col("bv.band").alias("band"), F.col("bv.val").alias("val"), "corpus_id")
+
+
+def streaming_asof_enrich(
+    stream: DataFrame,
+    static_right: DataFrame,
+    on: str | list,
+    ts: str = "ts",
+    right_cols: list | None = None,
+    how: str = "inner",
+    sink=None,
+):
+    """Stream-static as-of enrichment: each arriving left row joined to
+    the most recent static right row with ``right.ts <= left.ts``
+    (operators/asof.py semantics), via ``foreachBatch``.
+
+    Because the right side is STATIC, every micro-batch enriches
+    independently against the full dimension — no cross-batch state,
+    and the replayed stream's union equals the batch ``asof_join``
+    exactly (parity-tested). This is the right ingest shape for
+    slowly-changing-dimension lookups at scale: the static side's
+    union-sort plan is re-used per micro-batch and the stream side
+    stays append-only. (A stream-STREAM as-of would need watermarked
+    range state; Spark has no native operator for it — out of scope.)
+
+    Returns a ``DataStreamWriter`` wired to ``foreachBatch``; the
+    caller supplies ``sink(batch_out_df, batch_id)`` to dispose of each
+    enriched micro-batch (write to a table, upsert, etc.)."""
+    from ..operators.asof import asof_join
+
+    if sink is None:
+        raise ValueError("sink(batch_df, batch_id) callback is required")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            asof_join(batch_df, static_right, on=on, ts=ts, right_cols=right_cols, how=how),
+            batch_id,
+        )
+
+    return stream.writeStream.foreachBatch(_process)
 
 
 def run_to_memory(stream: DataFrame, name: str, output_mode: str) -> None:

@@ -154,3 +154,47 @@ def test_streaming_dedup(spark, tables, events_stream_dir):
     )
     assert len(got) == n_users
     assert got["user_id"].is_unique
+
+
+def test_streaming_asof_enrich_batch_parity(spark, tables, events_stream_dir):
+    """Stream-static as-of: replaying clicks as micro-batches enriched
+    against the static per-(user, ts) purchase dimension must equal
+    the batch asof_join over the full click set exactly."""
+    from ppack_spark.operators.asof import asof_join
+    from ppack_spark.streaming import read_events_stream, streaming_asof_enrich
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(
+            (r["user_id"], r["event_id"], r["ts_matched"], r["purchase_value"])
+            for r in batch_df.collect()
+        )
+
+    stream = read_events_stream(spark, events_stream_dir).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "event_id", "ts")
+    q = streaming_asof_enrich(
+        stream, purch, on="user_id", ts="ts", right_cols=["purchase_value"], sink=sink
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"], r["ts_matched"], r["purchase_value"])
+        for r in asof_join(clicks, purch, on="user_id", ts="ts",
+                           right_cols=["purchase_value"]).collect()
+    )
+    assert sorted(collected) == want
+    assert len(want) > 0
