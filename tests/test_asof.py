@@ -65,3 +65,48 @@ def test_single_shuffle_plan(spark):
     plan = asof_join(left, right, on="k", ts="ts")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # hash partition + union legs
+
+
+def test_fuzz_against_brute_force(spark):
+    """Seeded random frames vs a brute-force Python as-of: latest-prior
+    match, inclusive ties, NULL right values carried from the matched
+    row only, inner and left modes."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        left_rows = [
+            (rng.randint(1, 5), rng.randint(0, 50), i) for i in range(60)
+        ]
+        seen = set()
+        right_rows = []
+        for j in range(40):
+            k, ts = rng.randint(1, 5), rng.randint(0, 50)
+            if (k, ts) in seen:
+                continue  # asof requires unique right (key, ts)
+            seen.add((k, ts))
+            v = None if rng.random() < 0.3 else round(rng.random(), 3)
+            right_rows.append((k, ts, v, j))
+        left = spark.createDataFrame(left_rows, "k long, ts long, lid long")
+        right = spark.createDataFrame(right_rows, "k long, ts long, v double, rid long")
+
+        def brute(how):
+            out = []
+            for k, ts, lid in left_rows:
+                cands = [r for r in right_rows if r[0] == k and r[1] <= ts]
+                if cands:
+                    m = max(cands, key=lambda r: r[1])
+                    out.append((lid, m[1], m[2], m[3]))
+                elif how == "left":
+                    out.append((lid, None, None, None))
+            return sorted(out, key=lambda t: t[0])
+
+        for how in ("inner", "left"):
+            got = sorted(
+                (
+                    (r["lid"], r["ts_matched"], r["v"], r["rid"])
+                    for r in asof_join(left, right, on="k", ts="ts", how=how).collect()
+                ),
+                key=lambda t: t[0],
+            )
+            assert got == brute(how), (seed, how)

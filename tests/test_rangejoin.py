@@ -49,3 +49,31 @@ def test_key_isolation_and_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzz_against_brute_force(spark):
+    """Seeded random points/intervals vs a brute-force Python range
+    join ([start, end) semantics), across bucket widths including ones
+    much smaller and larger than typical interval lengths."""
+    import random
+
+    for seed, width in ((1, 3.0), (7, 10.0), (42, 100.0)):
+        rng = random.Random(seed)
+        points = [
+            (rng.randint(1, 4), round(rng.uniform(0, 100), 2), i) for i in range(80)
+        ]
+        intervals = []
+        for j in range(30):
+            s = round(rng.uniform(0, 100), 2)
+            intervals.append((rng.randint(1, 4), s, round(s + rng.uniform(0, 25), 2), j))
+        want = sorted(
+            (pid, iid)
+            for k, ts, pid in points
+            for ik, s, e, iid in intervals
+            if k == ik and s <= ts < e
+        )
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in _run(spark, points, intervals, width).collect()
+        )
+        assert got == want, (seed, width)
