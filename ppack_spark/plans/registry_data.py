@@ -340,6 +340,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_first",
+    """
+    with h as (
+        select doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as th
+        from documents
+    ),
+    w as (select th, min(doc_id) as keep_id from h group by th)
+    select d.doc_id, d.source
+    from documents d join w on d.doc_id = w.keep_id
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus (operators/dedup.exact_dedup_keep_first):
+    keep the min-id row per content hash via a left-semi join against
+    the winners — partial agg keeps the shuffle O(groups), no window
+    over the full corpus."""
+    from ..operators.dedup import exact_dedup_keep_first
+
+    return exact_dedup_keep_first(t(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+
+
+@query(
     "token_stats",
     """
     select doc_id,
