@@ -23,6 +23,7 @@ __all__ = [
     "read_tsv",
     "tsv_to_partitioned_parquet",
     "read_parquet_glob",
+    "write_bucketed",
     "load_tables",
     "register_views",
 ]
@@ -70,6 +71,36 @@ def tsv_to_partitioned_parquet(
     df = read_tsv(spark, src, schema=schema).select(*columns)
     cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     df.write.mode(mode).partitionBy(*cols).parquet(dest)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int = 32,
+    sort: bool = True,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist ``df`` as a bucketed (and bucket-sorted) catalog table
+    and return the re-read handle.
+
+    This is the co-located-join primitive at 100 TB: two tables
+    bucketed by the same key with the same bucket count join as a
+    SortMergeJoin with NO Exchange on either side (and with
+    ``sort=True`` no per-task Sort beyond the merge) — the shuffle is
+    paid once at write time and amortized over every subsequent join,
+    the standard layout for a fact table joined repeatedly on one key
+    (verified by plan test tests/test_etl.py). Requires
+    ``saveAsTable`` (bucket metadata lives in the catalog); pass
+    ``path`` to make it an external table at a chosen location."""
+    w = df.write.mode(mode).bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return df.sparkSession.table(table)
 
 
 def read_parquet_glob(spark: SparkSession, pattern: str) -> DataFrame:

@@ -80,3 +80,40 @@ def test_default_driver_memory_derivation():
     m = re.fullmatch(r"(\d+)g", mem)
     assert m, mem
     assert 2 <= int(m.group(1)) <= 48
+
+
+def test_bucketed_tables_join_without_exchange(spark, tables, tmp_path):
+    """Two tables bucketed by the join key with equal bucket counts
+    must SortMergeJoin with NO Exchange on either side — the write-once
+    shuffle amortized across every later join. Values must match the
+    plain join."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.sources.etl import write_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cb = write_bucketed(
+            tables["customer"], "t_cust_bucketed", "c_custkey",
+            num_buckets=8, path=str(tmp_path / "cust"),
+        )
+        ob = write_bucketed(
+            tables["orders"], "t_ord_bucketed", "o_custkey",
+            num_buckets=8, path=str(tmp_path / "ord"),
+        )
+        j = cb.join(ob, cb["c_custkey"] == ob["o_custkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        want = (
+            tables["customer"]
+            .join(tables["orders"],
+                  tables["customer"]["c_custkey"] == tables["orders"]["o_custkey"])
+            .count()
+        )
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists t_cust_bucketed")
+        spark.sql("drop table if exists t_ord_bucketed")
