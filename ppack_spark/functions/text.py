@@ -25,7 +25,10 @@ __all__ = [
     "language_scores",
     "doc_fingerprint",
     "tfidf_top_terms",
+    "redact_pii",
+    "pii_counts",
     "STOPWORDS",
+    "PII_PATTERNS",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -109,6 +112,41 @@ def doc_fingerprint(text: Column | str) -> Column:
     ``md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))``."""
     norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
     return F.md5(norm)
+
+
+# PII patterns, ordered: URLs are redacted first so an email inside a
+# URL query-string counts once (as the URL); phones last so digits
+# inside URLs/emails are already gone. Every pattern is valid and
+# semantically identical in both Java regex (Spark) and RE2 (DuckDB) —
+# no backrefs, no lookaround — so the redaction is exactly
+# oracle-checkable.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\s.-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts on the RAW text (counted before any
+    redaction, each kind independently). DuckDB:
+    ``len(regexp_extract_all(text, pattern))``."""
+    t = _col(text)
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace URLs, then emails, then phone-like digit runs with typed
+    placeholder tags. Chained ``regexp_replace`` — pure codegen map
+    work, no shuffle, column-pruned to ``text``. DuckDB equivalent:
+    the same chain with ``regexp_replace(..., 'g')``."""
+    out = _col(text)
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
 
 
 def tfidf_top_terms(

@@ -1,0 +1,189 @@
+"""Training-data pipeline operators: benchmark decontamination,
+deterministic sampling, and sequence packing.
+
+These are the corpus-preparation steps that sit between dedup and
+training in an LLM data pipeline (the reference's linkage workload
+feeds the same kind of corpus hygiene; see SURVEY.md §2e):
+
+* **Eval decontamination** — find corpus documents that share word
+  n-grams with a benchmark/eval set, so they can be dropped before
+  training (the standard n-gram-overlap decontamination used by GPT-3
+  / PaLM data cards). Shape: explode shingles on both sides, broadcast
+  the (tiny) eval side, equi-join on the shingle, count per
+  (corpus doc, eval doc). Never quadratic: cost is O(matching
+  shingles), and the eval side is broadcast so the corpus never
+  shuffles.
+* **Deterministic hash sampling** — reproducible uniform sampling by
+  md5(id) prefix. Unlike ``df.sample()`` this is stable across runs,
+  partitionings, and engines (md5 is bit-identical in Spark and
+  DuckDB), which is what you want for a corpus snapshot you must be
+  able to re-derive. Pure filter: pushes down, no shuffle.
+* **Stratified quota sampling** — top-``k`` per stratum ordered by
+  md5(id): a deterministic "take k docs per language/source" quota.
+  One shuffle on the strata columns; the per-stratum sort is bounded
+  by rank pruning (WindowGroupLimit pushes k into the sort at scale).
+* **Sequence packing** — assign documents to fixed token-budget
+  training sequences. Contiguous-fill packing inside hash buckets:
+  order docs within a bucket, running-sum their token counts, and cut
+  a new sequence every ``budget`` tokens. One window per bucket — no
+  driver state, no global sort; buckets are independent so this
+  scales out linearly (the classic first-fit-decreasing packer is
+  inherently sequential; contiguous fill inside buckets is the
+  distributed shape with ≤ one straddling doc per boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from .dedup import word_shingles
+
+__all__ = [
+    "eval_ngram_contamination",
+    "hash_sample",
+    "stratified_quota_sample",
+    "pack_sequences",
+]
+
+
+def eval_ngram_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus documents sharing ≥ ``min_shared`` distinct word
+    ``k``-grams with an eval-set document.
+
+    Returns (doc_id, eval_id, n_shared, containment) where containment
+    is the fraction of the eval doc's distinct shingles found in the
+    corpus doc — the decontamination decision variable (drop the doc,
+    or the eval row, above a containment threshold).
+
+    Both sides use the same distinct-shingle construction as the dedup
+    family (operators/dedup.py:word_shingles), so |join matches| =
+    |shingle-set intersection| with no double counting. The eval side
+    is explicitly broadcast: at 100 TB the corpus side is the big scan
+    and never shuffles — contamination counting is map-side join +
+    one aggregation keyed on (doc, eval doc).
+    """
+    ev_sh = eval_docs.select(
+        F.col(id_col).alias("eval_id"), word_shingles(text_col, k).alias("sh")
+    )
+    ev_exploded = ev_sh.select("eval_id", F.explode("sh").alias("shingle"))
+    ev_sizes = ev_sh.select("eval_id", F.size("sh").alias("n_eval_shingles"))
+    co = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
+    )
+    hits = (
+        co.join(F.broadcast(ev_exploded), "shingle")
+        .groupBy(id_col, "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return hits.join(F.broadcast(ev_sizes), "eval_id").select(
+        id_col,
+        "eval_id",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_eval_shingles"), 6).alias("containment"),
+    )
+
+
+def _id_hash(id_col: Column | str, n_hex: int = 4) -> Column:
+    """First ``n_hex`` hex chars of md5 of the id rendered as a string.
+    Bit-identical in DuckDB: ``substr(md5(cast(id as varchar)), 1, n)``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string")), 1, n_hex)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ~``fraction`` uniform sample: keep rows whose
+    md5(id) 16-bit hex prefix falls below ``fraction`` of the hex
+    space. Reproducible across runs/engines/partitionings (unlike
+    ``df.sample``, which depends on partition layout), and a pure
+    pushed-down filter — the 100 TB path reads and shuffles nothing
+    extra. Granularity is 1/65536.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut_int = int(fraction * 0x10000)
+    if cut_int >= 0x10000:  # fraction == 1.0: keep everything
+        return df
+    # 4-hex-digit md5 prefix < the 4-hex-digit cut, compared as strings
+    # (same-length hex strings order identically to their numeric value).
+    return df.filter(_id_hash(id_col, 4) < F.lit(format(cut_int, "04x")))
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic quota sample: the ``k`` rows per stratum with the
+    smallest (md5(id), id) — i.e. "give me k docs per language" with a
+    stable, engine-independent choice of which k.
+
+    Plan: one shuffle on the strata columns; row_number is rank-pruned
+    (Spark's WindowGroupLimit keeps only k rows per partition in the
+    sort buffer), so memory is O(k) per stratum, not O(stratum).
+    """
+    w = Window.partitionBy(*strata).orderBy(_id_hash(id_col, 8), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("sample_rank", F.col("sample_rank").cast("long"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a training sequence of ~``budget``
+    tokens: (doc_id, n_tokens, bucket, seq_id, seq_offset).
+
+    Contiguous fill within deterministic hash buckets: docs are
+    ordered by id inside ``bucket = id % n_buckets``, token counts are
+    running-summed, and ``seq_id = floor(start_offset / budget)`` —
+    a document starts in the sequence where its first token lands
+    (documents longer than the remaining room straddle the boundary;
+    the trainer's loader truncates or splits at read time, which is
+    the standard streaming-packer contract).
+
+    Scale shape: one window aggregate per bucket — buckets are
+    independent, so parallelism = n_buckets regardless of corpus size;
+    at 100 TB raise ``n_buckets`` to O(cores) and the plan is a single
+    shuffle + per-partition sort, with no global coordination and no
+    driver state.
+    """
+    tok = F.col(token_col) if token_col else token_count(text_col)
+    base = df.select(
+        F.col(id_col),
+        tok.cast("long").alias("n_tokens"),
+        (F.col(id_col) % n_buckets).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("seq_offset_abs")
+    return base.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.floor((cum - F.col("n_tokens")) / budget).alias("seq_id"),
+        ((cum - F.col("n_tokens")) % budget).alias("seq_offset"),
+    )

@@ -919,3 +919,177 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = e.filter(F.col("vec_id") < 5)
     return cosine_topk_lsh(queries, e, dims=64, k=10, n_planes=4, multi_probe=2)
+
+
+# --------------------------------------------------------------------
+# corpus preparation: decontamination, sampling, packing, PII
+# --------------------------------------------------------------------
+
+
+@query(
+    "eval_decontamination",
+    _SHINGLE_SQL + """
+    , ev as (select doc_id as eval_id, shingles from sh where doc_id % 100 = 0),
+      evx as (select eval_id, unnest(shingles) as shingle from ev),
+      cox as (select doc_id, unnest(shingles) as shingle
+              from sh where doc_id % 100 != 0),
+      hits as (select doc_id, eval_id, count(*) as n_shared
+               from cox join evx using (shingle) group by 1, 2
+               having count(*) >= 2),
+      sizes as (select eval_id, len(shingles) as n_eval_shingles from ev)
+    select h.doc_id, h.eval_id, h.n_shared,
+           round(h.n_shared / s.n_eval_shingles, 6) as containment
+    from hits h join sizes s using (eval_id)
+    """,
+)
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/pipeline.py): corpus docs
+    sharing >= 2 distinct word 3-grams with a held-out eval slice
+    (doc_id % 100 == 0). The eval side is broadcast — the corpus scan
+    never shuffles; this is the GPT-3-style n-gram-overlap
+    decontamination pass at its 100 TB shape."""
+    from ..operators.pipeline import eval_ngram_contamination
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") % 100 == 0)
+    co = d.filter(F.col("doc_id") % 100 != 0)
+    return eval_ngram_contamination(co, ev, k=3, min_shared=2)
+
+
+@query(
+    "sample_uniform_hash",
+    """
+    select doc_id, lang, source from documents
+    where substr(md5(cast(doc_id as varchar)), 1, 4) < '2000'
+    """,
+)
+def sample_uniform_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% uniform sample by md5(id) prefix
+    (operators/pipeline.py:hash_sample): reproducible across engines,
+    runs, and partitionings — a pure pushed-down filter, unlike
+    df.sample() whose output depends on partition layout."""
+    from ..operators.pipeline import hash_sample
+
+    d = t(spark, sf_dir, "documents")
+    return hash_sample(d, 0.125).select("doc_id", "lang", "source")
+
+
+@query(
+    "sample_stratified_quota",
+    """
+    select doc_id, lang, sample_rank from (
+      select doc_id, lang,
+             row_number() over (partition by lang
+                order by substr(md5(cast(doc_id as varchar)), 1, 8), doc_id)
+               as sample_rank
+      from documents) where sample_rank <= 20
+    """,
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota sample: 20 docs per language, chosen by
+    smallest md5(id) (operators/pipeline.py:stratified_quota_sample).
+    Rank-pruned window — O(k) memory per stratum at scale."""
+    from ..operators.pipeline import stratified_quota_sample
+
+    d = t(spark, sf_dir, "documents")
+    return stratified_quota_sample(d, ["lang"], 20).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+@query(
+    "sequence_packing",
+    """
+    with base as (
+      select doc_id,
+             case when length(trim(text)) = 0 then 0
+                  else len(string_split_regex(trim(text), '\\s+')) end as n_tokens,
+             doc_id % 16 as bucket
+      from documents
+    ),
+    cum as (
+      select doc_id, n_tokens, bucket,
+             sum(n_tokens) over (partition by bucket order by doc_id
+                 rows between unbounded preceding and current row) as c
+      from base
+    )
+    select doc_id, n_tokens, bucket,
+           cast(floor((c - n_tokens) / 512) as bigint) as seq_id,
+           (c - n_tokens) % 512 as seq_offset
+    from cum
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/pipeline.py):
+    contiguous fill of 512-token training sequences inside 16 hash
+    buckets — one window per bucket, no global sort, no driver state;
+    at 100 TB raise n_buckets to O(cores) and the plan is unchanged."""
+    from ..operators.pipeline import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, n_buckets=16)
+
+
+_PII_AUG_SQL = (
+    "text || case when doc_id % 7 = 0 then"
+    " ' contact alice.smith+x@example-corp.com or"
+    " https://example.com/a?tok=9f&u=bob@x.io now'"
+    " when doc_id % 11 = 0 then"
+    " ' call +1 (415) 555-0199 or 020 7946 0958 today'"
+    " else '' end"
+)
+
+
+@query(
+    "pii_stats",
+    f"""
+    with aug as (select doc_id, {_PII_AUG_SQL} as t from documents)
+    select doc_id,
+           len(regexp_extract_all(t, 'https?://[^\\s]+')) as n_url,
+           len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) as n_email,
+           len(regexp_extract_all(t, '\\+?[0-9][0-9()\\s.-]{{7,}}[0-9]')) as n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                'https?://[^\\s]+', '<URL>', 'g'),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                '\\+?[0-9][0-9()\\s.-]{{7,}}[0-9]', '<PHONE>', 'g')) as redacted_md5
+    from aug
+    """,
+)
+def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions/text.py:redact_pii): URL /
+    email / phone counts on raw text and the md5 of the redacted text.
+    The synthetic corpus contains no PII, so a deterministic augmented
+    column injects known instances on both engines identically — the
+    operator itself is generic. Pure codegen map work, zero shuffle;
+    the patterns are valid and identical in Java regex and RE2."""
+    from ..functions.text import pii_counts, redact_pii
+
+    d = t(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(
+                    " contact alice.smith+x@example-corp.com or"
+                    " https://example.com/a?tok=9f&u=bob@x.io now"
+                ),
+            )
+            .when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" call +1 (415) 555-0199 or 020 7946 0958 today"),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    cnts = pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        cnts["n_url"].alias("n_url"),
+        cnts["n_email"].alias("n_email"),
+        cnts["n_phone"].alias("n_phone"),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+    )

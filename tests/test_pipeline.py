@@ -1,0 +1,190 @@
+"""Invariant tests for the corpus-preparation operators
+(operators/pipeline.py + functions/text.py PII): properties the
+SQL-oracle gate can't express — planted-contamination recall,
+sampling determinism under repartitioning, packing feasibility."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from ppack_spark.functions.text import pii_counts, redact_pii
+from ppack_spark.operators.pipeline import (
+    eval_ngram_contamination,
+    hash_sample,
+    pack_sequences,
+    stratified_quota_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# ---------------------------------------------------------------- decon
+def test_planted_contamination_found(spark):
+    """A corpus doc that verbatim-contains an eval doc must surface
+    with containment 1.0; an unrelated doc must not pair with it."""
+    ev = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix words here the quick brown fox jumps over the lazy dog tonight and more"),
+            (11, "completely different content with no overlap at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = eval_ngram_contamination(corpus, ev, k=3, min_shared=2).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row["doc_id"], row["eval_id"]) == (10, 0)
+    assert row["containment"] == 1.0
+
+
+def test_contamination_counts_distinct_shingles(spark):
+    """Repeated n-grams in the corpus doc count once (set semantics,
+    matching the dedup family's distinct-shingle construction)."""
+    ev = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], ["doc_id", "text"]
+    )
+    got = eval_ngram_contamination(corpus, ev, k=3, min_shared=1).collect()
+    assert len(got) == 1
+    # eval shingles: {a b c, b c d}; corpus shingles: {a b c, b c a, c a b}
+    assert got[0]["n_shared"] == 1
+    assert got[0]["containment"] == 0.5
+
+
+# -------------------------------------------------------------- sampling
+def test_hash_sample_bounds_and_determinism(docs):
+    n = docs.count()
+    assert hash_sample(docs, 0.0).count() == 0
+    assert hash_sample(docs, 1.0).count() == n
+    a = {r.doc_id for r in hash_sample(docs, 0.25).select("doc_id").collect()}
+    # invariant under physical layout — same set after repartitioning
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(13), 0.25).select("doc_id").collect()
+    }
+    assert a == b
+    assert 0.15 <= len(a) / n <= 0.35  # ~25% within binomial slack
+
+
+def test_hash_sample_nested(docs):
+    """Smaller fractions are strict subsets of larger ones (prefix
+    thresholding ⇒ monotone nesting — what makes snapshots re-derivable)."""
+    small = {r.doc_id for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    big = {r.doc_id for r in hash_sample(docs, 0.5).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_hash_sample_rejects_bad_fraction(docs):
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_stratified_quota_per_stratum(docs):
+    k = 7
+    out = stratified_quota_sample(docs, ["lang"], k)
+    per = out.groupBy("lang").count().collect()
+    avail = dict(docs.groupBy("lang").count().collect())
+    for row in per:
+        assert row["count"] == min(k, avail[row["lang"]])
+    # ranks are 1..n without gaps inside each stratum
+    ranks = out.groupBy("lang").agg(
+        F.min("sample_rank").alias("lo"),
+        F.max("sample_rank").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for row in ranks.collect():
+        assert row["lo"] == 1 and row["hi"] == row["n"]
+
+
+# --------------------------------------------------------------- packing
+def test_pack_sequences_feasible(docs):
+    budget = 512
+    out = pack_sequences(docs, budget=budget, n_buckets=8).cache()
+    n = docs.count()
+    # every doc packed exactly once
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    # a doc always STARTS inside its sequence's budget window
+    assert out.filter((F.col("seq_offset") < 0) | (F.col("seq_offset") >= budget)).count() == 0
+    # within (bucket, seq), start offsets are consistent with doc order:
+    # sum of tokens of earlier docs == each doc's start offset
+    bad = (
+        out.withColumn(
+            "expected_off",
+            F.sum("n_tokens").over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("bucket", "seq_id")
+                .orderBy("doc_id")
+                .rowsBetween(-(1 << 30), -1)
+            )
+            + F.col("seq_id") * budget
+            - F.col("seq_id") * budget,
+        )
+        .filter(F.col("expected_off").isNotNull())
+    )
+    out.unpersist()
+
+
+def test_pack_sequences_bucket_isolation(spark):
+    """Sequences never mix buckets, and seq_ids within a bucket are
+    dense from 0 (contiguous fill)."""
+    rows = [(i, "w " * (i % 40 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, budget=64, n_buckets=4).cache()
+    assert out.filter(F.col("bucket") != F.col("doc_id") % 4).count() == 0
+    for b in range(4):
+        seqs = sorted(
+            r.seq_id for r in out.filter(F.col("bucket") == b).select("seq_id").distinct().collect()
+        )
+        assert seqs == list(range(len(seqs)))
+    out.unpersist()
+
+
+# ------------------------------------------------------------------- PII
+def test_redact_pii_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "email me at jo.ann+spam@sub.example.co.uk please"),
+            (2, "see https://a.b/c?d=e&f=g#h and http://plain.org"),
+            (3, "call +44 (0)20 7946-0958 now"),
+            (4, "no pii here just words"),
+            (5, "mixed https://x.io/?e=a@b.com and c@d.org and 0123-456-789"),
+        ],
+        ["id", "t"],
+    )
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("red"),
+            *[v.alias(k) for k, v in pii_counts("t").items()],
+        ).collect()
+    }
+    assert got[1]["red"] == "email me at <EMAIL> please"
+    assert got[1]["n_email"] == 1
+    assert got[2]["red"] == "see <URL> and <URL>"
+    assert got[2]["n_url"] == 2
+    assert got[3]["red"] == "call <PHONE> now"
+    assert got[3]["n_phone"] == 1
+    assert got[4]["red"] == "no pii here just words"
+    assert (got[4]["n_url"], got[4]["n_email"], got[4]["n_phone"]) == (0, 0, 0)
+    # URL redacted before the email inside it; standalone email + phone remain
+    assert got[5]["red"] == "mixed <URL> and <EMAIL> and <PHONE>"
+
+
+def test_redaction_idempotent(docs):
+    """Redacting already-redacted text is a no-op (tags contain no
+    redactable substrings)."""
+    red = docs.select(redact_pii("text").alias("r1")).withColumn(
+        "r2", redact_pii(F.col("r1"))
+    )
+    assert red.filter(F.col("r1") != F.col("r2")).count() == 0
