@@ -8,12 +8,15 @@ boost threshold 0.7 — the same constants DuckDB uses, verified against
 its output in tests/test_similarity.py.
 
 Inside each Arrow batch the residual (non-null, non-equal, non-empty)
-pairs are scored by a C implementation (rapidfuzz ``cpdist``, else
-jellyfish) when one is importable — but only after it exactly
+pairs are scored by the first fast implementation that exactly
 reproduces the pure-Python reference on a discriminating self-check
-corpus (``_JW_SELFCHECK``); otherwise the exact pure-Python loop runs.
-At 26M+ candidate pairs the C path keeps the JW column from dominating
-the comparison stage.
+corpus (``_JW_SELFCHECK``): rapidfuzz ``cpdist``, else jellyfish, else
+a numpy-vectorized kernel over padded byte matrices
+(``_numpy_jw_batch``) that is always available and bit-identical by
+construction. Each candidate is checked independently, so an
+importable-but-divergent library never masks a later exact one. At
+26M+ candidate pairs the vectorized path keeps the JW column from
+dominating the comparison stage.
 
 UDF placement policy (SURVEY §7 risk register): similarity UDFs run
 strictly *post-blocking* over the candidate pairs — never inside a
@@ -117,43 +120,174 @@ def _pyloop_jw_batch(sub_l: list, sub_r: list) -> list:
     return [jaro_winkler_py(l, r) for l, r in zip(sub_l, sub_r)]
 
 
-def _load_fast_jw_batch():
-    """Return a C-accelerated batch scorer (bytes pairs → list[float])
-    when one is importable AND exactly reproduces ``jaro_winkler_py``
-    on the discriminating self-check corpus; else None. The self-check
-    means an environment with a semantically different rapidfuzz/
-    jellyfish build silently falls back to the exact pure-Python path
-    rather than diverging from the DuckDB oracle."""
-    scorer = None
-    try:
-        from rapidfuzz.distance import JaroWinkler
-        from rapidfuzz.process import cpdist
+# Pairs whose max byte length exceeds this go to the pure-Python loop
+# instead of the vectorized kernel: kernel work grows with the padded
+# width, and comparator columns (names, codes, postcodes) are short.
+_NUMPY_JW_MAXLEN = 64
 
-        def scorer(sub_l, sub_r):  # noqa: F811
-            return cpdist(sub_l, sub_r, scorer=JaroWinkler.similarity).tolist()
 
-    except ImportError:
+def _numpy_jw_kernel(L, R, len1, len2) -> np.ndarray:
+    """Vectorized Jaro-Winkler over padded byte matrices.
+
+    ``L``/``R`` are (n, m) int16 matrices padded with -1 / -2 (distinct
+    pad values so a pad never equals a real byte or the other side's
+    pad). All arithmetic replays ``jaro_winkler_py`` in float64 with the
+    same expression order, so results are bit-identical.
+
+    The greedy match scan is sequential per pair but vectorizes across
+    the batch: the (i, j) position loops run at most
+    m1 × (2·max_window+1) numpy passes over the whole batch — for
+    10-byte names that is ~100 vectorized ops per batch instead of
+    ~n×100 interpreted steps.
+    """
+    n, m1 = L.shape
+    m2 = R.shape[1]
+    window = np.maximum(np.maximum(len1, len2) // 2 - 1, 0)
+    wmax = int(window.max()) if n else 0
+    # uniform-length bucket (e.g. fixed-width codes, same-length names):
+    # the window bounds are scalars, saving two masks per (i, j) pass
+    uniform = n > 0 and window[0] == wmax and int(window.min()) == wmax \
+        and int(len2.min()) == int(len2.max())
+    flags1 = np.zeros((n, m1), dtype=bool)
+    flags2 = np.zeros((n, m2), dtype=bool)
+    for i in range(m1):
+        li = L[:, i]
+        if uniform:
+            jlo, jhi = max(0, i - wmax), min(int(len2[0]), i + wmax + 1)
+            lo = hi = None
+        else:
+            lo = np.maximum(0, i - window)
+            hi = np.minimum(len2, i + window + 1)
+            jlo, jhi = max(0, i - wmax), min(m2, i + wmax + 1)
+        found = np.zeros(n, dtype=bool)
+        for j in range(jlo, jhi):
+            cand = R[:, j] == li
+            cand &= ~flags2[:, j]
+            cand &= ~found
+            if not uniform:
+                cand &= j >= lo
+                cand &= j < hi
+            if not cand.any():
+                continue
+            flags1[cand, i] = True
+            flags2[cand, j] = True
+            found |= cand
+    matches = flags1.sum(axis=1)
+    # transpositions: scatter matched chars by match rank, compare ranks
+    max_m = int(matches.max()) if n else 0
+    A = np.full((n, max_m), -1, dtype=np.int16)
+    B = np.full((n, max_m), -3, dtype=np.int16)
+    rows1, cols1 = np.nonzero(flags1)
+    A[rows1, (np.cumsum(flags1, axis=1) - 1)[rows1, cols1]] = L[rows1, cols1]
+    rows2, cols2 = np.nonzero(flags2)
+    B[rows2, (np.cumsum(flags2, axis=1) - 1)[rows2, cols2]] = R[rows2, cols2]
+    t = (((A != B) & (A != -1)).sum(axis=1) // 2).astype(np.float64)
+    m = matches.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / len1 + m / len2 + (m - t) / m) / 3.0
+    jaro = np.where(matches == 0, 0.0, jaro)
+    # Winkler boost above 0.7: common prefix capped at 4 (pads mismatch
+    # automatically beyond each string's length)
+    prefix = np.zeros(n, dtype=np.float64)
+    still = np.ones(n, dtype=bool)
+    for k in range(min(4, m1, m2)):
+        still = still & (L[:, k] == R[:, k])
+        prefix += still
+    return np.where(jaro > 0.7, jaro + prefix * 0.1 * (1.0 - jaro), jaro)
+
+
+def _numpy_jw_batch(sub_l: list, sub_r: list) -> list:
+    """Vectorized batch JW (bytes pairs → list[float]) — the
+    always-available fast path when no exact C library is installed.
+    Pairs are bucketed by max byte length (≤8/16/32/64) to bound
+    padding waste; longer pairs fall back to the pure-Python loop."""
+    n = len(sub_l)
+    if n == 0:
+        return []
+    out = np.empty(n, dtype=np.float64)
+    len1 = np.fromiter(map(len, sub_l), dtype=np.int64, count=n)
+    len2 = np.fromiter(map(len, sub_r), dtype=np.int64, count=n)
+    mx = np.maximum(len1, len2)
+    big = np.nonzero(mx > _NUMPY_JW_MAXLEN)[0]
+    for i in big:
+        out[i] = jaro_winkler_py(sub_l[i], sub_r[i])
+    prev_cap = 0
+    for cap in (8, 16, 32, _NUMPY_JW_MAXLEN):
+        sel = np.nonzero((mx > prev_cap) & (mx <= cap))[0]
+        prev_cap = cap
+        if sel.size == 0:
+            continue
+        whole = sel.size == n
+        l1, l2 = len1[sel], len2[sel]
+        m1, m2 = int(l1.max()), int(l2.max())
+        lbytes = sub_l if whole else [sub_l[i] for i in sel.tolist()]
+        rbytes = sub_r if whole else [sub_r[i] for i in sel.tolist()]
+        # row-major boolean fill: flattened bytes land exactly at the
+        # valid (row, col) positions of the padded matrix
+        L = np.full((sel.size, m1), -1, dtype=np.int16)
+        L[np.arange(m1) < l1[:, None]] = np.frombuffer(
+            b"".join(lbytes), dtype=np.uint8
+        )
+        R = np.full((sel.size, m2), -2, dtype=np.int16)
+        R[np.arange(m2) < l2[:, None]] = np.frombuffer(
+            b"".join(rbytes), dtype=np.uint8
+        )
+        scores = _numpy_jw_kernel(L, R, l1.astype(np.float64), l2.astype(np.float64))
+        if whole:
+            return scores.tolist()
+        out[sel] = scores
+    return out.tolist()
+
+
+def _rapidfuzz_scorer():
+    from rapidfuzz.distance import JaroWinkler
+    from rapidfuzz.process import cpdist
+
+    def scorer(sub_l, sub_r):
         try:
-            import jellyfish
+            out = cpdist(sub_l, sub_r, scorer=JaroWinkler.similarity, dtype=np.float64)
+        except TypeError:  # older rapidfuzz without dtype kwarg
+            out = cpdist(sub_l, sub_r, scorer=JaroWinkler.similarity)
+        return np.asarray(out, dtype=np.float64).tolist()
 
-            def scorer(sub_l, sub_r):
-                return [
-                    jellyfish.jaro_winkler_similarity(l.decode("latin-1"), r.decode("latin-1"))
-                    for l, r in zip(sub_l, sub_r)
-                ]
+    return scorer
 
-        except ImportError:
-            return None
+
+def _jellyfish_scorer():
+    import jellyfish
+
+    def scorer(sub_l, sub_r):
+        return [
+            jellyfish.jaro_winkler_similarity(l.decode("latin-1"), r.decode("latin-1"))
+            for l, r in zip(sub_l, sub_r)
+        ]
+
+    return scorer
+
+
+def _load_fast_jw_batch():
+    """Return the first batch scorer (bytes pairs → list[float]) that
+    exactly reproduces ``jaro_winkler_py`` on the discriminating
+    self-check corpus. Candidates are tried INDEPENDENTLY in order —
+    rapidfuzz, jellyfish, then the numpy kernel — so an importable but
+    semantically divergent library (e.g. a rapidfuzz build that skips
+    the 0.7 boost threshold, or returns float32) is rejected without
+    masking a later exact candidate. The numpy kernel is deterministic
+    float64 replaying the reference expression order, so in practice
+    this never returns None; the gate still protects against a numpy
+    regression by falling back to the pure loop."""
     check_l = [a.encode("utf-8") for a, _ in _JW_SELFCHECK]
     check_r = [b.encode("utf-8") for _, b in _JW_SELFCHECK]
     want = _pyloop_jw_batch(check_l, check_r)
-    try:
-        got = scorer(check_l, check_r)
-    except Exception:
-        return None
-    if any(abs(g - w) > 1e-12 for g, w in zip(got, want)):
-        return None
-    return scorer
+    for factory in (_rapidfuzz_scorer, _jellyfish_scorer, lambda: _numpy_jw_batch):
+        try:
+            scorer = factory()
+            got = scorer(check_l, check_r)
+        except Exception:
+            continue
+        if all(abs(g - w) <= 1e-12 for g, w in zip(got, want)):
+            return scorer
+    return None
 
 
 _FAST_JW_BATCH: list = []  # lazy one-element cache (None = checked, absent)

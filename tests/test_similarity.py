@@ -129,7 +129,9 @@ def test_jw_fast_path_self_check_rejects_divergent_scorer(monkeypatch):
     monkeypatch.setitem(sys.modules, "rapidfuzz", root_mod)
     monkeypatch.setitem(sys.modules, "rapidfuzz.distance", dist_mod)
     monkeypatch.setitem(sys.modules, "rapidfuzz.process", proc_mod)
-    assert sim._load_fast_jw_batch() is None  # divergent → rejected
+    # divergent rapidfuzz → rejected, but it must NOT mask the later
+    # exact candidates: the dispatcher falls through to the numpy kernel
+    assert sim._load_fast_jw_batch() is sim._numpy_jw_batch
 
     class ExactJW:
         @staticmethod
@@ -137,14 +139,40 @@ def test_jw_fast_path_self_check_rejects_divergent_scorer(monkeypatch):
             return sim.jaro_winkler_py(a, b)
 
     dist_mod.JaroWinkler = ExactJW
-    assert sim._load_fast_jw_batch() is not None  # exact → accepted
+    picked = sim._load_fast_jw_batch()
+    assert picked is not None
+    assert picked is not sim._numpy_jw_batch  # exact rapidfuzz wins
+
+
+def test_numpy_jw_batch_matches_pure_python_fuzz():
+    """The vectorized numpy kernel must be bit-identical to the pure
+    loop on adversarial byte pairs: empties, equals, multi-byte UTF-8,
+    long strings crossing the kernel's length-fallback boundary, and
+    every bucket size class."""
+    import numpy as np
+
+    from ppack_spark.similarity import _numpy_jw_batch, _pyloop_jw_batch
+
+    rng = np.random.default_rng(7)
+    alphabet = b"abcdefgh \xc3\xa9\xf0\x9f\x99\x82"
+    pool = [
+        bytes(rng.choice(list(alphabet), size=int(n)))
+        for n in rng.integers(1, 100, size=400)
+    ] + [b"a", b"ab", b"martha", b"marhta", b"x" * 64, b"x" * 65, b"y" * 200]
+    pairs = [
+        (pool[int(i)], pool[int(j)])
+        for i, j in rng.integers(0, len(pool), size=(3000, 2))
+    ] + [(b"same", b"same"), (b"x" * 64, b"x" * 63 + b"z")]
+    got = _numpy_jw_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    want = _pyloop_jw_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    assert got == want  # exact equality, not approx
 
 
 def test_jw_fast_path_microbench():
-    """When a verified C scorer is present, it must beat the pure-
+    """The selected fast scorer (the numpy kernel in this container;
+    rapidfuzz/jellyfish where installed and exact) must beat the pure-
     Python loop by ≥5× on a 200k-pair microbench (the 26M-pair JW
-    column budget at scale). Skipped where no C lib is installed —
-    the dispatcher then runs the exact reference implementation."""
+    column budget at scale)."""
     import time
 
     import numpy as np
@@ -152,19 +180,27 @@ def test_jw_fast_path_microbench():
     import ppack_spark.similarity as sim
 
     fast = sim._load_fast_jw_batch()
-    if fast is None:
-        pytest.skip("no verified C JW implementation in this environment")
+    assert fast is not None  # the numpy kernel is always available
     rng = np.random.default_rng(0)
     alphabet = np.array(list("abcdefghijklmnop"))
     names = ["".join(rng.choice(alphabet, size=10)) for _ in range(2000)]
     sub_l = [names[i % 2000].encode() for i in range(200_000)]
     sub_r = [names[(i * 7 + 3) % 2000].encode() for i in range(200_000)]
-    t0 = time.perf_counter()
-    fast(sub_l, sub_r)
-    t_fast = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sim._pyloop_jw_batch(sub_l[:20_000], sub_r[:20_000])
-    t_py = (time.perf_counter() - t0) * 10  # scaled to 200k
+    fast(sub_l[:20_000], sub_r[:20_000])  # warm allocators/caches once —
+    # a worker scores thousands of Arrow batches, so steady-state is
+    # what the 26M-pair budget actually sees
+
+    def best_of(fn, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_fast = best_of(lambda: fast(sub_l, sub_r))
+    # pure loop timed on 10% and scaled — it is the slow side
+    t_py = best_of(lambda: sim._pyloop_jw_batch(sub_l[:20_000], sub_r[:20_000])) * 10
     assert t_py / t_fast >= 5.0
 
 
