@@ -271,11 +271,16 @@ def simhash_df(
     interprets expression-node-by-node (~50× slower at sf0.1). The
     groupBy shuffles one ``bits``-wide partial-agg row per document
     per map partition — O(docs), not O(tokens).
+
+    NULL ``text_col`` rows are KEPT with a NULL ``simhash``
+    (explode_outer) — a NULL fingerprint fails equi-joins and the
+    Hamming predicate alike, so such docs can't false-pair downstream;
+    a plain explode would silently drop them from the output entirely.
     """
     toks = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        F.explode(
+        F.explode_outer(
             F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         ).alias("_tok"),
     )
@@ -292,9 +297,12 @@ def simhash_df(
     )
     votes = [
         F.sum(
-            F.when(
-                F.col("_hv").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1
-            ).otherwise(-1)
+            # NULL _hv (the explode_outer row of a NULL text) must not
+            # fall into otherwise(-1) — keep it NULL so the group sum
+            # is NULL and the fingerprint surfaces as NULL below
+            F.when(F.col("_hv").isNull(), F.lit(None))
+            .when(F.col("_hv").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1)
+            .otherwise(-1)
         ).alias(f"_v{b}")
         for b in range(bits)
     ]
@@ -304,6 +312,9 @@ def simhash_df(
         fp = fp + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
+    # all votes are NULL together exactly when the doc had NULL text
+    # (sum over the single NULL-hash row): surface that as NULL simhash
+    fp = F.when(F.col("_v0").isNull(), F.lit(None).cast("long")).otherwise(fp)
     return agg.select(F.col(id_col), *[F.col(c) for c in carry_cols], fp.alias("simhash"))
 
 

@@ -168,10 +168,20 @@ def pack_sequences(
     driver state.
     """
     tok = F.col(token_col) if token_col else token_count(text_col)
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type in ("byte", "short", "integer", "long"):
+        # numeric ids: plain modulo — engine-independent, so the DuckDB
+        # oracle replays it bit-for-bit
+        bucket = (F.col(id_col) % n_buckets).cast("long")
+    else:
+        # string/any ids: modulo would yield NULL and silently funnel
+        # the whole corpus into one bucket; hash-bucket instead
+        # (deterministic, but Spark-specific — not oracle-replayable)
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
     base = df.select(
         F.col(id_col),
         tok.cast("long").alias("n_tokens"),
-        (F.col(id_col) % n_buckets).alias("bucket"),
+        bucket.alias("bucket"),
     )
     w = (
         Window.partitionBy("bucket")
@@ -179,7 +189,6 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).alias("seq_offset_abs")
     return base.select(
         id_col,
         "n_tokens",

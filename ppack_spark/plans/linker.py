@@ -107,8 +107,11 @@ class Linker:
         w = Window.partitionBy("__part").orderBy(F.col(unique_id))
         local = part.withColumn("__local", F.row_number().over(w) - 1)
         # Pin partition assignment: __part feeds both the offset count
-        # job and the final join, and must agree between the two.
-        local = local.persist()
+        # job and the final join, and must agree between the two. Eager
+        # localCheckpoint (not persist) so the pinned copy is released
+        # by the ContextCleaner when unreferenced — persist() entries
+        # stay in the cache registry for the session lifetime.
+        local = local.localCheckpoint(eager=True)
         counts = {
             r["__part"]: r["n"]
             for r in local.groupBy("__part").agg(F.count(F.lit(1)).alias("n")).collect()

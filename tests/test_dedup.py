@@ -1,0 +1,50 @@
+"""Dedup-operator edge semantics the SQL-oracle gate can't reach
+(the parquet fixtures contain no NULL text)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ppack_spark.operators.dedup import simhash_df, simhash_pairs
+
+
+def test_simhash_keeps_null_text_rows(spark):
+    """NULL-text docs must be retained with a NULL fingerprint — the
+    pre-rewrite column expression kept them; the explode-based plan
+    must not silently drop them."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash_df(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] is None
+    assert out[1] is not None and out[1] == out[3]
+
+
+def test_simhash_null_text_never_pairs(spark):
+    """Two NULL-text docs share a NULL fingerprint but must NOT pair:
+    NULL Hamming distance fails the predicate."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a b c d e"), (4, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_left"], r["id_right"])
+        for r in simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert got == {(3, 4)}
+
+
+def test_simhash_carry_cols_with_nulls(spark):
+    """carry_cols survive the aggregation for NULL-text rows too."""
+    df = spark.createDataFrame(
+        [(1, "x y", "a"), (2, None, "b")],
+        "doc_id long, text string, blk string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in simhash_df(df, carry_cols=("blk",)).collect()
+    }
+    assert rows[1]["blk"] == "a" and rows[1]["simhash"] is not None
+    assert rows[2]["blk"] == "b" and rows[2]["simhash"] is None

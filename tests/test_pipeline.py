@@ -115,22 +115,39 @@ def test_pack_sequences_feasible(docs):
     assert out.select("doc_id").distinct().count() == n
     # a doc always STARTS inside its sequence's budget window
     assert out.filter((F.col("seq_offset") < 0) | (F.col("seq_offset") >= budget)).count() == 0
-    # within (bucket, seq), start offsets are consistent with doc order:
-    # sum of tokens of earlier docs == each doc's start offset
-    bad = (
-        out.withColumn(
-            "expected_off",
-            F.sum("n_tokens").over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("bucket", "seq_id")
-                .orderBy("doc_id")
-                .rowsBetween(-(1 << 30), -1)
-            )
-            + F.col("seq_id") * budget
-            - F.col("seq_id") * budget,
-        )
-        .filter(F.col("expected_off").isNotNull())
+    # start offsets are consistent with doc order: each doc's absolute
+    # start offset equals the sum of earlier docs' tokens in its bucket,
+    # and (seq_id, seq_offset) is exactly its (quotient, remainder)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    bad = out.withColumn(
+        "expected_abs", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).filter(
+        F.col("expected_abs") != F.col("seq_id") * budget + F.col("seq_offset")
+    )
+    assert bad.count() == 0
+    out.unpersist()
+
+
+def test_pack_sequences_string_ids(spark):
+    """Non-numeric ids hash-bucket (pmod(xxhash64)) instead of the
+    numeric modulo, which would yield NULL and funnel the whole corpus
+    into one bucket."""
+    rows = [(f"doc-{i:04d}", "w " * 10) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, budget=64, n_buckets=8).cache()
+    assert out.count() == 100
+    assert out.filter(F.col("bucket").isNull()).count() == 0
+    assert out.select("bucket").distinct().count() > 1
+    # offsets remain quotient/remainder-consistent in every bucket
+    assert out.filter(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= 64)
+    ).count() == 0
     out.unpersist()
 
 
