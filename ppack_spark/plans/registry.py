@@ -533,6 +533,44 @@ def threshold_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "threshold_topk",
+    _CMP_SQL + f"""
+    , scored as (
+      select c_custkey_left, c_custkey_right,
+             round({_WEIGHT_SQL}, 6) as weight
+      from cmp where round({_WEIGHT_SQL}, 6) > 1.5
+    )
+    select * from (
+      select c_custkey_left, c_custkey_right, weight,
+             row_number() over (partition by c_custkey_left
+                 order by weight desc, c_custkey_right) as match_rank
+      from scored
+    ) where match_rank <= 3
+    """,
+)
+def threshold_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scoring.threshold_and_rank(top_k=, per=): best-3 candidates per
+    left record above the threshold — the rank-pruned review contract.
+    WindowGroupLimit keeps only k rows per group in the sort buffer
+    (plan-asserted in tests/test_plans.py), so this replaces the full
+    O(pairs) distributed sort of `threshold_rank` whenever the consumer
+    wants top candidates rather than a total order. Ranked on the
+    ROUNDED weight with an id tie-break so the surviving rows are
+    engine-independent."""
+    from ..scoring import threshold_and_rank
+
+    cmp = _comparisons(spark, sf_dir)
+    scored = cmp.withColumn("weight", F.round(match_weight_column(M_PROBS, U_PROBS), 6))
+    return threshold_and_rank(
+        scored,
+        threshold=1.5,
+        top_k=3,
+        per="c_custkey_left",
+        tie_breakers=("c_custkey_right",),
+    ).select("c_custkey_left", "c_custkey_right", "weight", "match_rank")
+
+
+@query(
     "posterior_probability",
     _CMP_SQL + f"""
     , scored as (

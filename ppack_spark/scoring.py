@@ -8,7 +8,9 @@ speed over however many pairs exist.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .em import FSParams
@@ -37,9 +39,49 @@ def posterior_probability(scored: DataFrame, params: FSParams) -> DataFrame:
     return scored.withColumn("match_probability", odds / (odds + F.lit(1.0)))
 
 
-def threshold_and_rank(scored: DataFrame, threshold: float = 5.0) -> DataFrame:
-    """weight > τ, ranked best-first (scratch.R:130,134; τ=5 ≈ 148:1 LR)."""
-    return scored.filter(F.col("weight") > threshold).orderBy(F.desc("weight"))
+def threshold_and_rank(
+    scored: DataFrame,
+    threshold: float = 5.0,
+    top_k: int | None = None,
+    per: str | Sequence[str] | None = None,
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """weight > τ, ranked best-first (scratch.R:130,134; τ=5 ≈ 148:1 LR).
+
+    Three contracts, cheapest-first at scale:
+
+    * ``top_k`` with ``per=<col(s)>`` — best ``k`` candidates per group
+      (e.g. per left record), with a ``match_rank`` column. Rank-pruned
+      window: Spark's WindowGroupLimit keeps only ``k`` rows per group
+      in the sort buffer, so no partition ever sorts more than it
+      keeps. This is the "top candidates for review" contract and the
+      100 TB default.
+    * ``top_k`` with ``per=None`` — global best ``k``: TakeOrderedAndProject
+      (per-partition O(n·log k) heap + driver merge of k·partitions
+      rows), no full shuffle-sort.
+    * ``top_k=None`` — the reference's full ranked output
+      (``arrange(desc(weight))``, scratch.R:134). Executes as a
+      range-partitioned distributed sort: it scales out, but the full
+      order over O(pairs) is the most expensive stage in the linkage
+      chain — prefer a ``top_k`` contract when the consumer allows.
+
+    ``tie_breakers`` makes the order (and therefore which rows survive
+    a ``top_k`` cut) deterministic when weights tie — pass the pair id
+    columns for engine-independent output.
+    """
+    out = scored.filter(F.col("weight") > threshold)
+    order = [F.desc("weight"), *[F.asc(c) for c in tie_breakers]]
+    if top_k is None:
+        return out.orderBy(*order)
+    if per is None:
+        return out.orderBy(*order).limit(top_k)
+    per_cols = [per] if isinstance(per, str) else list(per)
+    w = Window.partitionBy(*per_cols).orderBy(*order)
+    return (
+        out.withColumn("match_rank", F.row_number().over(w))
+        .filter(F.col("match_rank") <= top_k)
+        .withColumn("match_rank", F.col("match_rank").cast("long"))
+    )
 
 
 def label_with_truth(

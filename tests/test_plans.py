@@ -98,6 +98,29 @@ def test_synthetic_ids_fully_parallel_and_contiguous(spark, tables):
     assert (stats["lo"], stats["hi"], stats["nd"], stats["n"]) == (0, n - 1, n, n)
 
 
+def test_threshold_topk_is_rank_pruned(spark, tables, queries):
+    """The per-group top-k scoring contract must rank-prune: Spark's
+    WindowGroupLimit keeps only k rows per group in the sort buffer
+    instead of fully sorting each group (the reason this variant
+    replaces the global O(pairs) sort at scale)."""
+    plan = _plan(queries["threshold_topk"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_threshold_global_topk_is_take_ordered(spark, tables):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge), not a full distributed sort."""
+    from ppack_spark.scoring import threshold_and_rank
+
+    scored = tables["customer"].select(
+        F.col("c_custkey"), F.col("c_acctbal").cast("double").alias("weight")
+    )
+    out = threshold_and_rank(scored, threshold=0.0, top_k=10,
+                             tie_breakers=("c_custkey",))
+    assert "TakeOrderedAndProject" in _plan(out)
+
+
 def test_exact_dedup_has_partial_aggregation(spark, tables, queries):
     """Map-side partial agg must collapse duplicates before the
     shuffle (two HashAggregate phases around one Exchange)."""
