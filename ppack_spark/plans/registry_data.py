@@ -34,6 +34,15 @@ from .registry import query, t
 # --------------------------------------------------------------------
 
 
+def _epoch_s(c: F.Column) -> F.Column:
+    """Epoch seconds for either timestamp flavor. Parquet `timestamp[us]`
+    without a zone arrives as TIMESTAMP_NTZ, which Spark refuses to cast
+    to BIGINT directly; routing through TIMESTAMP_LTZ under the fixed
+    UTC session zone (session.py) gives the same instant DuckDB's
+    `epoch()` assigns a naive timestamp. A no-op for LTZ input."""
+    return c.cast("timestamp_ltz").cast("long")
+
+
 @query(
     "events_window_agg",
     """
@@ -91,7 +100,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py)."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    gap = _epoch_s(F.col("ts")) - _epoch_s(F.lag(F.col("ts")).over(w))
     flagged = e.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
@@ -219,13 +228,13 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),
-        F.col("ts").cast("long").alias("ts_s"),
+        _epoch_s(F.col("ts")).alias("ts_s"),
     )
     purch = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("purchase_id"),
-        F.col("ts").cast("long").alias("start_s"),
-        (F.col("ts").cast("long") + 1800).alias("end_s"),
+        _epoch_s(F.col("ts")).alias("start_s"),
+        (_epoch_s(F.col("ts")) + 1800).alias("end_s"),
     )
     out = range_join_bucketed(
         clicks, purch, on="user_id", ts="ts_s", start="start_s", end="end_s",
@@ -251,7 +260,7 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(groups), not O(rows)."""
     e = t(spark, sf_dir, "events")
     return (
-        e.rollup(F.date_trunc("day", "ts").cast("long").alias("day_s"), "event_type")
+        e.rollup(_epoch_s(F.date_trunc("day", "ts")).alias("day_s"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 6).alias("sum_value"),
@@ -296,8 +305,8 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "event_id",
-        F.col("ts").cast("long").alias("click_ts_s"),
-        F.col("ts_matched").cast("long").alias("purchase_ts_s"),
+        _epoch_s(F.col("ts")).alias("click_ts_s"),
+        _epoch_s(F.col("ts_matched")).alias("purchase_ts_s"),
         F.round("purchase_value", 6).alias("purchase_value"),
     )
 

@@ -43,12 +43,14 @@ __all__ = [
     "run_to_memory",
 ]
 
-# Raw parquet schema of the events fixture (ts is TIMESTAMP(NANOS),
-# surfaced as bigint under spark.sql.legacy.parquet.nanosAsLong).
+# Nominal schema of the events fixture with a microsecond ts — kept as
+# the documented shape; `read_events_stream` sniffs the actual on-disk
+# schema because the fixture has shipped ts as both TIMESTAMP(MICROS)
+# and TIMESTAMP(NANOS)-as-bigint (`spark.sql.legacy.parquet.nanosAsLong`).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -58,17 +60,27 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events parquet, with the same
-    nanos→microsecond timestamp normalization as the batch loader
-    (sources/etl.py), so batch and stream plans see identical types."""
+    """File-source stream over the events parquet, normalized with the
+    same conditional nanos→microsecond rule as the batch loader
+    (sources/etl.py:_normalize_nanos), so batch and stream plans see
+    identical types. The schema is sniffed from the already-present
+    static files (a driver-only footer read; file streams require a
+    declared schema and the fixture's ts physical type has varied)."""
+    from ..sources.etl import _normalize_nanos
+
+    schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    out = _normalize_nanos(raw)
+    # Watermarks demand TIMESTAMP_LTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]);
+    # under the fixed UTC session zone (session.py) this cast maps a naive
+    # fixture timestamp to the same instant the batch oracle assigns it.
+    if dict(out.dtypes).get("ts") == "timestamp_ntz":
+        out = out.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return out
 
 
 def streaming_window_agg(

@@ -163,9 +163,7 @@ def test_streaming_asof_enrich_batch_parity(spark, tables, events_stream_dir):
     from ppack_spark.operators.asof import asof_join
     from ppack_spark.streaming import read_events_stream, streaming_asof_enrich
 
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    events = tables["events"]
     purch = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
