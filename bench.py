@@ -66,6 +66,13 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "embedding_near_dup",
+    "threshold_topk",
+    "eval_decontamination",
+    "dedup_keep_first",
+    "sample_uniform_hash",
+    "sample_stratified_quota",
+    "sequence_packing",
+    "pii_stats",
 ]
 
 

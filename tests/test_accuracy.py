@@ -152,6 +152,93 @@ def test_cluster_recovers_partition(fitted_linker, fixture_df):
     assert both / same_entity >= 0.90
 
 
+# --- two-dataset (A×B) linkage with OVERLAPPING id domains -----------
+#
+# Dataset A holds the clean record of each entity with rec_id = e.
+# Dataset B holds two dirty copies per entity whose rec_ids are chosen
+# to COLLIDE with A's domain for different entities: B's copy-1 of
+# entity e carries rec_id (e+7) % N — so A's record v and B's record v
+# are ALWAYS distinct entities. Untagged connected components would
+# merge every such pair (the r2 ADVICE conflation bug); cluster_links'
+# source-tagged nodes must keep them apart while still linking the
+# true (A-entity, B-copy) pairs.
+
+
+def _ab_fixture_rows():
+    a_rows, b_rows = [], []
+    for e in range(N_ENTITIES):
+        base = _surname(e)
+        a_rows.append((e, e, base, f"city{e % 7}", f"cat{e % 5}", 1000.0 * e))
+        for c in (1, 2):
+            rid = (e + 7) % N_ENTITIES if c == 1 else N_ENTITIES + e
+            b_rows.append(
+                (rid, e, _dirty(base, c, e), f"city{e % 7}", f"cat{e % 5}",
+                 1000.0 * e + 30.0 * c)
+            )
+    return a_rows, b_rows
+
+
+@pytest.fixture(scope="module")
+def fitted_ab_linker(spark):
+    a_rows, b_rows = _ab_fixture_rows()
+    schema = "rec_id long, entity long, name string, city string, cat string, balance double"
+    data_a = spark.createDataFrame(a_rows, schema)
+    data_b = spark.createDataFrame(b_rows, schema)
+    bal_diff = F.abs(F.col("balance_left") - F.col("balance_right"))
+    spec = pp.LinkerSpec(
+        unique_id_left="rec_id",
+        unique_id_right="rec_id",
+        blocking_rules=[
+            pp.BlockingRule.on("city"),
+            pp.BlockingRule.where(
+                F.substring("name_left", 1, 10) == F.substring("name_right", 1, 10)
+            ),
+        ],
+        comparisons=[
+            pp.Comparison.levenshtein("name"),
+            pp.Comparison.exact("cat"),
+            pp.Comparison.buckets(
+                "balance",
+                bal_diff,
+                [(bal_diff < 100, "close"), (bal_diff < 1000, "near")],
+                "far",
+            ),
+        ],
+    )
+    linker = pp.Linker(spark, data_a, data_b, spec)
+    linker.estimate(maxiter=25, u_sample_size=4000, seed=11, lambda_init=0.05)
+    return linker
+
+
+def test_ab_linkage_precision_and_recall(fitted_ab_linker):
+    """Cross-dataset pair quality: clusters from cluster_links joined
+    a-side × b-side must recover the true (A-entity, B-copy) pairs."""
+    out = fitted_ab_linker.cluster_links(threshold=5.0)
+    a = {r["rec_id"]: r["cluster_id"] for r in out.filter(F.col("source") == "a").collect()}
+    b = {r["rec_id"]: r["cluster_id"] for r in out.filter(F.col("source") == "b").collect()}
+    a_rows, b_rows = _ab_fixture_rows()
+    assert len(a) == len(a_rows) and len(b) == len(b_rows)  # every record covered
+    pred = {(ra, rb) for ra, ca in a.items() for rb, cb in b.items() if ca == cb}
+    truth = {(e, rb) for rb, e, *_ in b_rows}
+    assert pred, "no cross-dataset links — estimation collapsed"
+    tp = len(pred & truth)
+    assert tp / len(pred) >= 0.95, (tp, len(pred))
+    assert tp / len(truth) >= 0.90, (tp, len(truth))
+
+
+def test_ab_linkage_no_id_conflation(fitted_ab_linker):
+    """Every id value v shared by both datasets names DIFFERENT
+    entities by construction — A's v and B's v must never share a
+    cluster (the exact failure mode of untagged components)."""
+    out = fitted_ab_linker.cluster_links(threshold=5.0)
+    a = {r["rec_id"]: r["cluster_id"] for r in out.filter(F.col("source") == "a").collect()}
+    b = {r["rec_id"]: r["cluster_id"] for r in out.filter(F.col("source") == "b").collect()}
+    shared = set(a) & set(b)
+    assert len(shared) == N_ENTITIES  # B's copy-1 ids blanket A's domain
+    conflated = [v for v in shared if a[v] == b[v]]
+    assert conflated == []
+
+
 def test_em_learned_informative_params(fitted_linker):
     """The EM must land on the informative fixed point: m(full/strong
     agreement) ≫ u, positive weights for agreement levels, λ near the
