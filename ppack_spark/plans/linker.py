@@ -206,7 +206,23 @@ class Linker:
         return scored
 
     # --- cluster resolution -------------------------------------------
-    def cluster(self, threshold: float = 5.0) -> DataFrame:
+    @staticmethod
+    def _cc(algorithm: str):
+        """Pick the components kernel. ``label`` (default): min-label
+        propagation — O(diameter) rounds, cheapest per round; right for
+        linkage graphs, whose components are entity-sized and shallow.
+        ``star``: alternating large-star/small-star (Kiveris SoCC'14) —
+        O(log n) rounds independent of diameter; the swap-in when the
+        edge set is huge or adversarially chained (both kernels are
+        gated to the same recursive-CTE oracle: `dedup_clusters` /
+        `dedup_clusters_star`)."""
+        from ..operators.cluster import connected_components, connected_components_star
+
+        if algorithm not in ("label", "star"):
+            raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
+        return connected_components if algorithm == "label" else connected_components_star
+
+    def cluster(self, threshold: float = 5.0, algorithm: str = "label") -> DataFrame:
         """Resolve pairs with weight > ``threshold`` into entity
         clusters (connected components; the post-linkage step the
         reference leaves to its ground-truth ``cluster`` column,
@@ -227,15 +243,15 @@ class Linker:
                 "data_a and data_b that share an id value"
             )
         from ..exprs import suffixed
-        from ..operators.cluster import attach_cluster_ids, connected_components
+        from ..operators.cluster import attach_cluster_ids
 
         id_l = suffixed(self.spec.unique_id_left, "_left")
         id_r = suffixed(self.spec.unique_id_right, "_right")
         edges = self.score().filter(F.col("weight") > threshold).select(id_l, id_r)
-        components = connected_components(edges, id_l, id_r)
+        components = self._cc(algorithm)(edges, id_l, id_r)
         return attach_cluster_ids(self.data_a, components, self.spec.unique_id_left)
 
-    def cluster_links(self, threshold: float = 5.0) -> DataFrame:
+    def cluster_links(self, threshold: float = 5.0, algorithm: str = "label") -> DataFrame:
         """Two-dataset-safe cluster resolution. Node ids are prefixed
         with a source-dataset tag (``a:``/``b:``, the splink
         disambiguation) before connected components, so overlapping id
@@ -248,7 +264,6 @@ class Linker:
         the ``a:`` tag and the result equals ``cluster()`` up to the
         label representation)."""
         from ..exprs import suffixed
-        from ..operators.cluster import connected_components
 
         id_l = suffixed(self.spec.unique_id_left, "_left")
         id_r = suffixed(self.spec.unique_id_right, "_right")
@@ -261,7 +276,7 @@ class Linker:
                 F.concat(F.lit(tag_r), F.col(id_r).cast("string")).alias("node_r"),
             )
         )
-        components = connected_components(edges, "node_l", "node_r")
+        components = self._cc(algorithm)(edges, "node_l", "node_r")
 
         out_col = self.spec.unique_id_left  # both sides aligned on one name
 

@@ -835,6 +835,46 @@ def etl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*cols)
 
 
+@query(
+    "bucketed_join_revenue",
+    """
+    select c_mktsegment,
+           count(*) as n_orders,
+           round(sum(o_totalprice), 4) as revenue
+    from customer join orders on c_custkey = o_custkey
+    group by c_mktsegment
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E34 ``write_bucketed`` as a gate row: both join sides persisted
+    bucketed + bucket-sorted by the join key, re-read from the catalog,
+    then joined — a SortMergeJoin with NO Exchange on either side (the
+    shuffle is paid once at write and amortized over every later join;
+    plan-asserted in tests/test_etl.py). Layout must not change values,
+    so the oracle is the plain join-aggregate on the raw parquet."""
+    import tempfile
+
+    from ..sources.etl import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="ppack_bucketed_gate_")
+    cb = write_bucketed(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "gate_cust_bucketed", "c_custkey", num_buckets=16, path=base + "/cust",
+    )
+    ob = write_bucketed(
+        t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "gate_ord_bucketed", "o_custkey", num_buckets=16, path=base + "/ord",
+    )
+    return (
+        cb.join(ob, cb["c_custkey"] == ob["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # Generic relational surface (SURVEY §2c) over the star schema
 # --------------------------------------------------------------------
