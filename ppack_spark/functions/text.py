@@ -106,6 +106,57 @@ def language_scores(text: Column | str) -> dict[str, Column]:
     return out
 
 
+def rewrap_lines(text: Column | str, words_per_line: int = 8) -> Column:
+    """Re-wrap single-space-tokenized text into fixed-width lines of
+    ``words_per_line`` words joined by newlines. Pure higher-order
+    expression (transform over sequence) — no explode, no shuffle.
+
+    DuckDB equivalent::
+
+        array_to_string(
+          list_transform(
+            generate_series(0, cast(ceil(len(string_split(t,' '))/8.0)
+                                    as int) - 1),
+            i -> array_to_string(list_slice(string_split(t,' '),
+                                            i*8+1, i*8+8), ' ')),
+          chr(10))
+    """
+    w = F.split(_col(text), " ", -1)
+    n_lines = F.ceil(F.size(w) / F.lit(float(words_per_line))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * words_per_line + 1, words_per_line), " "
+        ),
+    )
+    return F.array_join(lines, "\n")
+
+
+def repetition_signals(text: Column | str) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021 §A1.1: repetitious documents are low-quality): fraction of
+    duplicate lines and duplicate words inside the document. Pure
+    array expressions — per-doc map work, zero shuffle, so the signal
+    pass streams over 100 TB at scan speed.
+
+    DuckDB equivalents use ``string_split`` / ``string_split_regex``
+    + ``list_distinct`` (the gate SQL in plans/registry_data.py
+    replays them exactly)."""
+    t = _col(text)
+    lines = F.split(t, "\n", -1)
+    words = F.split(F.trim(t), r"\s+", -1)
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    return {
+        "n_lines": n_lines,
+        "n_words": n_words,
+        "dup_line_frac": (n_lines - F.size(F.array_distinct(lines)))
+        / n_lines.cast("double"),
+        "dup_word_frac": (n_words - F.size(F.array_distinct(words)))
+        / n_words.cast("double"),
+    }
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized
     lowercased text. Identical in DuckDB:

@@ -45,6 +45,9 @@ __all__ = [
     "hash_sample",
     "stratified_quota_sample",
     "pack_sequences",
+    "dedup_corpus_lines",
+    "temperature_mix",
+    "merge_corpus_delta",
 ]
 
 
@@ -196,3 +199,155 @@ def pack_sequences(
         F.floor((cum - F.col("n_tokens")) / budget).alias("seq_id"),
         ((cum - F.col("n_tokens")) % budget).alias("seq_offset"),
     )
+
+
+def dedup_corpus_lines(
+    df: DataFrame,
+    max_occurrences: int = 1,
+    min_line_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style corpus-level line deduplication (Wenzek et al.
+    2020 §3.1: hash every line/paragraph, drop the ones that repeat
+    across the corpus — boilerplate like cookie banners repeats
+    thousands of times and should vanish from *every* document).
+
+    A line is removed from every document when it occurs more than
+    ``max_occurrences`` times corpus-wide AND is at least
+    ``min_line_chars`` long (short lines — headings, list markers —
+    are kept unconditionally; dropping them would shred formatting).
+    Documents keep their surviving lines in original order; NULL text
+    stays NULL; a document whose every line is boilerplate comes back
+    with empty text, not dropped (corpus-length bookkeeping stays
+    intact for downstream packing).
+
+    Returns the input columns with ``text_col`` replaced by the
+    cleaned text plus ``n_lines_kept``.
+
+    Scale shape (100 TB): three shuffles, all minimal —
+    (1) count lines grouped by md5(line) (32-byte key, partial agg
+    map-side; only hashes ever shuffle, never line text),
+    (2) anti-join the exploded lines against the *duplicated-hash*
+    set (far smaller than the distinct-line set; AQE broadcasts it
+    when it fits),
+    (3) re-assemble per document (array_sort over collected
+    (pos, line) structs — bounded by document size, no global sort).
+    """
+    h = F.md5(F.col("line"))
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    dup_hashes = (
+        lines.groupBy(h.alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > max_occurrences)
+        .select("h")
+    )
+    kept = lines.join(
+        dup_hashes,
+        (h == dup_hashes["h"]) & (F.length(F.col("line")) >= min_line_chars),
+        "left_anti",
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+        lambda s: s["line"],
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws("\n", ordered).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    out = df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+    clean = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.coalesce(F.col("__clean"), F.lit(""))
+    )
+    keep_cols = [
+        clean.alias(text_col) if c == text_col else F.col(c) for c in df.columns
+    ]
+    return out.select(
+        *keep_cols,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .alias("n_lines_kept"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    target_total: int = 1_000_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted domain mixing: deterministically sample the
+    corpus so group ``g``'s share of the output is proportional to
+    ``count(g) ** alpha`` (the p^α re-weighting used to flatten domain
+    imbalance when assembling training mixes — alpha=1 keeps natural
+    proportions, alpha=0 equalizes groups, 0<alpha<1 up-weights rare
+    domains). ``target_total`` sets the approximate output size; a
+    group whose computed rate exceeds 1 is taken whole (no
+    replication — this operator only down-samples).
+
+    Selection is by md5(id) 32-bit prefix against the per-group
+    acceptance rate, so the sample is reproducible across runs,
+    partitionings, and engines (same mechanics as ``hash_sample``).
+
+    Scale shape: one tiny aggregate (one row per group) + a broadcast
+    join back onto the corpus — the corpus itself never shuffles, and
+    the accept filter sits directly on the scan.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    pw = F.pow(F.col("n"), F.lit(float(alpha)))
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    # the window runs over the per-group count table (one row per
+    # group — tiny), never the corpus
+    share = pw / F.sum(pw).over(Window.partitionBy())
+    rates = counts.select(
+        group_col,
+        F.least(
+            F.lit(1.0), F.lit(float(target_total)) * share / F.col("n")
+        ).alias("__rate"),
+    )
+    hash_u32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_u32 < F.col("__rate") * F.lit(4294967296.0))
+        .drop("__rate")
+        .select(*df.columns)
+    )
+
+
+def merge_corpus_delta(
+    existing: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus ingestion: the rows of ``delta`` that are
+    genuinely new — their content hash appears nowhere in ``existing``
+    — deduplicated within the delta itself (min-id wins, same policy
+    as ``exact_dedup_keep_first``). Append the result to the corpus to
+    complete the merge; the existing corpus is never rewritten.
+
+    Scale shape: the 100-TB corpus is reduced to its 32-byte hash set
+    *before* the join (project + partial-distinct at the scan), so the
+    anti-join shuffles hashes, not documents; the delta (typically ≪
+    corpus) is the only side carrying payload.
+    """
+    from ..functions.text import doc_fingerprint
+    from .dedup import exact_dedup_keep_first
+
+    h = doc_fingerprint(F.col(text_col))
+    seen = existing.select(h.alias("__h")).distinct()
+    fresh = (
+        delta.withColumn("__h", h)
+        .join(seen, "__h", "left_anti")
+        .drop("__h")
+    )
+    return exact_dedup_keep_first(fresh, text_col=text_col, id_col=id_col)

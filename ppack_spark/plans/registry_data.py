@@ -1102,3 +1102,238 @@ def pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnts["n_phone"].alias("n_phone"),
         F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
     )
+
+
+# --------------------------------------------------------------------
+# corpus hygiene round 2: line-level dedup, repetition signals,
+# temperature mixing, incremental merge (operators/pipeline.py,
+# functions/text.py)
+# --------------------------------------------------------------------
+
+# every multi-line gate re-wraps the (single-line) documents fixture
+# into 8-word lines first, so cross-document line duplicates actually
+# exist; the SQL mirror of functions/text.py:rewrap_lines
+_CHUNKED_SQL = """
+    select doc_id,
+           array_to_string(
+             list_transform(
+               generate_series(0,
+                 cast(ceil(len(string_split(text, ' ')) / 8.0) as int) - 1),
+               i -> array_to_string(
+                      list_slice(string_split(text, ' '), i*8+1, i*8+8), ' ')),
+             chr(10)) as t
+    from documents
+"""
+
+
+@query(
+    "line_dedup_corpus",
+    f"""
+    with chunked as ({_CHUNKED_SQL}),
+    lines as (
+        select doc_id,
+               unnest(string_split(t, chr(10))) as line,
+               unnest(generate_series(1, len(string_split(t, chr(10))))) as pos
+        from chunked
+    ),
+    dup as (
+        select md5(line) as h from lines group by 1 having count(*) > 1
+    ),
+    kept as (
+        select l.doc_id, l.line, l.pos
+        from lines l
+        left join dup d on md5(l.line) = d.h and length(l.line) >= 5
+        where d.h is null
+    ),
+    rebuilt as (
+        select doc_id, count(*) as n_kept,
+               string_agg(line, chr(10) order by pos) as t2
+        from kept group by doc_id
+    )
+    select c.doc_id,
+           cast(coalesce(r.n_kept, 0) as bigint) as n_lines_kept,
+           md5(coalesce(r.t2, '')) as clean_md5
+    from chunked c left join rebuilt r using (doc_id)
+    """,
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level line dedup
+    (operators/pipeline.py:dedup_corpus_lines): lines occurring more
+    than once corpus-wide (and ≥ 5 chars) are dropped from every
+    document; surviving lines are re-assembled in order. Only 32-byte
+    line hashes ever shuffle; the duplicated-hash set joins back
+    broadcast-size."""
+    from ..functions.text import rewrap_lines
+    from ..operators.pipeline import dedup_corpus_lines
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
+    chunked = d.select("doc_id", rewrap_lines("text", 8).alias("text"))
+    out = dedup_corpus_lines(chunked, max_occurrences=1, min_line_chars=5)
+    return out.select(
+        "doc_id",
+        "n_lines_kept",
+        F.md5(F.col("text")).alias("clean_md5"),
+    )
+
+
+@query(
+    "repetition_signals",
+    f"""
+    with chunked as ({_CHUNKED_SQL}),
+    s as (
+        select doc_id,
+               string_split(t, chr(10)) as lines,
+               string_split_regex(trim(t), '\\s+') as words
+        from chunked
+    )
+    select doc_id,
+           cast(len(lines) as bigint) as n_lines,
+           cast(len(words) as bigint) as n_words,
+           round((len(lines) - len(list_distinct(lines)))
+                 / cast(len(lines) as double), 6) as dup_line_frac,
+           round((len(words) - len(list_distinct(words)))
+                 / cast(len(words) as double), 6) as dup_word_frac
+    from s
+    """,
+)
+def repetition_signals_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality signals
+    (functions/text.py:repetition_signals): duplicate-line and
+    duplicate-word fractions. Pure array expressions — per-doc map
+    work, zero shuffle."""
+    from ..functions.text import repetition_signals, rewrap_lines
+
+    d = t(spark, sf_dir, "documents")
+    chunked = d.select("doc_id", rewrap_lines("text", 8).alias("t"))
+    sig = repetition_signals(F.col("t"))
+    return chunked.select(
+        "doc_id",
+        sig["n_lines"].cast("long").alias("n_lines"),
+        sig["n_words"].cast("long").alias("n_words"),
+        F.round(sig["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(sig["dup_word_frac"], 6).alias("dup_word_frac"),
+    )
+
+
+@query(
+    "temperature_mix",
+    """
+    with g as (
+        select lang, cast(count(*) as double) as n
+        from documents group by lang
+    ),
+    r as (
+        select lang,
+               least(1.0, 250.0 * (pow(n, 0.5) / sum(pow(n, 0.5)) over ())
+                     / n) as rate
+        from g
+    )
+    select d.doc_id, d.lang, d.source
+    from documents d join r using (lang)
+    where ('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))::bigint
+          < r.rate * 4294967296.0
+    """,
+)
+def temperature_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing
+    (operators/pipeline.py:temperature_mix): per-language acceptance
+    rates ∝ count^0.5 re-weight the corpus toward rare languages,
+    selection by md5(id) prefix so the mix replays bit-identically in
+    any engine. Corpus never shuffles — tiny rate table broadcast
+    back."""
+    from ..operators.pipeline import temperature_mix
+
+    d = t(spark, sf_dir, "documents")
+    return temperature_mix(d, "lang", alpha=0.5, target_total=250).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "corpus_delta_merge",
+    """
+    with ex as (select * from documents where doc_id % 2 = 0),
+    delta as (
+        select doc_id, text, lang, source, n_chars
+        from documents where doc_id % 2 = 1
+        union all
+        select doc_id + 10000, text, lang, source, n_chars
+        from documents where doc_id % 2 = 0 and doc_id % 10 = 0
+        union all
+        select doc_id + 20000, text, lang, source, n_chars
+        from documents where doc_id % 2 = 1 and doc_id % 10 = 1
+    ),
+    fp as (
+        select *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                  as h
+        from delta
+    ),
+    seen as (
+        select distinct md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                            'g')) as h
+        from ex
+    ),
+    fresh as (
+        select f.* from fp f left join seen s on f.h = s.h where s.h is null
+    ),
+    keep as (select h, min(doc_id) as keep_id from fresh group by h)
+    select f.doc_id, f.lang, f.source
+    from fresh f join keep k on f.h = k.h and f.doc_id = k.keep_id
+    """,
+)
+def corpus_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion
+    (operators/pipeline.py:merge_corpus_delta): a delta containing
+    re-identified copies of existing docs (anti-joined out on the
+    normalized content fingerprint) and internal duplicates (min-id
+    wins) merges down to exactly the genuinely-new rows. The corpus
+    side reduces to its fingerprint set before the join — hashes
+    shuffle, documents don't."""
+    from ..operators.pipeline import merge_corpus_delta
+
+    d = t(spark, sf_dir, "documents")
+    ex = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    delta = (
+        odd.unionByName(
+            ex.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 10000
+            )
+        ).unionByName(
+            odd.filter(F.col("doc_id") % 10 == 1).withColumn(
+                "doc_id", F.col("doc_id") + 20000
+            )
+        )
+    )
+    return merge_corpus_delta(ex, delta).select("doc_id", "lang", "source")
+
+
+@query(
+    "jsonl_roundtrip",
+    """
+    select doc_id, lang, n_chars, md5(text) as text_md5 from documents
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source round trip (sources/etl.py:write_jsonl/read_jsonl):
+    documents → one-JSON-object-per-line files → explicit-schema
+    rescan. The oracle reads the SOURCE parquet: a lossless round trip
+    must hash-match it (md5 of the text proves byte fidelity through
+    JSON escaping). Schema is explicit on the rescan — inference
+    double-reads the input at scale."""
+    import tempfile
+
+    from ..sources.etl import read_jsonl, write_jsonl
+
+    base = tempfile.mkdtemp(prefix="ppack_jsonl_roundtrip_")
+    d = t(spark, sf_dir, "documents")
+    write_jsonl(d, base + "/docs")
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    back = read_jsonl(spark, base + "/docs", schema)
+    return back.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
+    )

@@ -24,6 +24,8 @@ __all__ = [
     "tsv_to_partitioned_parquet",
     "read_parquet_glob",
     "write_bucketed",
+    "write_jsonl",
+    "read_jsonl",
     "load_tables",
     "register_views",
 ]
@@ -55,6 +57,29 @@ def read_tsv(
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write one JSON object per line (JSONL — the interchange format
+    most raw text corpora arrive in). Newlines inside string values
+    are JSON-escaped, so the line = record invariant holds for any
+    text. Files split per partition: the write is embarrassingly
+    parallel and the output re-reads with full parallelism."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+) -> DataFrame:
+    """JSONL scan with an explicit schema. The schema is REQUIRED by
+    design: schema inference double-reads the input (a full pass just
+    to sample types), which is never acceptable at corpus scale, and
+    silently widens types between drops. Malformed lines surface in
+    the standard ``_corrupt_record`` PERMISSIVE-mode contract if the
+    caller adds that field to the schema."""
+    return spark.read.schema(schema).json(path)
 
 
 def tsv_to_partitioned_parquet(

@@ -117,3 +117,26 @@ def test_bucketed_tables_join_without_exchange(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("drop table if exists t_cust_bucketed")
         spark.sql("drop table if exists t_ord_bucketed")
+
+
+def test_jsonl_roundtrip_preserves_newlines_and_unicode(spark, tmp_path):
+    """JSON escaping must keep the line=record invariant even when the
+    text itself contains newlines, tabs, quotes, and multi-byte
+    UTF-8 — and the explicit-schema rescan must be lossless."""
+    from ppack_spark.sources.etl import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'line one\nline two\ttabbed "quoted"'),
+        (2, "déjà vu — 中文 text ✓"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    want = dict((i, t) for i, t in rows)
+    # Spark's JSON writer drops null fields; the schema'd reader
+    # restores them as NULL
+    assert got == want
+    assert back.schema == df.schema

@@ -205,3 +205,180 @@ def test_redaction_idempotent(docs):
         "r2", redact_pii(F.col("r1"))
     )
     assert red.filter(F.col("r1") != F.col("r2")).count() == 0
+
+
+# ------------------------------------------------------- line dedup
+def test_line_dedup_drops_boilerplate_everywhere(spark):
+    """A line repeated across docs vanishes from every doc; unique
+    lines survive in original order; short duplicated lines are kept."""
+    from ppack_spark.operators.pipeline import dedup_corpus_lines
+
+    boiler = "please enable javascript to continue"
+    rows = [
+        (1, f"unique alpha\n{boiler}\nunique beta\n--"),
+        (2, f"{boiler}\nsomething else entirely\n--"),
+        (3, "totally unique document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_corpus_lines(
+            df, max_occurrences=1, min_line_chars=5
+        ).collect()
+    }
+    # boilerplate removed from both docs, "--" (short) kept in both
+    assert out[1]["text"] == "unique alpha\nunique beta\n--"
+    assert out[2]["text"] == "something else entirely\n--"
+    assert out[3]["text"] == "totally unique document"
+    assert out[1]["n_lines_kept"] == 3
+    assert out[3]["n_lines_kept"] == 1
+
+
+def test_line_dedup_null_and_empty(spark):
+    """NULL text stays NULL (not dropped, not coerced); a doc whose
+    every line is boilerplate returns empty text with 0 lines kept."""
+    from ppack_spark.operators.pipeline import dedup_corpus_lines
+
+    rows = [
+        (1, "all boilerplate here"),
+        (2, "all boilerplate here"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_corpus_lines(
+            df, max_occurrences=1, min_line_chars=5
+        ).collect()
+    }
+    assert out[1]["text"] == "" and out[1]["n_lines_kept"] == 0
+    assert out[2]["text"] == "" and out[2]["n_lines_kept"] == 0
+    assert out[3]["text"] is None and out[3]["n_lines_kept"] is None
+
+
+def test_line_dedup_max_occurrences_threshold(spark):
+    """max_occurrences=2 keeps a line that appears exactly twice."""
+    from ppack_spark.operators.pipeline import dedup_corpus_lines
+
+    rows = [(1, "twice repeated line"), (2, "twice repeated line")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_corpus_lines(df, max_occurrences=2, min_line_chars=1).collect()
+    assert all(r["text"] == "twice repeated line" for r in out)
+
+
+# -------------------------------------------------- temperature mix
+def test_temperature_mix_flattens_skew(spark, docs):
+    """alpha<1 must raise the rare-group share relative to natural
+    proportions, alpha=1 must keep natural proportions (a plain
+    uniform sample), and selection must be stable under
+    repartitioning."""
+    from ppack_spark.operators.pipeline import temperature_mix
+
+    natural = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    rare = min(natural, key=natural.get)
+    common = max(natural, key=natural.get)
+
+    mixed = temperature_mix(docs, "lang", alpha=0.3, target_total=200)
+    got = {
+        r["lang"]: r["n"]
+        for r in mixed.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # rare-to-common ratio must strictly improve over natural
+    assert got[rare] / got[common] > natural[rare] / natural[common]
+
+    # deterministic: same rows regardless of physical layout
+    a = sorted(r["doc_id"] for r in mixed.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mix(
+            docs.repartition(7), "lang", alpha=0.3, target_total=200
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_mix_takes_whole_group_when_rate_clamps(spark):
+    """target larger than the corpus → every group rate clamps to 1
+    and the mix is the identity."""
+    from ppack_spark.operators.pipeline import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, "g" if i % 3 else "h") for i in range(30)], ["doc_id", "grp"]
+    )
+    out = temperature_mix(df, "grp", alpha=0.5, target_total=10_000)
+    assert out.count() == 30
+
+
+def test_temperature_mix_rejects_bad_alpha(spark):
+    from ppack_spark.operators.pipeline import temperature_mix
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "grp"])
+    with pytest.raises(ValueError):
+        temperature_mix(df, "grp", alpha=1.5)
+
+
+# ---------------------------------------------------- delta merge
+def test_merge_corpus_delta_semantics(spark):
+    """Rows whose (normalized) content exists in the corpus are
+    dropped; within-delta duplicates keep the min id; whitespace/case
+    variants count as the same content."""
+    from ppack_spark.operators.pipeline import merge_corpus_delta
+
+    existing = spark.createDataFrame(
+        [(0, "known document one"), (2, "known document two")],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [
+            (11, "KNOWN   document one"),  # normalized dup of existing
+            (13, "brand new document"),
+            (15, "brand new document"),  # within-delta dup, loses to 13
+            (17, "another new one"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        r["doc_id"] for r in merge_corpus_delta(existing, delta).collect()
+    )
+    assert got == [13, 17]
+
+
+# ------------------------------------------------ repetition signals
+def test_repetition_signals_values(spark):
+    from ppack_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d"), (2, "x y z")], ["doc_id", "text"]
+    )
+    sig = repetition_signals(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            sig["n_lines"].alias("nl"),
+            sig["dup_line_frac"].alias("dlf"),
+            sig["dup_word_frac"].alias("dwf"),
+        ).collect()
+    }
+    # doc 1: 3 lines, one duplicated pair -> 1/3; words a b a b c d -> 2/6
+    assert out[1]["nl"] == 3
+    assert abs(out[1]["dlf"] - 1 / 3) < 1e-9
+    assert abs(out[1]["dwf"] - 2 / 6) < 1e-9
+    assert out[2]["dlf"] == 0.0 and out[2]["dwf"] == 0.0
+
+
+def test_rewrap_lines_roundtrip(spark):
+    """Re-wrapping preserves every word in order; line width honored."""
+    from ppack_spark.functions.text import rewrap_lines
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(19)))], ["doc_id", "text"]
+    )
+    out = df.select(rewrap_lines("text", 8).alias("t")).collect()[0]["t"]
+    lines = out.split("\n")
+    assert len(lines) == 3
+    assert [len(l.split(" ")) for l in lines] == [8, 8, 3]
+    assert out.replace("\n", " ") == df.collect()[0]["text"]
