@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "sample_stratified_quota",
     "sequence_packing",
     "pii_stats",
+    "line_dedup_corpus",
+    "repetition_signals",
+    "temperature_mix",
+    "corpus_delta_merge",
 ]
 
 

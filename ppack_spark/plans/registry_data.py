@@ -915,6 +915,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(queries, e, k=10, n_centroids=8, n_probe=5)
 
 
+@query("ann_pq_topk")  # no SQL oracle: k-means codebooks are iterative;
+# recall@10 >= 0.8 vs the exact baseline is asserted in tests/test_ann.py
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k (operators/ann.py:
+    cosine_topk_pq): m-byte codes + per-query ADC lookup tables give a
+    corpus scan that never reads float vectors, then an exact re-rank
+    on the shortlist. The memory-scale ANN path: a 100 TB embedding
+    corpus compresses ~64x into cluster memory. Config matches the
+    recall-gated one in tests/test_ann.py."""
+    from ..operators.ann import cosine_topk_pq
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_pq(queries, e, k=10)
+
+
 @query("ann_lsh_topk")  # no SQL oracle: approximate by construction;
 # recall@10 >= 0.8 vs the exact baseline is asserted in tests/test_ann.py
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,3 +88,42 @@ def test_lsh_topk_shape(embeddings):
     # no self matches, no duplicate candidates
     assert (pdf["query_id"] != pdf["neighbor_id"]).all()
     assert not pdf.duplicated(["query_id", "neighbor_id"]).any()
+
+
+def test_pq_recall_at_10(embeddings, exact_pairs):
+    """PQ ADC scan + exact re-rank must reach recall@10 >= 0.8 at the
+    shipped config (m=8 subspaces, 32 centroids, shortlist 8k). The
+    near-random fixture is PQ's worst case too — quantization error is
+    maximal without cluster structure — hence the generous shortlist;
+    the re-rank stage makes precision exact for whatever the shortlist
+    catches."""
+    from ppack_spark.operators.ann import cosine_topk_pq
+
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    rows = (
+        cosine_topk_pq(q, embeddings, k=K)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    got = {(r[0], r[1]) for r in rows}
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"PQ recall@10 = {recall:.3f}"
+
+
+def test_pq_codes_shape_and_determinism(embeddings):
+    """Codes are m small ints per vector (the 8-byte index invariant)
+    and encoding is deterministic across physical layouts."""
+    from ppack_spark.operators.ann import pq_encode, pq_train
+
+    cb = pq_train(embeddings, m=8, k=16)
+    assert cb.shape == (8, 16, 8)
+    a = {
+        r["vec_id"]: tuple(r["pq_code"])
+        for r in pq_encode(embeddings, cb).collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r["pq_code"])
+        for r in pq_encode(embeddings.repartition(13), cb).collect()
+    }
+    assert a == b
+    assert all(len(c) == 8 and max(c) < 16 and min(c) >= 0 for c in a.values())
