@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "repetition_signals",
     "temperature_mix",
     "corpus_delta_merge",
+    "repeated_spans",
+    "quality_filter_flags",
 ]
 
 

@@ -23,6 +23,9 @@ __all__ = [
     "bpe_ish_token_count",
     "quality_features",
     "language_scores",
+    "rewrap_lines",
+    "repetition_signals",
+    "c4_quality_flags",
     "doc_fingerprint",
     "tfidf_top_terms",
     "redact_pii",
@@ -239,3 +242,50 @@ def tfidf_top_terms(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def c4_quality_flags(
+    text: Column | str,
+    min_words: int = 5,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+) -> dict[str, Column]:
+    """C4/Gopher-style document quality heuristics (Raffel et al. 2020
+    §2.2; Rae et al. 2021 §A1.1): word count floor, mean-word-length
+    band, symbol (#/…) ratio cap, boilerplate markers ("lorem ipsum",
+    curly braces — C4 drops any page containing either). Returns the
+    individual signal columns plus ``keep`` (the conjunction), so a
+    pipeline can either filter or keep the flags for analysis.
+
+    Pure string/array expressions, engine-portable: the gate SQL
+    replays each with string_split_regex / list_transform /
+    replace-based character counts."""
+    t = _col(text)
+    words = F.split(F.trim(t), r"\s+", -1)
+    n_words = F.size(words)
+    mean_word_len = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    ) / F.greatest(n_words, F.lit(1)).cast("double")
+    stripped = F.replace(F.replace(t, F.lit("#"), F.lit("")), F.lit("…"), F.lit(""))
+    symbol_ratio = (F.length(t) - F.length(stripped)) / F.greatest(
+        F.length(t), F.lit(1)
+    ).cast("double")
+    has_lorem = F.contains(F.lower(t), F.lit("lorem ipsum"))
+    has_curly = F.contains(t, F.lit("{"))
+    keep = (
+        (n_words >= min_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & ~has_lorem
+        & ~has_curly
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "has_lorem_ipsum": has_lorem,
+        "has_curly_brace": has_curly,
+        "keep": keep,
+    }

@@ -48,6 +48,7 @@ __all__ = [
     "dedup_corpus_lines",
     "temperature_mix",
     "merge_corpus_delta",
+    "repeated_spans",
 ]
 
 
@@ -351,3 +352,72 @@ def merge_corpus_delta(
         .drop("__h")
     )
     return exact_dedup_keep_first(fresh, text_col=text_col, id_col=id_col)
+
+
+def repeated_spans(
+    df: DataFrame,
+    width: int = 50,
+    window: int = 25,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-span detection via winnowing (Schleimer et al.,
+    SIGMOD 2003) — the content-defined fingerprinting behind
+    suffix-array substring dedup (Lee et al. 2022 remove repeated
+    ≥ 50-token substrings; winnowed span hashes find them at a
+    fraction of the suffix array's cost).
+
+    Every ``width``-token span gets an md5 hash (stride 1); winnowing
+    then keeps, for each window of ``window`` consecutive positions,
+    the minimal hash. Selection depends only on content, never on
+    document offsets — so ANY shared substring of at least
+    ``width + window - 1`` tokens is guaranteed to produce the same
+    selected fingerprint in every copy (a fixed-stride grid misses
+    copies whose offsets differ mod stride; winnowing is the standard
+    fix). Fingerprints kept per doc ≈ 2/(window+1) of positions.
+
+    Tokenization is single-space split (engine-portable); documents
+    shorter than ``width`` contribute one span (their whole text).
+    Returns one row per repeated-fingerprint occurrence:
+    (id, span_pos [token offset of the fingerprint's first occurrence
+    in the doc], span_hash, n_occurrences).
+
+    Scale shape: fingerprinting is pure per-doc map work (higher-order
+    expressions, no Python); only 32-byte winnowed hashes — an
+    O(1/window) sample of positions — reach the count shuffle, and the
+    repeated set (tiny) joins back broadcast-size.
+    """
+    toks = F.split(F.col(text_col), " ", -1)
+    n = F.size(toks)
+    # hash of the width-token span starting at every position (stride 1)
+    kg = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - F.lit(width), F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, width), " ")),
+    )
+    m = F.size(kg)
+    # winnow: min hash of each `window` of consecutive positions;
+    # array_distinct collapses runs where one minimum spans windows
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(m - F.lit(window), F.lit(0))),
+            lambda j: F.array_min(F.slice(kg, j + 1, window)),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(fps).alias("span_hash"), kg.alias("__kg")
+    ).select(
+        id_col,
+        (F.array_position(F.col("__kg"), F.col("span_hash")) - 1)
+        .cast("long")
+        .alias("span_pos"),
+        "span_hash",
+    )
+    repeated = (
+        exploded.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+    return exploded.join(repeated, "span_hash").select(
+        id_col, "span_pos", "span_hash", "n_occurrences"
+    )

@@ -1355,3 +1355,110 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
     )
+
+
+@query(
+    "repeated_spans",
+    """
+    with base as (
+        select doc_id,
+               list_transform(
+                 generate_series(0,
+                   greatest(len(string_split(text, ' ')) - 8, 0)),
+                 i -> md5(array_to_string(
+                        list_slice(string_split(text, ' '), i+1, i+8), ' ')))
+                 as kg
+        from documents
+    ),
+    fp as (
+        select doc_id, kg,
+               unnest(list_distinct(list_transform(
+                 generate_series(0, greatest(len(kg) - 4, 0)),
+                 j -> list_min(list_slice(kg, j+1, j+4))))) as span_hash
+        from base
+    ),
+    e as (
+        select doc_id,
+               cast(list_position(kg, span_hash) - 1 as bigint) as span_pos,
+               span_hash
+        from fp
+    ),
+    rep as (
+        select span_hash, count(*) as n_occurrences
+        from e group by span_hash having count(*) >= 2
+    )
+    select e.doc_id, e.span_pos, e.span_hash, rep.n_occurrences
+    from e join rep using (span_hash)
+    """,
+)
+def repeated_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span detection (operators/pipeline.py:repeated_spans):
+    winnowed fingerprints of 8-token spans (window 4), spans occurring
+    ≥ 2 times corpus-wide — content-defined selection guarantees any
+    shared substring of ≥ 11 tokens matches regardless of alignment.
+    Only 32-byte winnowed hashes shuffle."""
+    from ..operators.pipeline import repeated_spans
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
+    out = repeated_spans(d, width=8, window=4, min_occurrences=2)
+    return out.select(
+        "doc_id",
+        "span_pos",
+        "span_hash",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
+@query(
+    "quality_filter_flags",
+    """
+    with s as (
+        select doc_id, text,
+               string_split_regex(trim(text), '\\s+') as words
+        from documents
+    )
+    select doc_id,
+           cast(len(words) as bigint) as n_words,
+           round(list_aggregate(list_transform(words, w -> length(w)), 'sum')
+                 / cast(greatest(len(words), 1) as double), 6)
+             as mean_word_len,
+           round((length(text)
+                  - length(replace(replace(text, '#', ''), '…', '')))
+                 / cast(greatest(length(text), 1) as double), 6)
+             as symbol_ratio,
+           cast(contains(lower(text), 'lorem ipsum') as int) as has_lorem,
+           cast(contains(text, '{') as int) as has_curly,
+           cast((len(words) >= 5
+                 and list_aggregate(list_transform(words, w -> length(w)),
+                                    'sum')
+                     / cast(greatest(len(words), 1) as double) >= 3.0
+                 and list_aggregate(list_transform(words, w -> length(w)),
+                                    'sum')
+                     / cast(greatest(len(words), 1) as double) <= 10.0
+                 and (length(text)
+                      - length(replace(replace(text, '#', ''), '…', '')))
+                     / cast(greatest(length(text), 1) as double) <= 0.1
+                 and not contains(lower(text), 'lorem ipsum')
+                 and not contains(text, '{')) as int) as keep
+    from s
+    """,
+)
+def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher document quality heuristics
+    (functions/text.py:c4_quality_flags): word-count floor,
+    mean-word-length band, symbol-ratio cap, boilerplate markers, and
+    the conjunction ``keep``. Pure map pass — no shuffle."""
+    from ..functions.text import c4_quality_flags
+
+    d = t(spark, sf_dir, "documents")
+    q = c4_quality_flags("text")
+    return d.select(
+        "doc_id",
+        q["n_words"].cast("long").alias("n_words"),
+        F.round(q["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(q["symbol_ratio"], 6).alias("symbol_ratio"),
+        q["has_lorem_ipsum"].cast("int").alias("has_lorem"),
+        q["has_curly_brace"].cast("int").alias("has_curly"),
+        q["keep"].cast("int").alias("keep"),
+    )

@@ -382,3 +382,66 @@ def test_rewrap_lines_roundtrip(spark):
     assert len(lines) == 3
     assert [len(l.split(" ")) for l in lines] == [8, 8, 3]
     assert out.replace("\n", " ") == df.collect()[0]["text"]
+
+
+# --------------------------------------------------- repeated spans
+def test_repeated_spans_finds_planted_repeat(spark):
+    """A shared span must surface in BOTH copies even when their token
+    offsets differ mod everything — the winnowing guarantee (a fixed
+    stride grid fails exactly this case). Guarantee threshold is
+    width + window - 1 = 11 tokens; the planted span is 14."""
+    from ppack_spark.operators.pipeline import repeated_spans
+
+    plag = ("one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen")
+    rows = [
+        (1, f"intro words here {plag} trailing stuff"),
+        (2, f"{plag} completely different ending text"),
+        (3, "nothing shared with anything else at all here friend"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = repeated_spans(df, width=8, window=4, min_occurrences=2).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    h1 = {r["span_hash"] for r in out if r["doc_id"] == 1}
+    h2 = {r["span_hash"] for r in out if r["doc_id"] == 2}
+    assert h1 & h2
+    assert all(r["n_occurrences"] >= 2 for r in out)
+    # doc 1's copy starts at token 3: every fingerprint position there
+    # must sit inside the planted region
+    assert all(3 <= r["span_pos"] <= 3 + 14 - 8 for r in out if r["doc_id"] == 1)
+
+
+def test_repeated_spans_short_doc_whole_text(spark):
+    """Docs shorter than the window are treated as a single span, so
+    short exact duplicates are still caught."""
+    from ppack_spark.operators.pipeline import repeated_spans
+
+    rows = [(1, "tiny dup"), (2, "tiny dup"), (3, "tiny unique")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = repeated_spans(df, width=8, window=4).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    assert all(r["span_pos"] == 0 for r in out)
+
+
+# ----------------------------------------------------- C4 quality
+def test_c4_quality_flags(spark):
+    from ppack_spark.functions.text import c4_quality_flags
+
+    rows = [
+        (1, "a perfectly normal document with enough sensible words"),
+        (2, "too short"),
+        (3, "contains lorem ipsum filler somewhere in the body text"),
+        (4, "code snippet { return x; } inside the page text here"),
+        (5, "#### ## ### #### ## ### #### ## ### ####"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = c4_quality_flags("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *(v.alias(k) for k, v in q.items())).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] == 2
+    assert out[3]["keep"] is False and out[3]["has_lorem_ipsum"]
+    assert out[4]["keep"] is False and out[4]["has_curly_brace"]
+    assert out[5]["keep"] is False and out[5]["symbol_ratio"] > 0.1
