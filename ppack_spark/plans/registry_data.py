@@ -1462,3 +1462,27 @@ def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         q["has_curly_brace"].cast("int").alias("has_curly"),
         q["keep"].cast("int").alias("keep"),
     )
+
+
+@query(
+    "orc_roundtrip",
+    """
+    select doc_id, lang, n_chars, md5(text) as text_md5 from documents
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round trip (sources/etl.py:write_orc/read_orc):
+    documents → ORC files → rescan. The oracle reads the SOURCE
+    parquet: a lossless round trip must hash-match it. Schema is
+    self-describing in ORC footers (no inference pass)."""
+    import tempfile
+
+    from ..sources.etl import read_orc, write_orc
+
+    base = tempfile.mkdtemp(prefix="ppack_orc_roundtrip_")
+    d = t(spark, sf_dir, "documents")
+    write_orc(d, base + "/docs")
+    back = read_orc(spark, base + "/docs")
+    return back.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
+    )

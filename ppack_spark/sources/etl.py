@@ -26,6 +26,8 @@ __all__ = [
     "write_bucketed",
     "write_jsonl",
     "read_jsonl",
+    "write_orc",
+    "read_orc",
     "load_tables",
     "register_views",
 ]
@@ -175,3 +177,17 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC write (Spark-native columnar format; the interchange
+    alternative where the downstream stack is Hive/Trino-flavored).
+    Same parallel-write contract as parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Schema rides in the file footer (self-describing like
+    parquet), so no explicit schema is needed; predicate pushdown and
+    column pruning work the same as the parquet scan."""
+    return spark.read.orc(path)

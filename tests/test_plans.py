@@ -127,3 +127,49 @@ def test_exact_dedup_has_partial_aggregation(spark, tables, queries):
     plan = _plan(queries["dedup_exact"](spark, SF_DIR))
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_temperature_mix_corpus_never_shuffles(spark, tables, queries):
+    """The corpus side must reach the accept-filter via a broadcast
+    join of the tiny rate table — no Exchange between the documents
+    scan and the join (the window/agg Exchanges all sit on the
+    few-rows-per-group rate side)."""
+    plan = _plan(queries["temperature_mix"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the probe (corpus) side of the broadcast join reads the scan
+    # directly — no Exchange between them
+    probe_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_side
+
+
+def test_quality_flags_zero_shuffle(spark, tables, queries):
+    """Pure map pass: no Exchange anywhere in the plan."""
+    plan = _plan(queries["quality_filter_flags"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_repetition_signals_zero_shuffle(spark, tables, queries):
+    plan = _plan(queries["repetition_signals"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_line_dedup_shuffles_hashes_not_text(spark, tables, queries):
+    """The duplicate-count aggregate must key on md5(line) — the
+    32-byte hash — and do map-side partial aggregation before its
+    Exchange; the raw line string must not be a shuffle key."""
+    plan = _plan(queries["line_dedup_corpus"](spark, SF_DIR))
+    # md5 computed below the aggregate (map-side), partial agg present
+    assert "md5(cast(line" in plan
+    assert "partial_count" in plan
+    # the raw line string is never a shuffle key
+    keys = [s.split(",")[0] for s in plan.split("Exchange hashpartitioning(")[1:]]
+    assert not any(k.startswith("line#") for k in keys)
+
+
+def test_repeated_spans_winnowed_hashes_shuffle(spark, tables, queries):
+    """Only winnowed span hashes reach the count shuffle (the span
+    text itself never appears in an Exchange key)."""
+    plan = _plan(queries["repeated_spans"](spark, SF_DIR))
+    keys = [s.split(",")[0] for s in plan.split("Exchange hashpartitioning(")[1:]]
+    assert any("span_hash" in k for k in keys)
