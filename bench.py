@@ -121,7 +121,40 @@ def main() -> None:
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             times[name] = -1.0
 
+    # optional: time the DuckDB oracle SQL for each benched query on the
+    # same parquet (SPARK_GRAFT_BENCH_ORACLE=1) — the per-query
+    # Spark/DuckDB ratio at the same SF, measured not guessed
+    oracle_times: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE"):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"set threads to {os.cpu_count()}")
+        for tname in entry_mod.TABLES if hasattr(entry_mod, "TABLES") else [
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"create view {tname} as select * from "
+                f"read_parquet('{sf_dir}/{tname}.parquet')"
+            )
+        oracles = entry_mod.oracle_sql()
+        for name in BENCH_QUERIES:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            samples = []
+            try:
+                for _ in range(iters):
+                    t0 = time.monotonic()
+                    con.execute(f"select count(*) from ({sql})").fetchone()
+                    samples.append(time.monotonic() - t0)
+                oracle_times[name] = round(min(samples), 3)
+            except Exception as exc:
+                print(f"bench: oracle {name} failed: {exc!r}", file=sys.stderr)
+
     total = round(sum(v for v in times.values() if v >= 0), 3)
+    extra = {"oracle": oracle_times} if oracle_times else {}
     print(
         json.dumps(
             {
@@ -132,6 +165,7 @@ def main() -> None:
                 "sf": sf,
                 "iters": iters,
                 "spread": spread,
+                **extra,
             }
         )
     )

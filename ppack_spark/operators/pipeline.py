@@ -383,10 +383,16 @@ def repeated_spans(
     (id, span_pos [token offset of the fingerprint's first occurrence
     in the doc], span_hash, n_occurrences).
 
-    Scale shape: fingerprinting is pure per-doc map work (higher-order
-    expressions, no Python); only 32-byte winnowed hashes — an
-    O(1/window) sample of positions — reach the count shuffle, and the
-    repeated set (tiny) joins back broadcast-size.
+    Scale shape: span hashes are exploded ONCE per document (a
+    Generate — evaluating the hash array inside a higher-order lambda
+    instead re-evaluates it per window position, an O(positions²)
+    expression blowup this implementation deliberately avoids), then
+    the sliding minimum is a rows-between window per doc: one shuffle
+    of 32-byte hashes keyed on the doc id, which the two per-doc
+    aggregations downstream reuse without re-shuffling. Only the
+    winnowed ≈ 2/(window+1) sample of hashes reaches the corpus-wide
+    count shuffle, and the repeated set (tiny) joins back
+    broadcast-size.
     """
     toks = F.split(F.col(text_col), " ", -1)
     n = F.size(toks)
@@ -395,29 +401,30 @@ def repeated_spans(
         F.sequence(F.lit(0), F.greatest(n - F.lit(width), F.lit(0))),
         lambda i: F.md5(F.array_join(F.slice(toks, i + 1, width), " ")),
     )
-    m = F.size(kg)
-    # winnow: min hash of each `window` of consecutive positions;
-    # array_distinct collapses runs where one minimum spans windows
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(m - F.lit(window), F.lit(0))),
-            lambda j: F.array_min(F.slice(kg, j + 1, window)),
+    hashes = df.select(
+        F.col(id_col), F.posexplode(kg).alias("pos", "__h")
+    )
+    wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    wall = Window.partitionBy(id_col)
+    fps = (
+        hashes.withColumn("__fp", F.min("__h").over(wmin))
+        .withColumn("__maxpos", F.max("pos").over(wall))
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("__maxpos") - F.lit(window - 1), F.lit(0))
         )
+        .select(id_col, F.col("__fp").alias("span_hash"))
+        .distinct()
     )
-    exploded = df.select(
-        F.col(id_col), F.explode(fps).alias("span_hash"), kg.alias("__kg")
-    ).select(
-        id_col,
-        (F.array_position(F.col("__kg"), F.col("span_hash")) - 1)
-        .cast("long")
-        .alias("span_pos"),
-        "span_hash",
+    first_pos = hashes.groupBy(id_col, F.col("__h").alias("span_hash")).agg(
+        F.min("pos").cast("long").alias("span_pos")
     )
+    selected = fps.join(first_pos, [id_col, "span_hash"])
     repeated = (
-        exploded.groupBy("span_hash")
+        selected.groupBy("span_hash")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_occurrences)
     )
-    return exploded.join(repeated, "span_hash").select(
+    return selected.join(repeated, "span_hash").select(
         id_col, "span_pos", "span_hash", "n_occurrences"
     )

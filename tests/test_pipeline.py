@@ -445,3 +445,28 @@ def test_c4_quality_flags(spark):
     assert out[3]["keep"] is False and out[3]["has_lorem_ipsum"]
     assert out[4]["keep"] is False and out[4]["has_curly_brace"]
     assert out[5]["keep"] is False and out[5]["symbol_ratio"] > 0.1
+
+
+def test_winnowing_guarantee_fuzz(spark):
+    """Property: a shared span of exactly width+window-1 tokens planted
+    at arbitrary (mis)aligned offsets in two docs ALWAYS yields a
+    common fingerprint — the winnowing guarantee, over many offsets."""
+    from ppack_spark.operators.pipeline import repeated_spans
+
+    width, window = 5, 3
+    span = " ".join(f"s{i}" for i in range(width + window - 1))
+    rows = []
+    for off_a in range(0, 6):
+        pre_a = " ".join(f"a{off_a}x{j}" for j in range(off_a))
+        pre_b = " ".join(f"b{off_a}y{j}" for j in range(5 - (off_a % 5)))
+        rows.append((2 * off_a, f"{pre_a} {span} tail{off_a} end".strip()))
+        rows.append((2 * off_a + 1, f"{pre_b} {span} other{off_a} fin".strip()))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = repeated_spans(df, width=width, window=window, min_occurrences=2)
+    hits = {}
+    for r in out.collect():
+        hits.setdefault(r["doc_id"], set()).add(r["span_hash"])
+    for off_a in range(0, 6):
+        a, b = 2 * off_a, 2 * off_a + 1
+        assert a in hits and b in hits, f"offset {off_a}: span not found"
+        assert hits[a] & hits[b], f"offset {off_a}: no common fingerprint"
