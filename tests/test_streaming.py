@@ -196,3 +196,41 @@ def test_streaming_asof_enrich_batch_parity(spark, tables, events_stream_dir):
     )
     assert sorted(collected) == want
     assert len(want) > 0
+
+
+def test_streaming_corpus_hygiene_parity(spark, tables, tmp_path_factory):
+    """The zero-shuffle corpus ops (C4 quality flags, PII redaction,
+    repetition signals) are pure map expressions, so they run UNCHANGED
+    on a stream — exact parity with the batch result over the same
+    documents. This is the streaming-ingest shape: score/redact each
+    arriving shard with no state and no shuffle."""
+    from ppack_spark.functions.text import (
+        c4_quality_flags,
+        redact_pii,
+        repetition_signals,
+    )
+
+    src = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    def hygiene(df):
+        q = c4_quality_flags("text")
+        sig = repetition_signals(F.col("text"))
+        return df.select(
+            "doc_id",
+            q["n_words"].alias("n_words"),
+            q["keep"].cast("int").alias("keep"),
+            F.round(sig["dup_word_frac"], 6).alias("dup_word_frac"),
+            F.md5(redact_pii("text")).alias("redacted_md5"),
+        )
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    from ppack_spark.streaming import run_to_memory
+
+    run_to_memory(hygiene(stream), "hygiene_stream", "append")
+    got = {tuple(r) for r in spark.table("hygiene_stream").collect()}
+    want = {tuple(r) for r in hygiene(docs).collect()}
+    assert got == want
