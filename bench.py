@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "corpus_delta_merge",
     "repeated_spans",
     "quality_filter_flags",
+    "corpus_pipeline_e2e",
 ]
 
 

@@ -49,6 +49,7 @@ __all__ = [
     "temperature_mix",
     "merge_corpus_delta",
     "repeated_spans",
+    "prepare_corpus",
 ]
 
 
@@ -428,3 +429,54 @@ def repeated_spans(
     return selected.join(repeated, "span_hash").select(
         id_col, "span_pos", "span_hash", "n_occurrences"
     )
+
+
+def prepare_corpus(
+    df: DataFrame,
+    eval_docs: DataFrame | None = None,
+    quality: bool = True,
+    line_dedup: bool = True,
+    exact_dedup: bool = True,
+    sample_fraction: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The standard corpus-preparation chain, composed end-to-end:
+
+    1. C4/Gopher quality filter (``c4_quality_flags().keep``)
+    2. corpus-level line dedup (boilerplate removal; re-filters empty
+       survivors)
+    3. exact dedup on the CLEANED text (min-id wins — cleaning first
+       means two docs differing only in boilerplate collapse)
+    4. eval-set decontamination (drop docs sharing 3-gram windows
+       with ``eval_docs``, when given)
+    5. deterministic hash sample (``sample_fraction``, when given)
+
+    Each stage is the already-gated operator; this function only fixes
+    the composition order (filter cheap-and-local first, shuffle-
+    bearing dedup second, joins last) — so the whole chain stays one
+    lazy plan and Catalyst pipelines the map stages into the scans.
+    Returns the surviving rows of ``df`` with ``text_col`` cleaned.
+    """
+    from ..functions.text import c4_quality_flags
+
+    out = df
+    if quality:
+        out = out.filter(c4_quality_flags(text_col)["keep"])
+    if line_dedup:
+        out = dedup_corpus_lines(out, text_col=text_col, id_col=id_col).drop(
+            "n_lines_kept"
+        )
+        out = out.filter(F.length(F.trim(F.col(text_col))) > 0)
+    if exact_dedup:
+        from .dedup import exact_dedup_keep_first
+
+        out = exact_dedup_keep_first(out, text_col=text_col, id_col=id_col)
+    if eval_docs is not None:
+        contaminated = eval_ngram_contamination(
+            out, eval_docs, k=3, min_shared=2, text_col=text_col, id_col=id_col
+        ).select(id_col).distinct()
+        out = out.join(contaminated, id_col, "left_anti")
+    if sample_fraction is not None:
+        out = hash_sample(out, sample_fraction, id_col=id_col)
+    return out

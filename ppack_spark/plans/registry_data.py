@@ -1486,3 +1486,72 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "lang", "n_chars", F.md5("text").alias("text_md5")
     )
+
+
+@query(
+    "corpus_pipeline_e2e",
+    f"""
+    with chunked as ({_CHUNKED_SQL}),
+    q as (
+        select doc_id, t from (
+            select doc_id, t,
+                   string_split_regex(trim(t), '\\s+') as words
+            from chunked)
+        where len(words) >= 5
+          and list_aggregate(list_transform(words, w -> length(w)), 'sum')
+              / cast(greatest(len(words), 1) as double) between 3.0 and 10.0
+          and (length(t) - length(replace(replace(t, '#', ''), '…', '')))
+              / cast(greatest(length(t), 1) as double) <= 0.1
+          and not contains(lower(t), 'lorem ipsum')
+          and not contains(t, '{{')
+    ),
+    lines as (
+        select doc_id,
+               unnest(string_split(t, chr(10))) as line,
+               unnest(generate_series(1, len(string_split(t, chr(10))))) as pos
+        from q
+    ),
+    dup as (
+        select md5(line) as h from lines group by 1 having count(*) > 1
+    ),
+    kept as (
+        select l.doc_id, l.line, l.pos
+        from lines l
+        left join dup d on md5(l.line) = d.h and length(l.line) >= 1
+        where d.h is null
+    ),
+    rebuilt as (
+        select q.doc_id,
+               coalesce(string_agg(k.line, chr(10) order by k.pos), '') as t2
+        from q left join kept k using (doc_id)
+        group by q.doc_id
+    ),
+    nonempty as (
+        select doc_id, t2 from rebuilt where length(trim(t2)) > 0
+    ),
+    fp as (
+        select doc_id, t2,
+               md5(regexp_replace(lower(trim(t2)), '\\s+', ' ', 'g')) as h
+        from nonempty
+    ),
+    win as (select h, min(doc_id) as keep_id from fp group by h)
+    select f.doc_id, md5(f.t2) as clean_md5
+    from fp f join win w on f.h = w.h and f.doc_id = w.keep_id
+    where substr(md5(cast(f.doc_id as varchar)), 1, 4) < '8000'
+    """,
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-preparation chain
+    (operators/pipeline.py:prepare_corpus): quality filter → corpus
+    line dedup → exact dedup on cleaned text → deterministic 50% hash
+    sample, end-to-end in ONE lazy plan — the oracle replays every
+    stage in SQL, so composition order and inter-stage dataflow are
+    hash-checked, not just each stage alone."""
+    from ..functions.text import rewrap_lines
+    from ..operators.pipeline import prepare_corpus
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
+    chunked = d.select("doc_id", rewrap_lines("text", 8).alias("text"))
+    out = prepare_corpus(chunked, sample_fraction=0.5)
+    return out.select("doc_id", F.md5("text").alias("clean_md5"))

@@ -470,3 +470,34 @@ def test_winnowing_guarantee_fuzz(spark):
         a, b = 2 * off_a, 2 * off_a + 1
         assert a in hits and b in hits, f"offset {off_a}: span not found"
         assert hits[a] & hits[b], f"offset {off_a}: no common fingerprint"
+
+
+def test_prepare_corpus_stage_composition(spark):
+    """Planted junk is removed by the right stage: low-quality docs by
+    the filter, boilerplate lines (and exact clones, whose every line
+    is corpus-duplicated) by line dedup, case/whitespace-variant
+    clones by the normalized exact dedup AFTER cleaning, and
+    eval-contaminated docs by decontamination."""
+    from ppack_spark.operators.pipeline import prepare_corpus
+
+    boiler = "subscribe to our newsletter today"
+    good = "a genuinely informative document with plenty of useful words inside"
+    rows = [
+        (1, f"{good}\n{boiler}"),
+        (2, f"{boiler}\nanother unique useful document body with real content"),
+        (3, good.upper()),  # case-variant clone: survives line dedup
+                            # (different line hash), dies in exact dedup
+                            # (normalized fingerprint equals doc 1's)
+        (4, "tiny"),        # fails the quality word floor
+        (5, f"{boiler}"),   # all boilerplate -> empty after cleaning
+        (6, "the quick brown fox jumps over the lazy dog tonight ok"),
+    ]
+    ev = spark.createDataFrame(
+        [(0, "quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prepare_corpus(df, eval_docs=ev)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == good
+    assert boiler not in got[2]
