@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "repeated_spans",
     "quality_filter_flags",
     "corpus_pipeline_e2e",
+    "near_dedup_corpus",
 ]
 
 

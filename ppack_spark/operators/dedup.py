@@ -47,6 +47,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_df",
     "simhash_pairs",
+    "near_dedup_corpus",
 ]
 
 
@@ -356,3 +357,43 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_left", "id_right", "hamming")
     )
+
+
+def near_dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    use_star: bool = False,
+) -> DataFrame:
+    """The fuzzy-dedup deliverable, composed end-to-end: MinHash-LSH
+    candidate pairs → connected components → keep ONE canonical
+    document (the min id) per near-duplicate cluster, plus every
+    singleton untouched.
+
+    ``use_star=True`` resolves components with the O(log n)-round
+    large-star/small-star kernel instead of min-label propagation —
+    the switch for corpora where near-dup chains can be long (forum
+    mirrors, scraped syndication networks).
+
+    Scale shape: each stage is the already-gated operator
+    (``minhash_lsh_pairs``: banded signature equi-join, never
+    all-pairs; components: hash-keyed iterations with localCheckpoint
+    lineage cuts); the final step is a left-anti join of the corpus
+    against the loser set (nodes ≠ their component min) — losers are
+    a fraction of the corpus, ids only, broadcast-size after AQE.
+    """
+    from .cluster import connected_components, connected_components_star
+
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, band_size=band_size, k=k,
+    )
+    kernel = connected_components_star if use_star else connected_components
+    comps = kernel(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

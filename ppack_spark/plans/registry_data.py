@@ -1555,3 +1555,40 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = d.select("doc_id", rewrap_lines("text", 8).alias("text"))
     out = prepare_corpus(chunked, sample_fraction=0.5)
     return out.select("doc_id", F.md5("text").alias("clean_md5"))
+
+
+def _register_near_dedup_corpus() -> None:
+    """Gate for the composed fuzzy-dedup corpus: same LSH-pairs +
+    recursive-CTE closure as ``dedup_clusters``, extended to the final
+    deliverable — the corpus minus every non-canonical member of a
+    near-dup cluster (operators/dedup.py:near_dedup_corpus)."""
+    from .registry import ORACLE
+
+    closure = ORACLE["dedup_clusters"]
+    oracle = (
+        closure.replace(
+            """select src as node, least(src, min(dst)) as component
+    from reach
+    group by src""",
+            """, comp as (
+        select src as node, least(src, min(dst)) as component
+        from reach group by src
+    )
+    select d.doc_id, d.source
+    from documents d
+    left join (select node from comp where node <> component) l
+      on d.doc_id = l.node
+    where l.node is null""",
+        )
+    )
+
+    @query("near_dedup_corpus", oracle)
+    def near_dedup_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.dedup import near_dedup_corpus
+
+        return near_dedup_corpus(
+            t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, k=3
+        ).select("doc_id", "source")
+
+
+_register_near_dedup_corpus()

@@ -48,3 +48,25 @@ def test_simhash_carry_cols_with_nulls(spark):
     }
     assert rows[1]["blk"] == "a" and rows[1]["simhash"] is not None
     assert rows[2]["blk"] == "b" and rows[2]["simhash"] is None
+
+
+def test_near_dedup_corpus_keeps_canonical(spark):
+    """Planted near-duplicate group collapses to its min-id member;
+    singletons survive; both component kernels agree."""
+    from ppack_spark.operators.dedup import near_dedup_corpus
+
+    base = "the common core of this document is long enough to shingle"
+    rows = [
+        (1, base + " with tail one"),
+        (2, base + " with tail two"),
+        (3, base + " with tail three"),
+        (4, "a completely different and unrelated document body here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(r["doc_id"] for r in near_dedup_corpus(df).collect())
+    assert 4 in got and 1 in got
+    assert 2 not in got and 3 not in got
+    star = sorted(
+        r["doc_id"] for r in near_dedup_corpus(df, use_star=True).collect()
+    )
+    assert star == got
