@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "embedding_cosine_topk",
     "embedding_near_dup",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
     "threshold_topk",
     "eval_decontamination",
     "dedup_keep_first",

@@ -70,3 +70,19 @@ def test_near_dedup_corpus_keeps_canonical(spark):
         r["doc_id"] for r in near_dedup_corpus(df, use_star=True).collect()
     )
     assert star == got
+
+
+def test_line_dedup_hot_key_stress(spark):
+    """A single boilerplate line duplicated across 10k docs (the
+    cookie-banner shape) must not wedge the count aggregate — partial
+    aggregation collapses the hot hash map-side — and every copy must
+    be removed."""
+    from ppack_spark.operators.pipeline import dedup_corpus_lines
+
+    boiler = "accept all cookies to continue reading this site"
+    rows = [(i, f"unique line number {i}\n{boiler}") for i in range(10_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(32)
+    out = dedup_corpus_lines(df, max_occurrences=1, min_line_chars=5)
+    assert out.filter(F.col("text").contains("cookies")).count() == 0
+    assert out.filter(F.col("n_lines_kept") != 1).count() == 0
+    assert out.count() == 10_000
