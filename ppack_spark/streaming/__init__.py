@@ -4,6 +4,7 @@ from .ops import (
     read_events_stream,
     run_to_memory,
     streaming_asof_enrich,
+    streaming_quota_sample,
     streaming_dedup,
     streaming_near_dup_candidates,
     streaming_sessionize,
@@ -16,6 +17,7 @@ __all__ = [
     "read_events_stream",
     "run_to_memory",
     "streaming_asof_enrich",
+    "streaming_quota_sample",
     "streaming_dedup",
     "streaming_near_dup_candidates",
     "streaming_sessionize",

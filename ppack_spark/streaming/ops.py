@@ -313,3 +313,59 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def _quota_fn_factory(k: int, columns: list[str]):
+    """Per-stratum first-k admission function for
+    ``applyInPandasWithState``: state is a single running counter."""
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdf_iter:
+            if n >= k:
+                break
+            take = pdf.head(max(k - n, 0))
+            if len(take):
+                n += len(take)
+                out.append(take[columns])
+        state.update((n,))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return fn
+
+
+def streaming_quota_sample(
+    stream: DataFrame,
+    strata: list[str],
+    k: int,
+    output_schema: str,
+) -> DataFrame:
+    """Streaming quota enforcement: admit the first ``k`` rows per
+    stratum seen on the stream, drop the rest — the streaming twin of
+    the batch ``stratified_quota_sample`` (which picks a deterministic
+    k by md5; a stream must admit by arrival since it cannot re-rank
+    the past). One integer ValueState per stratum — state size
+    O(strata), no timers, no watermark required.
+
+    Implemented on ``applyInPandasWithState``; Spark 4's
+    ``transformWithStateInPandas`` is the drop-in successor when the
+    deploy image ships ``protobuf`` (its python driver worker imports
+    google.protobuf, absent from this container).
+
+    ``output_schema`` is the DDL of the admitted rows (the input
+    projection's columns, strata included)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import _parse_datatype_string
+
+    columns = [f.name for f in _parse_datatype_string(output_schema).fields]
+    return stream.groupBy(*strata).applyInPandasWithState(
+        _quota_fn_factory(k, columns),
+        output_schema,
+        "n integer",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

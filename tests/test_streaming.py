@@ -234,3 +234,33 @@ def test_streaming_corpus_hygiene_parity(spark, tables, tmp_path_factory):
     got = {tuple(r) for r in spark.table("hygiene_stream").collect()}
     want = {tuple(r) for r in hygiene(docs).collect()}
     assert got == want
+
+
+def test_streaming_quota_sample(spark, tmp_path_factory):
+    """First-k-per-stratum admission across micro-batches: per-lang
+    admitted counts equal min(k, available), admitted rows are real
+    input rows, and state carries across batches (a stratum filled in
+    batch 1 admits nothing in batch 3)."""
+    from ppack_spark.streaming import run_to_memory, streaming_quota_sample
+
+    src = str(tmp_path_factory.mktemp("quota_stream"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, lang string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    k = 5
+    out = streaming_quota_sample(stream, ["lang"], k, "doc_id long, lang string")
+    run_to_memory(out, "quota_stream_out", "append")
+    got = spark.table("quota_stream_out").collect()
+
+    import collections
+    per = collections.Counter(r["lang"] for r in got)
+    avail = collections.Counter(r["lang"] for r in docs.collect())
+    assert dict(per) == {l: min(k, n) for l, n in avail.items()}
+    valid = {(r["doc_id"], r["lang"]) for r in docs.collect()}
+    assert all((r["doc_id"], r["lang"]) in valid for r in got)
