@@ -43,6 +43,7 @@ __all__ = [
     "word_shingles",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_ab",
     "jaccard_similarity",
     "ngram_jaccard_pairs",
     "simhash_df",
@@ -144,6 +145,49 @@ def minhash_signature(text: Column | str, num_hashes: int = 8, k: int = 3) -> Co
     )
 
 
+def _lsh_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    band_size: int,
+    k: int,
+) -> DataFrame:
+    """(id, band, val) rows — num_hashes/band_size per document; the
+    (band, val) pair is the LSH bucket key shared by the self-join and
+    cross-corpus variants."""
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_size "
+            f"({band_size}); trailing hashes would be silently dropped"
+        )
+    n_bands = num_hashes // band_size
+    sig = spread(df).select(
+        F.col(id_col),
+        minhash_signature(text_col, num_hashes, k).alias("sig"),
+    )
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col("sig")[b * band_size + j].cast("string")
+                                for j in range(band_size)
+                            ],
+                        ).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -164,41 +208,46 @@ def minhash_lsh_pairs(
     O(Σ bucket²) not O(n²). Hot buckets (boilerplate docs) are the
     skew risk — AQE skew-join splitting handles them.
     """
-    if num_hashes % band_size != 0:
-        raise ValueError(
-            f"num_hashes ({num_hashes}) must be divisible by band_size "
-            f"({band_size}); trailing hashes would be silently dropped"
-        )
-    n_bands = num_hashes // band_size
-    sig = spread(df).select(
-        F.col(id_col),
-        minhash_signature(text_col, num_hashes, k).alias("sig"),
-    )
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col("sig")[b * band_size + j].cast("string")
-                                for j in range(band_size)
-                            ],
-                        ).alias("val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    bands = _lsh_bands(df, text_col, id_col, num_hashes, band_size, k)
     left = bands.select(F.col(id_col).alias("id_left"), "band", "val")
     right = bands.select(F.col(id_col).alias("id_right"), "band", "val")
     return (
         left.join(right, on=["band", "val"], how="inner")
         .filter(F.col("id_left") < F.col("id_right"))
+        .select("id_left", "id_right")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_ab(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Cross-corpus LSH candidates: (id_left from ``left``, id_right
+    from ``right``) sharing ≥1 MinHash band — fuzzy matching BETWEEN
+    two datasets (incoming delta vs reference corpus, A/B snapshots),
+    the near-dup complement of the exact ``merge_corpus_delta``.
+
+    No ordering filter (ids come from different namespaces — the
+    id_left < id_right dedup of the self-join variant would silently
+    drop pairs here); every (A doc, B doc) bucket co-occurrence
+    appears exactly once via distinct. Same bucket equi-join scale
+    shape as :func:`minhash_lsh_pairs`; the smaller side (typically
+    the delta) broadcast-joins under AQE when it fits.
+    """
+    bl = _lsh_bands(left, text_col, id_col, num_hashes, band_size, k).select(
+        F.col(id_col).alias("id_left"), "band", "val"
+    )
+    br = _lsh_bands(right, text_col, id_col, num_hashes, band_size, k).select(
+        F.col(id_col).alias("id_right"), "band", "val"
+    )
+    return (
+        bl.join(br, on=["band", "val"], how="inner")
         .select("id_left", "id_right")
         .distinct()
     )

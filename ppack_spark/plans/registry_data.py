@@ -1592,3 +1592,48 @@ def _register_near_dedup_corpus() -> None:
 
 
 _register_near_dedup_corpus()
+
+
+@query(
+    "minhash_lsh_pairs_ab",
+    _SHINGLE_SQL + """
+    , hp as (
+        select doc_id,
+               list_transform(shingles, x -> struct_pack(
+                   h1 := cast(('0x' || substr(md5(x), 1, 8)) as bigint),
+                   h2 := cast(('0x' || substr(md5(x), 9, 8)) as bigint))) as hp
+        from sh
+    ),
+    sig as (
+        select doc_id,
+               list_transform(range(0, 8), i ->
+                   list_min(list_transform(hp,
+                       p -> (p.h1 + i * p.h2) % 4294967296))) as sig
+        from hp
+    ),
+    bands as (
+        select doc_id, b,
+               cast(sig[2*b + 1] as varchar) || '|' ||
+               cast(sig[2*b + 2] as varchar) as val
+        from sig cross join unnest([0, 1, 2, 3]) as tb(b)
+    )
+    select distinct a.doc_id as id_left, b.doc_id as id_right
+    from bands a
+    join bands b on a.b = b.b and a.val = b.val
+    where a.doc_id % 2 = 0 and b.doc_id % 2 = 1
+    """,
+)
+def minhash_lsh_pairs_ab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus LSH matching
+    (operators/dedup.py:minhash_lsh_pairs_ab): even docs as corpus A,
+    odd docs as corpus B, candidates = (A, B) pairs sharing a MinHash
+    band — fuzzy dataset-to-dataset matching with no self-join
+    ordering filter (different id namespaces)."""
+    from ..operators.dedup import minhash_lsh_pairs_ab
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_ab(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        num_hashes=8, band_size=2, k=3,
+    )

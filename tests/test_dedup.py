@@ -86,3 +86,26 @@ def test_line_dedup_hot_key_stress(spark):
     assert out.filter(F.col("text").contains("cookies")).count() == 0
     assert out.filter(F.col("n_lines_kept") != 1).count() == 0
     assert out.count() == 10_000
+
+
+def test_minhash_ab_cross_corpus_matching(spark):
+    """A near-dup planted across the two corpora is found regardless
+    of id ordering (the self-join's id_left < id_right filter would
+    lose B-side ids smaller than their A match); within-corpus pairs
+    never appear."""
+    from ppack_spark.operators.dedup import minhash_lsh_pairs_ab
+
+    base = "shared syndicated article body long enough to shingle well"
+    a = spark.createDataFrame(
+        [(100, base + " a-side tail"), (101, "unrelated a document text")],
+        ["doc_id", "text"],
+    )
+    # B ids numerically SMALLER than A ids — the ordering-filter trap
+    b = spark.createDataFrame(
+        [(1, base + " b-side tail"), (2, "different b document body")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_left"], r["id_right"])
+           for r in minhash_lsh_pairs_ab(a, b, band_size=1).collect()}
+    assert (100, 1) in got
+    assert all(l in (100, 101) and r in (1, 2) for l, r in got)
