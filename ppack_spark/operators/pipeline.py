@@ -48,6 +48,7 @@ __all__ = [
     "dedup_corpus_lines",
     "temperature_mix",
     "merge_corpus_delta",
+    "merge_corpus_delta_fuzzy",
     "repeated_spans",
     "prepare_corpus",
 ]
@@ -480,3 +481,68 @@ def prepare_corpus(
     if sample_fraction is not None:
         out = hash_sample(out, sample_fraction, id_col=id_col)
     return out
+
+
+def merge_corpus_delta_fuzzy(
+    existing: DataFrame,
+    delta: DataFrame,
+    jaccard_threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Fuzzy incremental ingestion — ``merge_corpus_delta`` plus
+    near-duplicate rejection: a delta row is dropped if its content
+    fingerprint already exists in the corpus (exact) OR some corpus
+    document's n-gram Jaccard similarity reaches
+    ``jaccard_threshold`` (near). Candidates come from cross-corpus
+    MinHash banding, so the verify step only scores
+    (delta doc, corpus doc) pairs that share an LSH bucket — never
+    all-pairs. This is the "ingest a new crawl" operator: syndicated
+    copies and near-mirrors of already-held documents never enter.
+
+    Scale shape: exact stage as in ``merge_corpus_delta`` (hash set
+    anti-join); fuzzy stage is bucket equi-join → Jaccard verify on
+    candidates only → distinct delta-side ids → anti-join. The corpus
+    text is touched only for verify candidates.
+    """
+    from ..functions.text import doc_fingerprint
+    from .dedup import (
+        exact_dedup_keep_first,
+        minhash_lsh_pairs_ab,
+        word_shingles,
+        jaccard_similarity,
+    )
+
+    h = doc_fingerprint(F.col(text_col))
+    seen = existing.select(h.alias("__h")).distinct()
+    fresh = (
+        delta.withColumn("__h", h)
+        .join(seen, "__h", "left_anti")
+        .drop("__h")
+    )
+    fresh = exact_dedup_keep_first(fresh, text_col=text_col, id_col=id_col)
+
+    cand = minhash_lsh_pairs_ab(
+        fresh, existing, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, band_size=band_size, k=k,
+    )
+    d_sh = fresh.select(
+        F.col(id_col).alias("id_left"), word_shingles(text_col, k).alias("__sa")
+    )
+    e_sh = existing.select(
+        F.col(id_col).alias("id_right"), word_shingles(text_col, k).alias("__sb")
+    )
+    near = (
+        cand.join(d_sh, "id_left")
+        .join(e_sh, "id_right")
+        .filter(
+            jaccard_similarity(F.col("__sa"), F.col("__sb"))
+            >= F.lit(float(jaccard_threshold))
+        )
+        .select(F.col("id_left").alias(id_col))
+        .distinct()
+    )
+    return fresh.join(near, id_col, "left_anti")

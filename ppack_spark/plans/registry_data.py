@@ -1637,3 +1637,119 @@ def minhash_lsh_pairs_ab_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 1),
         num_hashes=8, band_size=2, k=3,
     )
+
+
+@query(
+    "corpus_delta_merge_fuzzy",
+    """
+    with ex as (select * from documents where doc_id % 2 = 0),
+    delta as (select * from documents where doc_id % 2 = 1),
+    fpd as (
+        select *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                  as h
+        from delta
+    ),
+    seen as (
+        select distinct md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                            'g')) as h
+        from ex
+    ),
+    fresh0 as (
+        select f.* from fpd f left join seen s on f.h = s.h where s.h is null
+    ),
+    win as (select h, min(doc_id) as keep_id from fresh0 group by h),
+    fresh as (
+        select f.doc_id, f.text, f.source
+        from fresh0 f join win w on f.h = w.h and f.doc_id = w.keep_id
+    ),
+    shd as (
+        select doc_id,
+               case when len(tk) >= 3 then
+                   list_distinct(list_transform(
+                       generate_series(1, len(tk) - 2),
+                       i -> array_to_string(tk[i:i+2], ' ')))
+               else [array_to_string(tk, ' ')] end as shingles
+        from (select doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') as tk
+              from fresh)
+    ),
+    she as (
+        select doc_id,
+               case when len(tk) >= 3 then
+                   list_distinct(list_transform(
+                       generate_series(1, len(tk) - 2),
+                       i -> array_to_string(tk[i:i+2], ' ')))
+               else [array_to_string(tk, ' ')] end as shingles
+        from (select doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') as tk
+              from ex)
+    ),
+    bandd as (
+        select doc_id, b,
+               cast(sig[2*b + 1] as varchar) || '|' ||
+               cast(sig[2*b + 2] as varchar) as val
+        from (
+            select doc_id,
+                   list_transform(range(0, 8), i ->
+                       list_min(list_transform(hp,
+                           p -> (p.h1 + i * p.h2) % 4294967296))) as sig
+            from (
+                select doc_id,
+                       list_transform(shingles, x -> struct_pack(
+                           h1 := cast(('0x' || substr(md5(x), 1, 8)) as bigint),
+                           h2 := cast(('0x' || substr(md5(x), 9, 8)) as bigint)))
+                         as hp
+                from shd)
+        ) cross join unnest([0, 1, 2, 3]) as tb(b)
+    ),
+    bande as (
+        select doc_id, b,
+               cast(sig[2*b + 1] as varchar) || '|' ||
+               cast(sig[2*b + 2] as varchar) as val
+        from (
+            select doc_id,
+                   list_transform(range(0, 8), i ->
+                       list_min(list_transform(hp,
+                           p -> (p.h1 + i * p.h2) % 4294967296))) as sig
+            from (
+                select doc_id,
+                       list_transform(shingles, x -> struct_pack(
+                           h1 := cast(('0x' || substr(md5(x), 1, 8)) as bigint),
+                           h2 := cast(('0x' || substr(md5(x), 9, 8)) as bigint)))
+                         as hp
+                from she)
+        ) cross join unnest([0, 1, 2, 3]) as tb(b)
+    ),
+    cand as (
+        select distinct d.doc_id as id_left, e.doc_id as id_right
+        from bandd d join bande e on d.b = e.b and d.val = e.val
+    ),
+    near as (
+        select distinct c.id_left as doc_id
+        from cand c
+        join shd a on a.doc_id = c.id_left
+        join she b on b.doc_id = c.id_right
+        where len(list_intersect(a.shingles, b.shingles))
+              / cast(greatest(len(list_distinct(a.shingles || b.shingles)), 1)
+                     as double) >= 0.7
+    )
+    select f.doc_id, f.source
+    from fresh f left join near n on f.doc_id = n.doc_id
+    where n.doc_id is null
+    """,
+)
+def corpus_delta_merge_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy incremental ingestion
+    (operators/pipeline.py:merge_corpus_delta_fuzzy): exact
+    fingerprint anti-join + within-delta dedup, THEN near-duplicate
+    rejection — cross-corpus MinHash banding proposes candidates,
+    exact n-gram Jaccard >= 0.7 confirms. Every stage replayed in the
+    oracle SQL."""
+    from ..operators.pipeline import merge_corpus_delta_fuzzy
+
+    d = t(spark, sf_dir, "documents")
+    return merge_corpus_delta_fuzzy(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        jaccard_threshold=0.7,
+    ).select("doc_id", "source")

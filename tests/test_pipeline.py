@@ -501,3 +501,32 @@ def test_prepare_corpus_stage_composition(spark):
     assert set(got) == {1, 2}
     assert got[1] == good
     assert boiler not in got[2]
+
+
+def test_merge_corpus_delta_fuzzy_rejects_near_dups(spark):
+    """A delta doc that is a near-mirror (high Jaccard, not
+    byte-identical) of a corpus doc is rejected; genuinely new content
+    is admitted; the exact stage still applies first."""
+    from ppack_spark.operators.pipeline import merge_corpus_delta_fuzzy
+
+    base = ("a syndicated news article body with many shared tokens "
+            "repeated across mirror sites everywhere online today")
+    existing = spark.createDataFrame(
+        [(0, base), (2, "some other corpus document entirely")],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [
+            (11, base + " extra"),           # near-mirror -> rejected
+            (13, base),                       # exact -> rejected
+            (15, "entirely novel text with no overlap whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in merge_corpus_delta_fuzzy(
+            existing, delta, jaccard_threshold=0.5, band_size=1
+        ).collect()
+    )
+    assert got == [15]
