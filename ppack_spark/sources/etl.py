@@ -28,6 +28,7 @@ __all__ = [
     "read_jsonl",
     "write_orc",
     "read_orc",
+    "write_sharded",
     "load_tables",
     "register_views",
 ]
@@ -191,3 +192,23 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     parquet), so no explicit schema is needed; predicate pushdown and
     column pruning work the same as the parquet scan."""
     return spark.read.orc(path)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Size-bounded shard export: cap records per output file
+    (``maxRecordsPerFile`` — the writer rolls files within each task).
+    The contract trainers want for corpus snapshots: bounded shard
+    size for shuffle-free loading, no global sort or repartition
+    needed to achieve it."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .format(fmt)
+        .save(path)
+    )

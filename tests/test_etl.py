@@ -140,3 +140,20 @@ def test_jsonl_roundtrip_preserves_newlines_and_unicode(spark, tmp_path):
     # restores them as NULL
     assert got == want
     assert back.schema == df.schema
+
+
+def test_write_sharded_bounds_file_size(spark, tmp_path):
+    """No output file exceeds max_records_per_file, and the shards
+    re-read losslessly."""
+    import glob
+
+    from ppack_spark.sources.etl import write_sharded
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id").repartition(2)
+    path = str(tmp_path / "shards")
+    write_sharded(df, path, max_records_per_file=100)
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) >= 10
+    for f in files:
+        assert spark.read.parquet(f).count() <= 100
+    assert spark.read.parquet(path).count() == 1000
