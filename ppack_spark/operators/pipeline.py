@@ -51,6 +51,7 @@ __all__ = [
     "merge_corpus_delta_fuzzy",
     "repeated_spans",
     "prepare_corpus",
+    "split_corpus",
 ]
 
 
@@ -546,3 +547,41 @@ def merge_corpus_delta_fuzzy(
         .distinct()
     )
     return fresh.join(near, id_col, "left_anti")
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test splitting: assign each row a split
+    label by which md5(id)-prefix range it falls in, with range widths
+    proportional to ``weights`` (need not sum to 1 — they are
+    normalized). Unlike ``randomSplit`` the assignment is stable
+    across runs, partitionings, and engines, rows are never lost or
+    duplicated between splits, and membership is reproducible from the
+    id alone (the property eval pipelines need). Granularity 1/65536.
+
+    Pure map expression (a CASE over the hash prefix) — no shuffle;
+    filters on the label push down to the scan.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
+    total = float(sum(weights.values()))
+    h = _id_hash(id_col, 4)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cut = F.lit(format(min(int(acc * 0x10000), 0xFFFF), "04x"))
+        expr = (
+            F.when(h < cut, F.lit(name))
+            if expr is None
+            else expr.when(h < cut, F.lit(name))
+        )
+    last = F.lit(items[-1][0])
+    label = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", label)

@@ -1753,3 +1753,28 @@ def corpus_delta_merge_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 2 == 1),
         jaccard_threshold=0.7,
     ).select("doc_id", "source")
+
+
+@query(
+    "corpus_split",
+    """
+    select doc_id, lang,
+           case when substr(md5(cast(doc_id as varchar)), 1, 4) < 'cccc'
+                    then 'train'
+                when substr(md5(cast(doc_id as varchar)), 1, 4) < 'e666'
+                    then 'val'
+                else 'test' end as split
+    from documents
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(id)-prefix
+    ranges (operators/pipeline.py:split_corpus): stable across
+    runs/engines/partitionings, no row lost or duplicated, membership
+    derivable from the id alone. Zero shuffle."""
+    from ..operators.pipeline import split_corpus
+
+    d = t(spark, sf_dir, "documents")
+    return split_corpus(d, {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "lang", "split"
+    )

@@ -530,3 +530,28 @@ def test_merge_corpus_delta_fuzzy_rejects_near_dups(spark):
         ).collect()
     )
     assert got == [15]
+
+
+def test_split_corpus_partition_properties(spark, docs):
+    """Every row gets exactly one label; proportions are ~weights;
+    assignment is layout-invariant; bad weights rejected."""
+    from ppack_spark.operators.pipeline import split_corpus
+
+    out = split_corpus(docs, {"train": 8, "val": 1, "test": 1})
+    n = docs.count()
+    assert out.count() == n
+    per = {r["split"]: r["n"] for r in
+           out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(per) == {"train", "val", "test"}
+    assert 0.7 <= per["train"] / n <= 0.9
+    a = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         split_corpus(docs.repartition(11), {"train": 8, "val": 1, "test": 1})
+         .select("doc_id", "split").collect()}
+    assert a == b
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_corpus(docs, {})
+    with _pytest.raises(ValueError):
+        split_corpus(docs, {"a": -1.0, "b": 2.0})
