@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "events_value_quantiles",
+    "events_funnel",
     "blocking_multi_pass",
     "blocking_salted_pass",
     "blocking_pass_counts",
@@ -86,6 +87,7 @@ BENCH_QUERIES = [
     "near_dedup_corpus",
     "minhash_lsh_pairs_ab",
     "corpus_delta_merge_fuzzy",
+    "corpus_split",
 ]
 
 

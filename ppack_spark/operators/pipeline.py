@@ -52,6 +52,7 @@ __all__ = [
     "repeated_spans",
     "prepare_corpus",
     "split_corpus",
+    "funnel_counts",
 ]
 
 
@@ -585,3 +586,61 @@ def split_corpus(
     last = F.lit(items[-1][0])
     label = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", label)
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    within_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_s",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequential conversion funnel: for each ordered step i, the
+    number of users who performed step i within ``within_s`` seconds
+    AFTER their (earliest qualifying) step i-1 — the standard
+    product-analytics funnel, distributed as k chained conditional
+    aggregations.
+
+    ``ts_col`` must be numeric (epoch seconds — the caller projects
+    it; timestamps differ between engines, longs don't). Returns
+    (step, event_type, n_users) with step 1-based.
+
+    Scale shape: pass i filters the events scan to step i's type
+    (pushed down), joins the per-user frontier (one row per surviving
+    user — broadcast-size after step 1 of any real funnel), and
+    partial-aggregates min(ts) per user: no pass ever shuffles more
+    than one event type, and the frontier shrinks monotonically.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    e = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__ty"),
+        F.col(ts_col).cast("long").alias("__ts"),
+    )
+    frontier = (
+        e.filter(F.col("__ty") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__t"))
+    )
+    tiers = [frontier]
+    for s in steps[1:]:
+        nxt = (
+            e.filter(F.col("__ty") == s)
+            .join(tiers[-1], "__u")
+            .filter(
+                (F.col("__ts") > F.col("__t"))
+                & (F.col("__ts") <= F.col("__t") + F.lit(int(within_s)))
+            )
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__t"))
+        )
+        tiers.append(nxt)
+    out = None
+    for i, (s, tier) in enumerate(zip(steps, tiers), start=1):
+        row = tier.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(s).alias("event_type"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1778,3 +1778,50 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_corpus(d, {"train": 0.8, "val": 0.1, "test": 0.1}).select(
         "doc_id", "lang", "split"
     )
+
+
+@query(
+    "events_funnel",
+    """
+    with e as (
+        select user_id, event_type,
+               cast(floor(epoch(ts)) as bigint) as ts_s
+        from events
+    ),
+    s1 as (
+        select user_id, min(ts_s) as t from e
+        where event_type = 'view' group by user_id
+    ),
+    s2 as (
+        select e.user_id, min(e.ts_s) as t
+        from e join s1 on e.user_id = s1.user_id
+        where e.event_type = 'click' and e.ts_s > s1.t
+          and e.ts_s <= s1.t + 86400
+        group by e.user_id
+    ),
+    s3 as (
+        select e.user_id, min(e.ts_s) as t
+        from e join s2 on e.user_id = s2.user_id
+        where e.event_type = 'purchase' and e.ts_s > s2.t
+          and e.ts_s <= s2.t + 86400
+        group by e.user_id
+    )
+    select 1 as step, 'view' as event_type,
+           (select count(*) from s1) as n_users
+    union all
+    select 2, 'click', (select count(*) from s2)
+    union all
+    select 3, 'purchase', (select count(*) from s3)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view → click → purchase, each step
+    within 24 h of the previous (operators/pipeline.py:funnel_counts):
+    k chained conditional aggregations, each pass scanning one pushed-
+    down event type and joining the shrinking per-user frontier."""
+    from ..operators.pipeline import funnel_counts
+
+    e = t(spark, sf_dir, "events").withColumn("ts_s", _epoch_s(F.col("ts")))
+    return funnel_counts(
+        e, ["view", "click", "purchase"], within_s=86400
+    )

@@ -555,3 +555,30 @@ def test_split_corpus_partition_properties(spark, docs):
         split_corpus(docs, {})
     with _pytest.raises(ValueError):
         split_corpus(docs, {"a": -1.0, "b": 2.0})
+
+
+def test_funnel_counts_semantics(spark):
+    """Step ordering and the time window are enforced: an out-of-order
+    purchase (before the click) or one outside the window does not
+    convert; a clean in-order-in-window path does."""
+    from ppack_spark.operators.pipeline import funnel_counts
+
+    rows = [
+        # user 1: clean conversion view(10) -> click(20) -> purchase(30)
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: purchase BEFORE click -> stops at click
+        (2, "view", 10), (2, "purchase", 15), (2, "click", 20),
+        # user 3: click outside the window -> stops at view
+        (3, "view", 10), (3, "click", 200),
+        # user 4: never viewed -> not in funnel at all
+        (4, "click", 10), (4, "purchase", 20),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_s long")
+    out = {r["step"]: r["n_users"]
+           for r in funnel_counts(df, ["view", "click", "purchase"],
+                                  within_s=50).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel_counts(df, ["view"], within_s=50)
