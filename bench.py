@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "threshold_topk",
     "eval_decontamination",
     "dedup_keep_first",

@@ -41,6 +41,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "cosine_topk_pq",
+    "cosine_topk_ivfpq",
 ]
 
 
@@ -468,6 +469,105 @@ def cosine_topk_pq(
         .select("query_id", "__nid")
     )
     # exact re-rank: fetch true vectors for the shortlist only
+    cvec = corpus.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__cv"))
+    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    rer = (
+        short.join(cvec, "__nid")
+        .join(F.broadcast(qvec), "query_id")
+        .filter(F.col("query_id") != F.col("__nid"))
+        .select(
+            "query_id",
+            F.col("__nid").alias("neighbor_id"),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    pq_centroids: int = 32,
+    shortlist_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF + PQ combined — the FAISS-IVFPQ shape and the full 100 TB
+    ANN architecture: an IVF coarse quantizer limits each query to its
+    ``n_probe`` inverted lists, and within those lists candidates are
+    scored from ``m``-byte PQ codes via per-query lookup tables (no
+    float vector is read until the final exact re-rank of the
+    shortlist). Search cost ≈ (n_probe/n_centroids) of the corpus
+    CODES per query — both the scan fraction and the bytes-per-
+    candidate shrink multiplicatively vs either index alone.
+
+    Codebooks are shared across lists (no per-list residual training —
+    the simpler variant; residual PQ is the refinement documented in
+    Jégou et al. §IV). Recall@k vs exact is asserted in
+    tests/test_ann.py."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    assigned, cent_df = ivf_index(corpus, n_centroids, id_col, vec_col, seed)
+    codebooks = pq_train(corpus, m=m, k=pq_centroids, vec_col=vec_col, seed=seed)
+    codes = pq_encode(assigned, codebooks, id_col=id_col, vec_col=vec_col).join(
+        assigned.select(F.col(id_col), "centroid"), id_col
+    )
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[id_col] for r in qrows]
+    Q = np.asarray([r[vec_col] for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    mm, kk, dsub = codebooks.shape
+    lut = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), mm, dsub), codebooks)
+    qindex = {qid: i for i, qid in enumerate(qids)}
+
+    # query -> n_probe nearest centroids (tiny broadcast cross join)
+    qc = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("__cd", cosine(F.col("__qv"), F.col("centroid_vec")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__cd"), F.asc("centroid"))
+    probes = (
+        qc.withColumn("__cr", F.row_number().over(wq))
+        .filter(F.col("__cr") <= n_probe)
+        .select("query_id", "centroid")
+    )
+
+    # no annotations: PEP-563 stringified hints break pandas_udf
+    # inference under `from __future__ import annotations`
+    @pandas_udf(T.DoubleType())
+    def _adc(qid_s, code_s):
+        import pandas as pd
+
+        C = np.asarray(code_s.tolist(), dtype=np.int64)
+        qi = qid_s.map(qindex).to_numpy()
+        scores = np.zeros(len(C))
+        for s in range(mm):
+            scores += lut[qi, s, C[:, s]]
+        return pd.Series(scores)
+
+    cand = probes.join(codes, "centroid").select(
+        "query_id",
+        F.col(id_col).alias("__nid"),
+        _adc(F.col("query_id"), F.col("pq_code")).alias("adc_score"),
+    )
+    shortlist = shortlist_mult * k
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("__nid"))
+    short = (
+        cand.withColumn("__r", F.row_number().over(ws))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "__nid")
+    )
     cvec = corpus.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__cv"))
     qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     rer = (

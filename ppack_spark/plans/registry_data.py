@@ -1825,3 +1825,22 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         e, ["view", "click", "purchase"], within_s=86400
     )
+
+
+@query("ann_ivfpq_topk")  # no SQL oracle: two k-means trainings are
+# iterative; recall@10 >= 0.8 vs exact is asserted in tests/test_ann.py
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ combined ANN (operators/ann.py:cosine_topk_ivfpq — the
+    FAISS-IVFPQ shape): n_probe inverted lists bound the scan, m-byte
+    PQ codes bound the bytes per candidate, exact re-rank on the
+    shortlist only. Config matches the recall-gated one in
+    tests/test_ann.py."""
+    from ..operators.ann import cosine_topk_ivfpq
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivfpq(
+        queries, e, k=10, n_centroids=8, n_probe=6, shortlist_mult=12
+    )

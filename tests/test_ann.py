@@ -127,3 +127,23 @@ def test_pq_codes_shape_and_determinism(embeddings):
     }
     assert a == b
     assert all(len(c) == 8 and max(c) < 16 and min(c) >= 0 for c in a.values())
+
+
+def test_ivfpq_recall_at_10(embeddings, exact_pairs):
+    """IVF+PQ combined must reach recall@10 >= 0.8 at the shipped
+    config (8 lists / probe 6, m=8 codes, shortlist 12k). Near-random
+    fixture = worst case for both index layers at once, hence the high
+    probe fraction; clustered real embeddings need far less."""
+    from ppack_spark.operators.ann import cosine_topk_ivfpq
+
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    rows = (
+        cosine_topk_ivfpq(
+            q, embeddings, k=K, n_centroids=8, n_probe=6, shortlist_mult=12
+        )
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    got = {(r[0], r[1]) for r in rows}
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"IVFPQ recall@10 = {recall:.3f}"
