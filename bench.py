@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "events_range_join",
     "events_value_quantiles",
     "events_funnel",
+    "events_cohort_retention",
     "blocking_multi_pass",
     "blocking_salted_pass",
     "blocking_pass_counts",

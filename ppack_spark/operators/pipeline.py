@@ -53,6 +53,7 @@ __all__ = [
     "prepare_corpus",
     "split_corpus",
     "funnel_counts",
+    "cohort_retention",
 ]
 
 
@@ -644,3 +645,34 @@ def funnel_counts(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    period_s: int = 604_800,
+    user_col: str = "user_id",
+    ts_col: str = "ts_s",
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the period of
+    their FIRST event; for each (cohort, periods-since-first) cell,
+    count the distinct users active in that period. The standard
+    retention analysis (period defaults to a week).
+
+    Scale shape: one per-user min (partial agg), broadcast back onto
+    the events scan, then one distinct-count agg keyed on
+    (cohort, period_offset) — two shuffles, both on compact keys; the
+    events table itself is aggregated in a single pass.
+    """
+    e = events.select(
+        F.col(user_col).alias("__u"), F.col(ts_col).cast("long").alias("__ts")
+    )
+    firsts = e.groupBy("__u").agg(F.min("__ts").alias("__first"))
+    cohort = F.floor(F.col("__first") / period_s).cast("long")
+    offset = (
+        F.floor(F.col("__ts") / period_s) - F.floor(F.col("__first") / period_s)
+    ).cast("long")
+    return (
+        e.join(firsts, "__u")
+        .groupBy(cohort.alias("cohort_period"), offset.alias("period_offset"))
+        .agg(F.count_distinct("__u").alias("n_users"))
+    )

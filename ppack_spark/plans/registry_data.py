@@ -1844,3 +1844,30 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivfpq(
         queries, e, k=10, n_centroids=8, n_probe=6, shortlist_mult=12
     )
+
+
+@query(
+    "events_cohort_retention",
+    """
+    with e as (
+        select user_id, cast(floor(epoch(ts)) as bigint) as ts_s
+        from events
+    ),
+    f as (select user_id, min(ts_s) as first_ts from e group by user_id)
+    select cast(floor(f.first_ts / 604800) as bigint) as cohort_period,
+           cast(floor(e.ts_s / 604800)
+                - floor(f.first_ts / 604800) as bigint) as period_offset,
+           count(distinct e.user_id) as n_users
+    from e join f using (user_id)
+    group by 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle
+    (operators/pipeline.py:cohort_retention): users cohorted by the
+    week of their first event; distinct active users per
+    (cohort, weeks-since-first) cell."""
+    from ..operators.pipeline import cohort_retention
+
+    e = t(spark, sf_dir, "events").withColumn("ts_s", _epoch_s(F.col("ts")))
+    return cohort_retention(e, period_s=604_800)

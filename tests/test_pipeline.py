@@ -582,3 +582,22 @@ def test_funnel_counts_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         funnel_counts(df, ["view"], within_s=50)
+
+
+def test_cohort_retention_values(spark):
+    """Hand-computed triangle: two cohorts, known activity pattern."""
+    from ppack_spark.operators.pipeline import cohort_retention
+
+    P = 100
+    rows = [
+        # user 1: first in period 0, active 0 and 2
+        (1, 10), (1, 250),
+        # user 2: first in period 0, active 0 and 1
+        (2, 50), (2, 150),
+        # user 3: first in period 1, active 1 only
+        (3, 120),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s long")
+    got = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+           for r in cohort_retention(df, period_s=P).collect()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
