@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "pii_stats",
     "line_dedup_corpus",
     "repetition_signals",
+    "top_term_coverage",
     "temperature_mix",
     "corpus_delta_merge",
     "repeated_spans",

@@ -54,6 +54,7 @@ __all__ = [
     "split_corpus",
     "funnel_counts",
     "cohort_retention",
+    "top_term_coverage",
 ]
 
 
@@ -675,4 +676,34 @@ def cohort_retention(
         e.join(firsts, "__u")
         .groupBy(cohort.alias("cohort_period"), offset.alias("period_offset"))
         .agg(F.count_distinct("__u").alias("n_users"))
+    )
+
+
+def top_term_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-term coverage: the fraction of tokens taken by
+    the single most frequent token — the Gopher repetition signal that
+    needs aggregation (a doc that is one word over and over scores
+    ~1.0; healthy prose scores low). Complements the pure-map
+    ``repetition_signals`` family.
+
+    Scale shape: explode tokens → count per (doc, token) with map-side
+    partial aggregation → max/sum per doc. Both shuffles key on
+    (doc, token) / (doc) — the second reuses the first's partitioning
+    (grouping-key subset), so effectively one corpus shuffle.
+    """
+    from ..functions.text import tokens
+
+    w = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__w")
+    )
+    counts = w.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__n"))
+    return counts.groupBy(id_col).agg(
+        F.sum("__n").cast("long").alias("n_words"),
+        F.round(
+            F.max("__n") / F.sum("__n").cast("double"), 6
+        ).alias("top_word_frac"),
     )

@@ -1871,3 +1871,27 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "events").withColumn("ts_s", _epoch_s(F.col("ts")))
     return cohort_retention(e, period_s=604_800)
+
+
+@query(
+    "top_term_coverage",
+    """
+    with w as (
+        select doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) as word
+        from documents
+    ),
+    c as (select doc_id, word, count(*) as n from w group by doc_id, word)
+    select doc_id,
+           cast(sum(n) as bigint) as n_words,
+           round(max(n) / cast(sum(n) as double), 6) as top_word_frac
+    from c group by doc_id
+    """,
+)
+def top_term_coverage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-term coverage
+    (operators/pipeline.py:top_term_coverage): fraction of tokens
+    taken by the most frequent token per doc."""
+    from ..operators.pipeline import top_term_coverage
+
+    return top_term_coverage(t(spark, sf_dir, "documents"))
