@@ -221,7 +221,7 @@ def tfidf_top_terms(
     Deterministic tie-break (tfidf desc, term asc) and an exact DuckDB
     oracle — both engines evaluate the identical double expression.
     """
-    from pyspark.sql import DataFrame, Window
+    from pyspark.sql import Window
 
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
