@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "line_dedup_corpus",
     "repetition_signals",
     "top_term_coverage",
+    "lm_quality_score",
+    "lm_perplexity_buckets",
     "temperature_mix",
     "corpus_delta_merge",
     "repeated_spans",

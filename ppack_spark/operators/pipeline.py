@@ -55,6 +55,8 @@ __all__ = [
     "funnel_counts",
     "cohort_retention",
     "top_term_coverage",
+    "unigram_logprob",
+    "perplexity_buckets",
 ]
 
 
@@ -707,3 +709,71 @@ def top_term_coverage(
             F.max("__n") / F.sum("__n").cast("double"), 6
         ).alias("top_word_frac"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own (add-``alpha`` smoothed) unigram language model — the cheap
+    stand-in for the KenLM perplexity scoring CCNet uses to rank web
+    text (Wenzek et al. 2020 §3.3): gibberish and rare-token soup
+    score low, common fluent text scores high.
+
+    Returns (id, n_tokens, mean_logprob). Two aggregations: corpus
+    term counts (partial agg on the term), then an equi-join of the
+    exploded tokens against the term table (broadcast when the vocab
+    fits — the usual case; vocab ≪ corpus) and a per-doc mean.
+    """
+    from ..functions.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__n"))
+    totals = counts.agg(
+        F.sum("__n").alias("__tot"), F.count(F.lit(1)).alias("__vocab")
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "__t",
+        F.log(
+            (F.col("__n") + F.lit(float(alpha)))
+            / (F.col("__tot") + F.lit(float(alpha)) * F.col("__vocab"))
+        ).alias("__lp"),
+    )
+    return (
+        tok.join(F.broadcast(probs), "__t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "mean_logprob",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §3.3):
+    rank documents by LM score within each group (language) and cut
+    into ``n_buckets`` equal tiles — head = most fluent. Deterministic
+    ntile (score desc, id tie-break). One shuffle on the group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    tile = F.ntile(n_buckets).over(w)
+    label = tile.cast("string")
+    if n_buckets == 3:
+        label = (
+            F.when(tile == 1, "head")
+            .when(tile == 2, "middle")
+            .otherwise("tail")
+        )
+    return scored.withColumn("bucket", label)

@@ -1895,3 +1895,62 @@ def top_term_coverage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import top_term_coverage
 
     return top_term_coverage(t(spark, sf_dir, "documents"))
+
+
+_LM_SCORE_SQL = """
+    with tok as (
+        select doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) as t
+        from documents
+    ),
+    c as (select t, count(*) as n from tok group by t),
+    tot as (select sum(n) as total_n, count(*) as vocab from c),
+    p as (
+        select t, ln((n + 1.0) / (total_n + 1.0 * vocab)) as lp
+        from c cross join tot
+    ),
+    scored as (
+        select doc_id,
+               cast(count(*) as bigint) as n_tokens,
+               round(avg(lp), 6) as mean_logprob
+        from tok join p using (t)
+        group by doc_id
+    )
+"""
+
+
+@query(
+    "lm_quality_score",
+    _LM_SCORE_SQL + "select doc_id, n_tokens, mean_logprob from scored",
+)
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring
+    (operators/pipeline.py:unigram_logprob): per-doc mean log-prob
+    under the corpus's own smoothed unigram model — the cheap stand-in
+    for KenLM perplexity ranking. Vocab table broadcast; corpus
+    shuffles once on the doc id for the mean."""
+    from ..operators.pipeline import unigram_logprob
+
+    return unigram_logprob(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "lm_perplexity_buckets",
+    _LM_SCORE_SQL + """
+    select s.doc_id, d.lang,
+           case ntile(3) over (partition by d.lang
+                               order by s.mean_logprob desc, s.doc_id)
+                when 1 then 'head' when 2 then 'middle' else 'tail' end
+             as bucket
+    from scored s join documents d using (doc_id)
+    """,
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split
+    (operators/pipeline.py:perplexity_buckets): per-language ntile(3)
+    over the LM score, deterministic tie-break by id."""
+    from ..operators.pipeline import perplexity_buckets, unigram_logprob
+
+    d = t(spark, sf_dir, "documents")
+    scored = unigram_logprob(d).join(d.select("doc_id", "lang"), "doc_id")
+    return perplexity_buckets(scored).select("doc_id", "lang", "bucket")

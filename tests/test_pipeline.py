@@ -601,3 +601,40 @@ def test_cohort_retention_values(spark):
     got = {(r["cohort_period"], r["period_offset"]): r["n_users"]
            for r in cohort_retention(df, period_s=P).collect()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_unigram_logprob_ranks_fluency(spark):
+    """A doc of corpus-common words outscores a doc of hapax tokens,
+    and repetitive common text scores highest of all."""
+    from ppack_spark.operators.pipeline import unigram_logprob
+
+    rows = [
+        (1, "the the the the the"),            # all top-frequency
+        (2, "the cat sat on the mat"),          # common words
+        (3, "zyx qwv jkl pqr mno xyz"),         # all hapax
+        (4, "the cat sat on a rug"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["mean_logprob"]
+           for r in unigram_logprob(df).collect()}
+    assert got[1] > got[2] > got[3]
+
+
+def test_perplexity_buckets_balanced(spark, docs):
+    """ntile(3) per lang → bucket sizes differ by at most one inside
+    each language, and every doc gets exactly one bucket."""
+    from ppack_spark.operators.pipeline import (
+        perplexity_buckets,
+        unigram_logprob,
+    )
+
+    scored = unigram_logprob(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    out = perplexity_buckets(scored)
+    assert out.count() == docs.count()
+    per = out.groupBy("lang", "bucket").count().collect()
+    by_lang = {}
+    for r in per:
+        by_lang.setdefault(r["lang"], []).append(r["count"])
+    for lang, sizes in by_lang.items():
+        assert len(sizes) == 3
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
