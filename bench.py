@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "top_term_coverage",
     "lm_quality_score",
     "lm_perplexity_buckets",
+    "dsir_importance",
     "temperature_mix",
     "corpus_delta_merge",
     "repeated_spans",

@@ -57,6 +57,7 @@ __all__ = [
     "top_term_coverage",
     "unigram_logprob",
     "perplexity_buckets",
+    "dsir_importance_weights",
 ]
 
 
@@ -777,3 +778,76 @@ def perplexity_buckets(
             .otherwise("tail")
         )
     return scored.withColumn("bucket", label)
+
+
+def dsir_importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_features: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    each corpus document by the mean log likelihood ratio of its
+    hashed unigram features under the TARGET distribution vs the
+    corpus distribution — documents that look like the target domain
+    score high; resample/threshold on the score to build a
+    domain-focused training mix.
+
+    Features are md5-hash buckets (``n_features``), so the feature
+    space is fixed-size regardless of vocabulary and the whole
+    computation replays bit-identically in the SQL oracle. Both
+    distributions are add-``alpha`` smoothed over the feature space.
+
+    Scale shape: two feature-count aggregations (target is typically
+    small; corpus counts partial-agg into ≤ n_features rows), a
+    broadcast ratio table, and one per-doc mean — the corpus shuffles
+    once.
+    """
+    from ..functions.text import tokens
+
+    feat = lambda c: (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+        % n_features
+    )
+    co_tok = corpus.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__w")
+    ).select(F.col(id_col), feat(F.col("__w")).alias("__f"))
+    ta_tok = target.select(
+        F.explode(tokens(text_col)).alias("__w")
+    ).select(feat(F.col("__w")).alias("__f"))
+
+    co_counts = co_tok.groupBy("__f").agg(F.count(F.lit(1)).alias("__nc"))
+    ta_counts = ta_tok.groupBy("__f").agg(F.count(F.lit(1)).alias("__nt"))
+    co_tot = co_counts.agg(F.sum("__nc").alias("__totc"))
+    ta_tot = ta_counts.agg(F.sum("__nt").alias("__tott"))
+    # full outer over the two count tables: a feature unseen in one
+    # side still gets its smoothed mass
+    ratios = (
+        co_counts.join(ta_counts, "__f", "full_outer")
+        .crossJoin(F.broadcast(co_tot))
+        .crossJoin(F.broadcast(ta_tot))
+        .select(
+            "__f",
+            (
+                F.log(
+                    (F.coalesce(F.col("__nt"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("__tott") + F.lit(float(alpha) * n_features))
+                )
+                - F.log(
+                    (F.coalesce(F.col("__nc"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("__totc") + F.lit(float(alpha) * n_features))
+                )
+            ).alias("__llr"),
+        )
+    )
+    return (
+        co_tok.join(F.broadcast(ratios), "__f")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("__llr"), 6).alias("importance_score"),
+        )
+    )

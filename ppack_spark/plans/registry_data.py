@@ -1954,3 +1954,47 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     scored = unigram_logprob(d).join(d.select("doc_id", "lang"), "doc_id")
     return perplexity_buckets(scored).select("doc_id", "lang", "bucket")
+
+
+@query(
+    "dsir_importance",
+    """
+    with co_tok as (
+        select doc_id,
+               ('0x' || substr(md5(unnest(string_split_regex(
+                   lower(trim(text)), '\\s+'))), 1, 8))::bigint % 4096 as f
+        from documents
+    ),
+    ta_tok as (
+        select ('0x' || substr(md5(unnest(string_split_regex(
+                   lower(trim(text)), '\\s+'))), 1, 8))::bigint % 4096 as f
+        from documents where lang = 'fr'
+    ),
+    cc as (select f, count(*) as nc from co_tok group by f),
+    tc as (select f, count(*) as nt from ta_tok group by f),
+    ct as (select sum(nc) as totc from cc),
+    tt as (select sum(nt) as tott from tc),
+    r as (
+        select coalesce(cc.f, tc.f) as f,
+               ln((coalesce(nt, 0) + 1.0) / (tott + 1.0 * 4096))
+               - ln((coalesce(nc, 0) + 1.0) / (totc + 1.0 * 4096)) as llr
+        from cc full outer join tc on cc.f = tc.f
+        cross join ct cross join tt
+    )
+    select co_tok.doc_id,
+           cast(count(*) as bigint) as n_tokens,
+           round(avg(r.llr), 6) as importance_score
+    from co_tok join r on co_tok.f = r.f
+    group by co_tok.doc_id
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting
+    (operators/pipeline.py:dsir_importance_weights): French docs as
+    the target domain, hashed-unigram log likelihood ratio scores over
+    the whole corpus — the data-selection scoring pass; md5-bucket
+    features make it exactly SQL-replayable."""
+    from ..operators.pipeline import dsir_importance_weights
+
+    d = t(spark, sf_dir, "documents")
+    return dsir_importance_weights(d, d.filter(F.col("lang") == "fr"))

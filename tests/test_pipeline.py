@@ -638,3 +638,20 @@ def test_perplexity_buckets_balanced(spark, docs):
     for lang, sizes in by_lang.items():
         assert len(sizes) == 3
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+
+def test_dsir_scores_target_domain_higher(spark, docs):
+    """With French docs as the target, French corpus docs must have a
+    higher mean importance score than English ones."""
+    from ppack_spark.operators.pipeline import dsir_importance_weights
+
+    scored = dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "fr")
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["lang"]: r["m"]
+        for r in scored.groupBy("lang")
+        .agg(F.avg("importance_score").alias("m"))
+        .collect()
+    }
+    assert means["fr"] > means["en"]
