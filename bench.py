@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "lm_quality_score",
     "lm_perplexity_buckets",
     "dsir_importance",
+    "minhash_jaccard_est",
+    "corpus_data_card",
     "temperature_mix",
     "corpus_delta_merge",
     "repeated_spans",

@@ -49,6 +49,7 @@ __all__ = [
     "simhash_df",
     "simhash_pairs",
     "near_dedup_corpus",
+    "minhash_jaccard_estimate",
 ]
 
 
@@ -446,3 +447,43 @@ def near_dedup_corpus(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def minhash_jaccard_estimate(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs from MinHash signature
+    agreement (fraction of equal signature positions — the unbiased
+    MinHash estimator). At 100 TB this ranks/filters LSH candidates
+    WITHOUT touching document text again: signatures are
+    ``num_hashes`` longs per doc vs re-shingling both sides, so the
+    verify prefilter moves ~64 bytes per doc instead of the document.
+    Exact verification (``ngram_jaccard_pairs``) is then only paid for
+    pairs passing the estimate threshold.
+
+    Returns (id_left, id_right, est_jaccard)."""
+    sig = df.select(
+        F.col(id_col), minhash_signature(text_col, num_hashes, k).alias("__sig")
+    )
+    sl = sig.select(F.col(id_col).alias("id_left"), F.col("__sig").alias("__sl"))
+    sr = sig.select(F.col(id_col).alias("id_right"), F.col("__sig").alias("__sr"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__sl"), F.col("__sr"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return (
+        pairs.join(sl, "id_left")
+        .join(sr, "id_right")
+        .select(
+            "id_left",
+            "id_right",
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+    )

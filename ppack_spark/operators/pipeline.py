@@ -58,6 +58,7 @@ __all__ = [
     "unigram_logprob",
     "perplexity_buckets",
     "dsir_importance_weights",
+    "corpus_stats",
 ]
 
 
@@ -850,4 +851,36 @@ def dsir_importance_weights(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.round(F.avg("__llr"), 6).alias("importance_score"),
         )
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: list[str] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-card statistics rollup: per group, document count, token
+    totals/means, mean quality-keep rate, and PII incidence — the
+    summary table a dataset release documents (the "data card"
+    numbers). One aggregation pass; every input is an already-tested
+    map expression, so the whole card costs a single shuffle on the
+    group key."""
+    from ..functions.text import c4_quality_flags, pii_counts, token_count
+
+    q = c4_quality_flags(text_col)
+    pii = pii_counts(text_col)
+    n_tok = token_count(text_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 6).alias("mean_tokens"),
+        F.round(F.avg(q["keep"].cast("int")), 6).alias("quality_keep_rate"),
+        F.round(
+            F.avg(
+                (
+                    (pii["n_url"] + pii["n_email"] + pii["n_phone"]) > 0
+                ).cast("int")
+            ),
+            6,
+        ).alias("pii_doc_rate"),
     )

@@ -1998,3 +1998,101 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return dsir_importance_weights(d, d.filter(F.col("lang") == "fr"))
+
+
+@query(
+    "minhash_jaccard_est",
+    _SHINGLE_SQL + """
+    , hp as (
+        select doc_id,
+               list_transform(shingles, x -> struct_pack(
+                   h1 := cast(('0x' || substr(md5(x), 1, 8)) as bigint),
+                   h2 := cast(('0x' || substr(md5(x), 9, 8)) as bigint))) as hp
+        from sh
+    ),
+    sig as (
+        select doc_id,
+               list_transform(range(0, 8), i ->
+                   list_min(list_transform(hp,
+                       p -> (p.h1 + i * p.h2) % 4294967296))) as sig
+        from hp
+    ),
+    bands as (
+        select doc_id, b,
+               cast(sig[2*b + 1] as varchar) || '|' ||
+               cast(sig[2*b + 2] as varchar) as val
+        from sig cross join unnest([0, 1, 2, 3]) as tb(b)
+    ),
+    pairs as (
+        select distinct a.doc_id as id_left, b.doc_id as id_right
+        from bands a
+        join bands b on a.b = b.b and a.val = b.val and a.doc_id < b.doc_id
+    )
+    select p.id_left, p.id_right,
+           round(list_aggregate(list_transform(generate_series(1, 8),
+                     i -> case when sa.sig[i] = sb.sig[i] then 1 else 0 end),
+                 'sum') / 8.0, 6) as est_jaccard
+    from pairs p
+    join sig sa on sa.doc_id = p.id_left
+    join sig sb on sb.doc_id = p.id_right
+    """,
+)
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-agreement Jaccard estimate over the LSH candidates
+    (operators/dedup.py:minhash_jaccard_estimate): ranks/filters
+    candidate pairs moving only 8 longs per doc — exact shingle
+    verification is then paid only above the estimate threshold."""
+    from ..operators.dedup import minhash_jaccard_estimate, minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=8, band_size=2, k=3)
+    return minhash_jaccard_estimate(pairs, d, num_hashes=8, k=3)
+
+
+@query(
+    "corpus_data_card",
+    """
+    with s as (
+        select lang, source, text,
+               string_split_regex(trim(text), '\\s+') as words,
+               case when length(trim(text)) = 0 then 0
+                    else len(string_split_regex(trim(text), '\\s+')) end
+                 as n_tok
+        from documents
+    ),
+    f as (
+        select lang, source, n_tok,
+               case when len(words) >= 5
+                 and list_aggregate(list_transform(words, w -> length(w)),
+                                    'sum')
+                     / cast(greatest(len(words), 1) as double)
+                     between 3.0 and 10.0
+                 and (length(text)
+                      - length(replace(replace(text, '#', ''), '…', '')))
+                     / cast(greatest(length(text), 1) as double) <= 0.1
+                 and not contains(lower(text), 'lorem ipsum')
+                 and not contains(text, '{') then 1 else 0 end as keep,
+               case when len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                       + len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       + len(regexp_extract_all(text,
+                           '\\+?[0-9][0-9()\\s.-]{7,}[0-9]')) > 0
+                    then 1 else 0 end as has_pii
+        from s
+    )
+    select lang, source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_tok) as bigint) as total_tokens,
+           round(avg(n_tok), 6) as mean_tokens,
+           round(avg(keep), 6) as quality_keep_rate,
+           round(avg(has_pii), 6) as pii_doc_rate
+    from f group by lang, source
+    """,
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card rollup (operators/pipeline.py:corpus_stats): per
+    (lang, source) document/token counts, quality keep rate, PII
+    incidence — the dataset-release summary in one shuffle."""
+    from ..operators.pipeline import corpus_stats
+
+    return corpus_stats(t(spark, sf_dir, "documents"))

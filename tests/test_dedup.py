@@ -109,3 +109,27 @@ def test_minhash_ab_cross_corpus_matching(spark):
            for r in minhash_lsh_pairs_ab(a, b, band_size=1).collect()}
     assert (100, 1) in got
     assert all(l in (100, 101) and r in (1, 2) for l, r in got)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """Identical docs estimate 1.0; disjoint docs estimate ~0; the
+    estimator is monotone-ish with true similarity on a planted
+    gradient."""
+    from ppack_spark.operators.dedup import minhash_jaccard_estimate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # identical -> est 1.0
+        (3, base + " extra words appended here"),  # high overlap
+        (4, "completely different vocabulary in every single position"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_left", "id_right"]
+    )
+    got = {(r["id_left"], r["id_right"]): r["est_jaccard"]
+           for r in minhash_jaccard_estimate(pairs, df).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 2)] >= got[(1, 3)] >= got[(1, 4)]
+    assert got[(1, 4)] == 0.0
