@@ -264,3 +264,24 @@ def test_streaming_quota_sample(spark, tmp_path_factory):
     assert dict(per) == {l: min(k, n) for l, n in avail.items()}
     valid = {(r["doc_id"], r["lang"]) for r in docs.collect()}
     assert all((r["doc_id"], r["lang"]) in valid for r in got)
+
+
+def test_streaming_data_card_parity(spark, tmp_path_factory):
+    """corpus_stats is a plain grouped aggregation, so it runs on a
+    stream in complete mode and converges to the batch data card after
+    all micro-batches."""
+    from ppack_spark.operators.pipeline import corpus_stats
+
+    src = str(tmp_path_factory.mktemp("card_stream"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    from ppack_spark.streaming import run_to_memory
+
+    run_to_memory(corpus_stats(stream), "card_stream_out", "complete")
+    got = {tuple(r) for r in spark.table("card_stream_out").collect()}
+    want = {tuple(r) for r in corpus_stats(docs).collect()}
+    assert got == want
