@@ -14,6 +14,13 @@
 * :func:`embedding_near_dup_pairs` — near-duplicate detection by
   cosine threshold within blocks (the embedding analogue of
   dedup.ngram_jaccard_pairs).
+* :func:`cosine_topk_ivf` / :func:`cosine_topk_pq` /
+  :func:`cosine_topk_ivfpq` — the trained-index family: k-means
+  inverted lists bound the scan fraction, product-quantization codes
+  bound bytes-per-candidate (ADC lookup-table scoring + exact re-rank
+  of the shortlist), and the combined IVF+PQ form shrinks both
+  multiplicatively — the FAISS-IVFPQ architecture, recall-gated in
+  tests/test_ann.py.
 
 At 100 TB the corpus side streams through executors partition-by-
 partition while the query side is broadcast; for corpus×corpus

@@ -1,9 +1,21 @@
-"""Training-data pipeline operators: benchmark decontamination,
-deterministic sampling, and sequence packing.
+"""Training-data pipeline operators — the corpus-preparation steps
+between dedup and training in an LLM data pipeline (SURVEY.md §2e):
 
-These are the corpus-preparation steps that sit between dedup and
-training in an LLM data pipeline (the reference's linkage workload
-feeds the same kind of corpus hygiene; see SURVEY.md §2e):
+* hygiene: CCNet corpus-line dedup (``dedup_corpus_lines``), winnowed
+  repeated-span detection (``repeated_spans``), eval decontamination;
+* sampling & mixing: deterministic hash / stratified-quota /
+  temperature-weighted (``temperature_mix``) sampling, train-val-test
+  splitting (``split_corpus``);
+* selection & scoring: unigram-LM quality scores + CCNet perplexity
+  buckets, DSIR importance weights, data-card rollups
+  (``corpus_stats``);
+* ingestion & packing: incremental exact/fuzzy delta merge, sequence
+  packing, the composed ``prepare_corpus`` chain;
+* events analytics: conversion funnels, cohort retention.
+
+Every operator is gated against a DuckDB SQL replay (plans/
+registry_data.py). Detailed scale notes live on each function; the
+four foundational shapes:
 
 * **Eval decontamination** — find corpus documents that share word
   n-grams with a benchmark/eval set, so they can be dropped before
