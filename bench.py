@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "repetition_signals",
     "top_term_coverage",
     "lm_quality_score",
+    "lm_bigram_score",
     "lm_perplexity_buckets",
     "dsir_importance",
     "minhash_jaccard_est",

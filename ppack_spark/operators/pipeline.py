@@ -728,23 +728,39 @@ def top_term_coverage(
 def unigram_logprob(
     df: DataFrame,
     alpha: float = 1.0,
+    n: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-document mean unigram log-probability under the corpus's
-    own (add-``alpha`` smoothed) unigram language model — the cheap
+    """Per-document mean n-gram log-probability under the corpus's
+    own (add-``alpha`` smoothed) n-gram language model — the cheap
     stand-in for the KenLM perplexity scoring CCNet uses to rank web
     text (Wenzek et al. 2020 §3.3): gibberish and rare-token soup
-    score low, common fluent text scores high.
+    score low, common fluent text scores high. ``n=1`` is the unigram
+    default; ``n=2`` scores token bigrams (with multiplicity — NOT
+    the distinct-shingle construction the dedup family uses), which
+    tracks true LM perplexity much more closely.
 
     Returns (id, n_tokens, mean_logprob). Two aggregations: corpus
-    term counts (partial agg on the term), then an equi-join of the
-    exploded tokens against the term table (broadcast when the vocab
+    gram counts (partial agg on the gram), then an equi-join of the
+    exploded grams against the gram table (broadcast when the vocab
     fits — the usual case; vocab ≪ corpus) and a per-doc mean.
     """
     from ..functions.text import tokens
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    if n == 1:
+        gram_arr = tokens(text_col)
+    else:
+        toks = tokens(text_col)
+        sz = F.size(toks)
+        # all n-grams WITH multiplicity; docs shorter than n
+        # contribute their whole text as one gram
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(sz - F.lit(n), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+        gram_arr = grams
+    tok = df.select(F.col(id_col), F.explode(gram_arr).alias("__t"))
     counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__n"))
     totals = counts.agg(
         F.sum("__n").alias("__tot"), F.count(F.lit(1)).alias("__vocab")

@@ -2096,3 +2096,41 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import corpus_stats
 
     return corpus_stats(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "lm_bigram_score",
+    """
+    with tok as (
+        select doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') as tk
+        from documents
+    ),
+    grams as (
+        select doc_id,
+               unnest(list_transform(
+                 generate_series(0, greatest(len(tk) - 2, 0)),
+                 i -> array_to_string(list_slice(tk, i+1, i+2), ' '))) as t
+        from tok
+    ),
+    c as (select t, count(*) as n from grams group by t),
+    tot as (select sum(n) as total_n, count(*) as vocab from c),
+    p as (
+        select t, ln((n + 1.0) / (total_n + 1.0 * vocab)) as lp
+        from c cross join tot
+    )
+    select grams.doc_id,
+           cast(count(*) as bigint) as n_tokens,
+           round(avg(p.lp), 6) as mean_logprob
+    from grams join p using (t)
+    group by grams.doc_id
+    """,
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring
+    (operators/pipeline.py:unigram_logprob with n=2): token-bigram
+    log-probabilities with multiplicity — a materially closer KenLM
+    stand-in than unigrams (word order now matters)."""
+    from ..operators.pipeline import unigram_logprob
+
+    return unigram_logprob(t(spark, sf_dir, "documents"), n=2)
