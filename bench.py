@@ -14,10 +14,14 @@ Every query runs ``$SPARK_GRAFT_BENCH_ITERS`` (default 3) iterations
 and reports the MIN — the first iteration pays one-off JVM/codegen/
 scan-cache warmup that is pure local-mode noise (run-to-run spread on
 the 26M-pair linkage chain was ~2× single-shot); the warm minimum is
-the number that extrapolates to cluster throughput. The reported
-per-query ``spread`` drops the single worst sample (the cold run)
-first: it measures reproducibility of the warm number, not the
-cold-start delta.
+the number that extrapolates to cluster throughput.
+
+The printed line is deliberately COMPACT (2-decimal means, no spread
+map) and is the LAST thing written to stdout, after ``spark.stop()``
+— the round-4 line outgrew the driver's tail-capture window and was
+lost (`BENCH_r04.json parsed: null`). Full detail (3-decimal means,
+per-query warm spread, optional DuckDB oracle times) goes to
+``BENCH_local.json`` next to this file.
 """
 
 from __future__ import annotations
@@ -173,21 +177,40 @@ def main() -> None:
 
     total = round(sum(v for v in times.values() if v >= 0), 3)
     extra = {"oracle": oracle_times} if oracle_times else {}
+    detail = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "iters": iters,
+        "spread": spread,
+        **extra,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    spark.stop()
+    sys.stderr.flush()
+    # compact single line, emitted last: 2-decimal means, no spread —
+    # must fit the driver's stdout tail capture in one piece
     print(
         json.dumps(
             {
                 "metric": "total_sec",
-                "value": total,
+                "value": round(total, 2),
                 "unit": "sec",
-                "queries": times,
+                "queries": {k: round(v, 2) for k, v in times.items()},
                 "sf": sf,
                 "iters": iters,
-                "spread": spread,
-                **extra,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -330,7 +330,11 @@ def pq_train(
     import numpy as np
 
     rows = (
-        corpus.select(vec_col).limit(sample_limit).toPandas()[vec_col].tolist()
+        corpus.select(vec_col)
+        .filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .limit(sample_limit)
+        .toPandas()[vec_col]
+        .tolist()
     )
     X = np.asarray(rows, dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -367,7 +371,11 @@ def pq_encode(
 
     Arrow-batched pandas UDF (vectorized argmin over the batch); the
     codebook array rides the UDF closure (broadcast once per
-    executor, a few KB)."""
+    executor, a few KB). NULL / empty / wrong-dimension vectors encode
+    to a NULL code (they can't be scored, and a NULL code fails every
+    downstream scan filter — the same keep-but-inert policy as the
+    dedup family's NULL text); an empty Arrow batch yields an empty
+    result instead of a 1-D-array indexing error."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -380,15 +388,28 @@ def pq_encode(
     # inference under `from __future__ import annotations`
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def _encode(vecs):
-        X = np.asarray(vecs.tolist(), dtype=np.float64)
-        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        codes = np.empty((len(X), m), dtype=np.int64)
-        for s in range(m):
-            sub = X[:, s * dsub : (s + 1) * dsub]
-            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
-            d2 = -2.0 * sub @ cb[s].T + (cb[s] ** 2).sum(axis=1)[None, :]
-            codes[:, s] = d2.argmin(axis=1)
-        return pd.Series(list(codes))
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        vals = vecs.tolist()
+        valid = np.fromiter(
+            (v is not None and len(v) == m * dsub for v in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        out = [None] * len(vals)
+        vidx = np.flatnonzero(valid)
+        if len(vidx):
+            X = np.asarray([vals[i] for i in vidx], dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for s in range(m):
+                sub = X[:, s * dsub : (s + 1) * dsub]
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+                d2 = -2.0 * sub @ cb[s].T + (cb[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = d2.argmin(axis=1)
+            for j, i in enumerate(vidx):
+                out[i] = [int(c) for c in codes[j]]
+        return pd.Series(out)
 
     return corpus.select(id_col, _encode(F.col(vec_col)).alias("pq_code"))
 
@@ -403,6 +424,7 @@ def cosine_topk_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via PQ asymmetric-distance scan +
     exact re-rank — the memory-scale two-stage ANN:
@@ -420,12 +442,21 @@ def cosine_topk_pq(
     Queries are collected to the driver and broadcast in the scan
     closure — they are the small side by contract (same contract as
     :func:`cosine_topk`). Recall@k vs the exact baseline is asserted
-    in tests/test_ann.py."""
+    in tests/test_ann.py.
+
+    ``exclude_self`` (default True) drops a candidate whose id equals
+    the query id INSIDE the ADC scan — before it can consume a
+    shortlist slot. Set False when query and corpus ids come from
+    different namespaces: there an id collision is a legitimate
+    neighbor, and the old post-shortlist filter would silently discard
+    it."""
     import numpy as np
     from pyspark.sql import Window
 
     codebooks = pq_train(corpus, m=m, k=n_centroids, vec_col=vec_col, seed=seed)
-    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col).filter(
+        F.col("pq_code").isNotNull()
+    )
 
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.asarray([r[id_col] for r in qrows])
@@ -442,6 +473,7 @@ def cosine_topk_pq(
         import pandas as pd
 
         for pdf in batches:
+            pdf = pdf[pdf["pq_code"].notna()]
             if not len(pdf):
                 continue
             C = np.asarray(pdf["pq_code"].tolist(), dtype=np.int64)
@@ -450,6 +482,10 @@ def cosine_topk_pq(
             scores = np.zeros((len(qids), len(ids)))
             for s in range(mm):
                 scores += lut[:, s, :][:, C[:, s]]
+            if exclude_self:
+                # knock self-hits out BEFORE the shortlist cut so they
+                # never consume a slot
+                scores[ids[None, :] == qids[:, None]] = -np.inf
             top = min(shortlist, scores.shape[1])
             idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
             out = pd.DataFrame(
@@ -459,7 +495,9 @@ def cosine_topk_pq(
                     "adc_score": np.take_along_axis(scores, idx, 1).ravel(),
                 }
             )
-            yield out
+            # drop the -inf self-hit placeholders (small partitions can
+            # have fewer candidates than the shortlist)
+            yield out[np.isfinite(out["adc_score"].to_numpy())]
 
     scan_in = codes.select(F.col(id_col).alias("__nid"), "pq_code")
     cand = scan_in.mapInPandas(
@@ -478,15 +516,13 @@ def cosine_topk_pq(
     # exact re-rank: fetch true vectors for the shortlist only
     cvec = corpus.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__cv"))
     qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    rer = (
-        short.join(cvec, "__nid")
-        .join(F.broadcast(qvec), "query_id")
-        .filter(F.col("query_id") != F.col("__nid"))
-        .select(
-            "query_id",
-            F.col("__nid").alias("neighbor_id"),
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
-        )
+    rer = short.join(cvec, "__nid").join(F.broadcast(qvec), "query_id")
+    if exclude_self:  # belt-and-braces; the scan already masked these
+        rer = rer.filter(F.col("query_id") != F.col("__nid"))
+    rer = rer.select(
+        "query_id",
+        F.col("__nid").alias("neighbor_id"),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -504,6 +540,7 @@ def cosine_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF + PQ combined — the FAISS-IVFPQ shape and the full 100 TB
     ANN architecture: an IVF coarse quantizer limits each query to its
@@ -517,7 +554,9 @@ def cosine_topk_ivfpq(
     Codebooks are shared across lists (no per-list residual training —
     the simpler variant; residual PQ is the refinement documented in
     Jégou et al. §IV). Recall@k vs exact is asserted in
-    tests/test_ann.py."""
+    tests/test_ann.py. ``exclude_self`` as in :func:`cosine_topk_pq`:
+    self-hits are dropped BEFORE the shortlist cut (set False for
+    cross-namespace query/corpus ids)."""
     import numpy as np
     from pyspark.sql import Window
     from pyspark.sql import types as T
@@ -525,8 +564,10 @@ def cosine_topk_ivfpq(
 
     assigned, cent_df = ivf_index(corpus, n_centroids, id_col, vec_col, seed)
     codebooks = pq_train(corpus, m=m, k=pq_centroids, vec_col=vec_col, seed=seed)
-    codes = pq_encode(assigned, codebooks, id_col=id_col, vec_col=vec_col).join(
-        assigned.select(F.col(id_col), "centroid"), id_col
+    codes = (
+        pq_encode(assigned, codebooks, id_col=id_col, vec_col=vec_col)
+        .filter(F.col("pq_code").isNotNull())
+        .join(assigned.select(F.col(id_col), "centroid"), id_col)
     )
 
     qrows = queries.select(id_col, vec_col).collect()
@@ -556,6 +597,8 @@ def cosine_topk_ivfpq(
     def _adc(qid_s, code_s):
         import pandas as pd
 
+        if len(code_s) == 0:  # empty Arrow batch: C would be 1-D
+            return pd.Series([], dtype="float64")
         C = np.asarray(code_s.tolist(), dtype=np.int64)
         qi = qid_s.map(qindex).to_numpy()
         scores = np.zeros(len(C))
@@ -563,7 +606,11 @@ def cosine_topk_ivfpq(
             scores += lut[qi, s, C[:, s]]
         return pd.Series(scores)
 
-    cand = probes.join(codes, "centroid").select(
+    cand = probes.join(codes, "centroid")
+    if exclude_self:
+        # before the shortlist window — a self-hit must not take a slot
+        cand = cand.filter(F.col("query_id") != F.col(id_col))
+    cand = cand.select(
         "query_id",
         F.col(id_col).alias("__nid"),
         _adc(F.col("query_id"), F.col("pq_code")).alias("adc_score"),
@@ -577,15 +624,13 @@ def cosine_topk_ivfpq(
     )
     cvec = corpus.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__cv"))
     qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    rer = (
-        short.join(cvec, "__nid")
-        .join(F.broadcast(qvec), "query_id")
-        .filter(F.col("query_id") != F.col("__nid"))
-        .select(
-            "query_id",
-            F.col("__nid").alias("neighbor_id"),
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
-        )
+    rer = short.join(cvec, "__nid").join(F.broadcast(qvec), "query_id")
+    if exclude_self:
+        rer = rer.filter(F.col("query_id") != F.col("__nid"))
+    rer = rer.select(
+        "query_id",
+        F.col("__nid").alias("neighbor_id"),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -42,6 +42,7 @@ __all__ = [
     "exact_dedup_keep_first",
     "word_shingles",
     "minhash_signature",
+    "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_ab",
     "jaccard_similarity",
@@ -146,27 +147,47 @@ def minhash_signature(text: Column | str, num_hashes: int = 8, k: int = 3) -> Co
     )
 
 
-def _lsh_bands(
+def minhash_signatures(
     df: DataFrame,
-    text_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """``(id, sig)`` signature table — the signature-first entry point.
+
+    Composed pipelines (LSH candidates + signature-Jaccard verify +
+    clustering, as in :func:`near_dedup_corpus`) should compute this
+    ONCE and pass it to :func:`minhash_lsh_pairs` /
+    :func:`minhash_jaccard_estimate` via their ``signatures``
+    parameter: the shingle→md5 map pass is the dominant cost of the
+    whole MinHash family, and the naive composition pays it once per
+    stage. Pure map — no shuffle; at 100 TB this is also the natural
+    column to MATERIALIZE alongside the corpus (num_hashes longs per
+    document) so re-dedup never touches text again.
+    """
+    return spread(df).select(
+        F.col(id_col),
+        minhash_signature(text_col, num_hashes, k).alias("sig"),
+    )
+
+
+def _lsh_bands(
+    sig: DataFrame,
     id_col: str,
     num_hashes: int,
     band_size: int,
-    k: int,
 ) -> DataFrame:
     """(id, band, val) rows — num_hashes/band_size per document; the
     (band, val) pair is the LSH bucket key shared by the self-join and
-    cross-corpus variants."""
+    cross-corpus variants. Input is a ``(id, sig)`` signature table
+    from :func:`minhash_signatures`."""
     if num_hashes % band_size != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by band_size "
             f"({band_size}); trailing hashes would be silently dropped"
         )
     n_bands = num_hashes // band_size
-    sig = spread(df).select(
-        F.col(id_col),
-        minhash_signature(text_col, num_hashes, k).alias("sig"),
-    )
     return sig.select(
         F.col(id_col),
         F.explode(
@@ -196,6 +217,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing ≥1 band of their MinHash
     signature. Returns distinct ``(id_left, id_right)`` with
@@ -208,8 +230,18 @@ def minhash_lsh_pairs(
     executes it as a shuffle-hash join on the bucket id, so cost is
     O(Σ bucket²) not O(n²). Hot buckets (boilerplate docs) are the
     skew risk — AQE skew-join splitting handles them.
+
+    ``signatures``: optional precomputed ``(id, sig)`` table from
+    :func:`minhash_signatures` (must have been built with the same
+    ``num_hashes``/``k``) — lets composed pipelines hash each document
+    once instead of once per stage.
     """
-    bands = _lsh_bands(df, text_col, id_col, num_hashes, band_size, k)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, num_hashes, k)
+    )
+    bands = _lsh_bands(sig, id_col, num_hashes, band_size)
     left = bands.select(F.col(id_col).alias("id_left"), "band", "val")
     right = bands.select(F.col(id_col).alias("id_right"), "band", "val")
     return (
@@ -228,6 +260,8 @@ def minhash_lsh_pairs_ab(
     num_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
+    signatures_left: DataFrame | None = None,
+    signatures_right: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus LSH candidates: (id_left from ``left``, id_right
     from ``right``) sharing ≥1 MinHash band — fuzzy matching BETWEEN
@@ -240,11 +274,24 @@ def minhash_lsh_pairs_ab(
     appears exactly once via distinct. Same bucket equi-join scale
     shape as :func:`minhash_lsh_pairs`; the smaller side (typically
     the delta) broadcast-joins under AQE when it fits.
+
+    ``signatures_left`` / ``signatures_right``: optional precomputed
+    ``(id, sig)`` tables (see :func:`minhash_signatures`).
     """
-    bl = _lsh_bands(left, text_col, id_col, num_hashes, band_size, k).select(
+    sl = (
+        signatures_left
+        if signatures_left is not None
+        else minhash_signatures(left, text_col, id_col, num_hashes, k)
+    )
+    sr = (
+        signatures_right
+        if signatures_right is not None
+        else minhash_signatures(right, text_col, id_col, num_hashes, k)
+    )
+    bl = _lsh_bands(sl, id_col, num_hashes, band_size).select(
         F.col(id_col).alias("id_left"), "band", "val"
     )
-    br = _lsh_bands(right, text_col, id_col, num_hashes, band_size, k).select(
+    br = _lsh_bands(sr, id_col, num_hashes, band_size).select(
         F.col(id_col).alias("id_right"), "band", "val"
     )
     return (
@@ -417,30 +464,84 @@ def near_dedup_corpus(
     band_size: int = 2,
     k: int = 3,
     use_star: bool = False,
+    verify_threshold: float | None = 0.5,
+    exact_verify: bool = False,
 ) -> DataFrame:
     """The fuzzy-dedup deliverable, composed end-to-end: MinHash-LSH
-    candidate pairs → connected components → keep ONE canonical
-    document (the min id) per near-duplicate cluster, plus every
-    singleton untouched.
+    candidate pairs → candidate VERIFICATION → connected components →
+    keep ONE canonical document (the min id) per near-duplicate
+    cluster, plus every singleton untouched.
+
+    ``verify_threshold`` (default 0.5) filters LSH candidates by the
+    signature-agreement Jaccard estimate
+    (:func:`minhash_jaccard_estimate`) BEFORE clustering. This is not
+    optional hygiene at scale: with b bands of r rows, a pair at true
+    Jaccard s still collides with probability 1−(1−s^r)^b (≈31 % at
+    s=0.3 for 4×2), and transitive closure chains those false
+    candidates into mega-clusters whose non-canonical members are
+    permanently DROPPED from the corpus. The verify stage costs one
+    equi-join of the already-computed signatures (num_hashes longs per
+    doc — no re-shingling, no text) and restores the precision the
+    banding gave up. Pass ``None`` to reproduce raw-LSH clustering.
+    ``exact_verify=True`` additionally confirms surviving candidates
+    with exact shingle Jaccard ≥ threshold (touches text for
+    candidates only — the same verify policy as
+    ``merge_corpus_delta_fuzzy``), for when the estimator's ±1/√h
+    noise matters more than a second pass over candidate documents.
 
     ``use_star=True`` resolves components with the O(log n)-round
     large-star/small-star kernel instead of min-label propagation —
     the switch for corpora where near-dup chains can be long (forum
     mirrors, scraped syndication networks).
 
-    Scale shape: each stage is the already-gated operator
-    (``minhash_lsh_pairs``: banded signature equi-join, never
-    all-pairs; components: hash-keyed iterations with localCheckpoint
-    lineage cuts); the final step is a left-anti join of the corpus
-    against the loser set (nodes ≠ their component min) — losers are
-    a fraction of the corpus, ids only, broadcast-size after AQE.
+    Scale shape: signatures are computed ONCE (:func:`minhash_signatures`)
+    and feed both the banded candidate equi-join and the estimate
+    verify — the shingle→md5 map pass, the dominant cost, is never
+    repeated; components iterate over hash-keyed candidate edges with
+    localCheckpoint lineage cuts; the final step is a left-anti join
+    of the corpus against the loser set (nodes ≠ their component min)
+    — losers are a fraction of the corpus, ids only, broadcast-size
+    after AQE.
     """
     from .cluster import connected_components, connected_components_star
 
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     pairs = minhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col,
-        num_hashes=num_hashes, band_size=band_size, k=k,
+        num_hashes=num_hashes, band_size=band_size, k=k, signatures=sig,
     )
+    if verify_threshold is not None:
+        est = minhash_jaccard_estimate(
+            pairs, id_col=id_col, num_hashes=num_hashes, signatures=sig
+        )
+        pairs = est.filter(
+            F.col("est_jaccard") >= F.lit(float(verify_threshold))
+        ).select("id_left", "id_right")
+        if exact_verify:
+            sh = df.select(
+                F.col(id_col), word_shingles(text_col, k).alias("__sh")
+            )
+            pairs = (
+                pairs.join(
+                    sh.select(
+                        F.col(id_col).alias("id_left"),
+                        F.col("__sh").alias("__sh_l"),
+                    ),
+                    "id_left",
+                )
+                .join(
+                    sh.select(
+                        F.col(id_col).alias("id_right"),
+                        F.col("__sh").alias("__sh_r"),
+                    ),
+                    "id_right",
+                )
+                .filter(
+                    jaccard_similarity(F.col("__sh_l"), F.col("__sh_r"))
+                    >= F.lit(float(verify_threshold))
+                )
+                .select("id_left", "id_right")
+            )
     kernel = connected_components_star if use_star else connected_components
     comps = kernel(pairs)
     losers = comps.filter(F.col("node") != F.col("component")).select(
@@ -451,11 +552,12 @@ def near_dedup_corpus(
 
 def minhash_jaccard_estimate(
     pairs: DataFrame,
-    df: DataFrame,
+    df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
     k: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Estimated Jaccard for candidate pairs from MinHash signature
     agreement (fraction of equal signature positions — the unbiased
@@ -466,10 +568,21 @@ def minhash_jaccard_estimate(
     Exact verification (``ngram_jaccard_pairs``) is then only paid for
     pairs passing the estimate threshold.
 
+    Pass ``signatures`` (a ``(id, sig)`` table from
+    :func:`minhash_signatures`) when the candidate pairs came out of
+    :func:`minhash_lsh_pairs` over the same signatures — then this
+    estimator never re-shingles anything. Otherwise ``df`` (the text
+    corpus) is required and signatures are derived here.
+
     Returns (id_left, id_right, est_jaccard)."""
-    sig = df.select(
-        F.col(id_col), minhash_signature(text_col, num_hashes, k).alias("__sig")
-    )
+    if signatures is not None:
+        sig = signatures.select(F.col(id_col), F.col("sig").alias("__sig"))
+    elif df is not None:
+        sig = minhash_signatures(df, text_col, id_col, num_hashes, k).select(
+            F.col(id_col), F.col("sig").alias("__sig")
+        )
+    else:
+        raise ValueError("minhash_jaccard_estimate needs df or signatures")
     sl = sig.select(F.col(id_col).alias("id_left"), F.col("__sig").alias("__sl"))
     sr = sig.select(F.col(id_col).alias("id_right"), F.col("__sig").alias("__sr"))
     agree = F.size(

@@ -119,22 +119,42 @@ def eval_ngram_contamination(
     )
 
 
-def _id_hash(id_col: Column | str, n_hex: int = 4) -> Column:
-    """First ``n_hex`` hex chars of md5 of the id rendered as a string.
-    Bit-identical in DuckDB: ``substr(md5(cast(id as varchar)), 1, n)``."""
+def _id_hash(id_col: Column | str, n_hex: int = 4, salt: str = "") -> Column:
+    """First ``n_hex`` hex chars of md5 of the id rendered as a string,
+    with ``salt`` appended before hashing. Bit-identical in DuckDB:
+    ``substr(md5(cast(id as varchar) || salt), 1, n)``.
+
+    The salt decorrelates COMPOSED selections: every deterministic
+    sampler in this module selects on an md5(id) prefix, and two
+    selections on the *same* unsalted hash are nested, not independent
+    — ``hash_sample(0.5)`` after a ``split_corpus`` 'train' range would
+    draw only from the low end of train's hash range, and a rate-r mix
+    after a fraction-f sample yields min(r, f) instead of r·f. Each
+    operator therefore folds a distinct default salt into the hash
+    (and exposes it, for callers composing the same operator twice).
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.substring(F.md5(c.cast("string")), 1, n_hex)
+    key = c.cast("string")
+    if salt:
+        key = F.concat(key, F.lit(salt))
+    return F.substring(F.md5(key), 1, n_hex)
 
 
 def hash_sample(
-    df: DataFrame, fraction: float, id_col: str = "doc_id"
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = ""
 ) -> DataFrame:
     """Deterministic ~``fraction`` uniform sample: keep rows whose
-    md5(id) 16-bit hex prefix falls below ``fraction`` of the hex
-    space. Reproducible across runs/engines/partitionings (unlike
+    md5(id ∥ salt) 16-bit hex prefix falls below ``fraction`` of the
+    hex space. Reproducible across runs/engines/partitionings (unlike
     ``df.sample``, which depends on partition layout), and a pure
     pushed-down filter — the 100 TB path reads and shuffles nothing
     extra. Granularity is 1/65536.
+
+    Composing two hash samples? Give them distinct ``salt`` values:
+    two samples on the same salt are NESTED (the 0.3 sample is a
+    subset of the 0.5 sample — useful for growing snapshots, wrong for
+    independent draws). See ``_id_hash`` on why the other samplers in
+    this module already default to distinct salts.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
@@ -143,7 +163,7 @@ def hash_sample(
         return df
     # 4-hex-digit md5 prefix < the 4-hex-digit cut, compared as strings
     # (same-length hex strings order identically to their numeric value).
-    return df.filter(_id_hash(id_col, 4) < F.lit(format(cut_int, "04x")))
+    return df.filter(_id_hash(id_col, 4, salt) < F.lit(format(cut_int, "04x")))
 
 
 def stratified_quota_sample(
@@ -302,6 +322,7 @@ def temperature_mix(
     alpha: float = 0.5,
     target_total: int = 1_000_000,
     id_col: str = "doc_id",
+    salt: str = "mix",
 ) -> DataFrame:
     """Temperature-weighted domain mixing: deterministically sample the
     corpus so group ``g``'s share of the output is proportional to
@@ -312,9 +333,13 @@ def temperature_mix(
     group whose computed rate exceeds 1 is taken whole (no
     replication — this operator only down-samples).
 
-    Selection is by md5(id) 32-bit prefix against the per-group
+    Selection is by md5(id ∥ salt) 32-bit prefix against the per-group
     acceptance rate, so the sample is reproducible across runs,
     partitionings, and engines (same mechanics as ``hash_sample``).
+    The default ``salt`` differs from the other samplers' so a mix
+    applied after ``hash_sample``/``split_corpus``/``prepare_corpus``
+    draws independently — on a shared hash the composed rate would be
+    min(rate, f), not rate·f (see ``_id_hash``).
 
     Scale shape: one tiny aggregate (one row per group) + a broadcast
     join back onto the corpus — the corpus itself never shuffles, and
@@ -336,7 +361,7 @@ def temperature_mix(
         ).alias("__rate"),
     )
     hash_u32 = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        _id_hash(id_col, 8, salt), 16, 10
     ).cast("double")
     return (
         df.join(F.broadcast(rates), group_col)
@@ -572,14 +597,20 @@ def split_corpus(
     df: DataFrame,
     weights: dict[str, float],
     id_col: str = "doc_id",
+    salt: str = "split",
 ) -> DataFrame:
     """Deterministic train/val/test splitting: assign each row a split
-    label by which md5(id)-prefix range it falls in, with range widths
-    proportional to ``weights`` (need not sum to 1 — they are
+    label by which md5(id ∥ salt)-prefix range it falls in, with range
+    widths proportional to ``weights`` (need not sum to 1 — they are
     normalized). Unlike ``randomSplit`` the assignment is stable
     across runs, partitionings, and engines, rows are never lost or
     duplicated between splits, and membership is reproducible from the
     id alone (the property eval pipelines need). Granularity 1/65536.
+
+    The default ``salt`` differs from ``hash_sample``'s so splitting a
+    hash-sampled corpus (or sampling within a split) stays unbiased —
+    on a shared hash, 'train' = the low 80% of the hash range and a
+    downstream 0.5 sample would draw ONLY from train (see ``_id_hash``).
 
     Pure map expression (a CASE over the hash prefix) — no shuffle;
     filters on the label push down to the scan.
@@ -589,7 +620,7 @@ def split_corpus(
     if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
         raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
     total = float(sum(weights.values()))
-    h = _id_hash(id_col, 4)
+    h = _id_hash(id_col, 4, salt)
     expr = None
     acc = 0.0
     items = list(weights.items())
@@ -743,8 +774,13 @@ def unigram_logprob(
 
     Returns (id, n_tokens, mean_logprob). Two aggregations: corpus
     gram counts (partial agg on the gram), then an equi-join of the
-    exploded grams against the gram table (broadcast when the vocab
-    fits — the usual case; vocab ≪ corpus) and a per-doc mean.
+    exploded grams against the gram table and a per-doc mean. For
+    ``n=1`` the vocab table is broadcast-hinted (a unigram vocabulary
+    is bounded — ~10⁶ rows at any corpus size); for ``n>=2`` the
+    distinct-gram table grows roughly WITH the corpus (billions of
+    bigrams at 100 TB), so the join strategy is left to AQE — a
+    mandatory broadcast there would be a driver-collect OOM, not a
+    plan choice the optimizer could undo.
     """
     from ..functions.text import tokens
 
@@ -772,8 +808,9 @@ def unigram_logprob(
             / (F.col("__tot") + F.lit(float(alpha)) * F.col("__vocab"))
         ).alias("__lp"),
     )
+    probs = F.broadcast(probs) if n == 1 else probs
     return (
-        tok.join(F.broadcast(probs), "__t")
+        tok.join(probs, "__t")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),

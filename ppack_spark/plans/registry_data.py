@@ -1249,7 +1249,7 @@ def repetition_signals_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     select d.doc_id, d.lang, d.source
     from documents d join r using (lang)
-    where ('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))::bigint
+    where ('0x' || substr(md5(cast(d.doc_id as varchar) || 'mix'), 1, 8))::bigint
           < r.rate * 4294967296.0
     """,
 )
@@ -1257,8 +1257,9 @@ def temperature_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted domain mixing
     (operators/pipeline.py:temperature_mix): per-language acceptance
     rates ∝ count^0.5 re-weight the corpus toward rare languages,
-    selection by md5(id) prefix so the mix replays bit-identically in
-    any engine. Corpus never shuffles — tiny rate table broadcast
+    selection by md5(id ∥ 'mix') prefix so the mix replays
+    bit-identically in any engine AND draws independently of the other
+    hash samplers. Corpus never shuffles — tiny rate table broadcast
     back."""
     from ..operators.pipeline import temperature_mix
 
@@ -1557,20 +1558,60 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5("text").alias("clean_md5"))
 
 
+def _sql_surgery(sql: str, old: str, new: str) -> str:
+    """str.replace that REFUSES to silently no-op: deriving one oracle
+    from another by text surgery breaks invisibly if the donor SQL is
+    reworded — fail loudly at registration time instead of gating
+    against the wrong query."""
+    out = sql.replace(old, new)
+    if out == sql:
+        raise AssertionError(
+            f"oracle surgery failed: marker not found:\n{old}"
+        )
+    return out
+
+
 def _register_near_dedup_corpus() -> None:
-    """Gate for the composed fuzzy-dedup corpus: same LSH-pairs +
-    recursive-CTE closure as ``dedup_clusters``, extended to the final
-    deliverable — the corpus minus every non-canonical member of a
-    near-dup cluster (operators/dedup.py:near_dedup_corpus)."""
+    """Gate for the composed fuzzy-dedup corpus
+    (operators/dedup.py:near_dedup_corpus): LSH candidate pairs →
+    signature-agreement verify (est. Jaccard ≥ 0.5 — ≥4 of 8 MinHash
+    positions agree) → recursive-CTE closure → corpus minus every
+    non-canonical cluster member. The verify stage is replayed in the
+    oracle, so the gate checks the precision filter, not just raw-LSH
+    clustering."""
     from .registry import ORACLE
 
     closure = ORACLE["dedup_clusters"]
-    oracle = (
-        closure.replace(
-            """select src as node, least(src, min(dst)) as component
+    # insert the signature-verify CTE between candidate generation and
+    # the closure: only verified pairs become clustering edges
+    oracle = _sql_surgery(
+        closure,
+        """    edges as (
+        select id_left as a, id_right as b from pairs
+        union
+        select id_right, id_left from pairs
+    ),""",
+        """    vpairs as (
+        select p.id_left, p.id_right
+        from pairs p
+        join sig sa on sa.doc_id = p.id_left
+        join sig sb on sb.doc_id = p.id_right
+        where list_aggregate(list_transform(generate_series(1, 8),
+                  i -> case when sa.sig[i] = sb.sig[i] then 1 else 0 end),
+              'sum') / 8.0 >= 0.5
+    ),
+    edges as (
+        select id_left as a, id_right as b from vpairs
+        union
+        select id_right, id_left from vpairs
+    ),""",
+    )
+    oracle = _sql_surgery(
+        oracle,
+        """select src as node, least(src, min(dst)) as component
     from reach
     group by src""",
-            """, comp as (
+        """, comp as (
         select src as node, least(src, min(dst)) as component
         from reach group by src
     )
@@ -1579,7 +1620,6 @@ def _register_near_dedup_corpus() -> None:
     left join (select node from comp where node <> component) l
       on d.doc_id = l.node
     where l.node is null""",
-        )
     )
 
     @query("near_dedup_corpus", oracle)
@@ -1587,7 +1627,8 @@ def _register_near_dedup_corpus() -> None:
         from ..operators.dedup import near_dedup_corpus
 
         return near_dedup_corpus(
-            t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, k=3
+            t(spark, sf_dir, "documents"),
+            num_hashes=8, band_size=2, k=3, verify_threshold=0.5,
         ).select("doc_id", "source")
 
 
@@ -1759,19 +1800,21 @@ def corpus_delta_merge_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_split",
     """
     select doc_id, lang,
-           case when substr(md5(cast(doc_id as varchar)), 1, 4) < 'cccc'
-                    then 'train'
-                when substr(md5(cast(doc_id as varchar)), 1, 4) < 'e666'
-                    then 'val'
+           case when substr(md5(cast(doc_id as varchar) || 'split'), 1, 4)
+                    < 'cccc' then 'train'
+                when substr(md5(cast(doc_id as varchar) || 'split'), 1, 4)
+                    < 'e666' then 'val'
                 else 'test' end as split
     from documents
     """,
 )
 def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 80/10/10 train/val/test split by md5(id)-prefix
-    ranges (operators/pipeline.py:split_corpus): stable across
-    runs/engines/partitionings, no row lost or duplicated, membership
-    derivable from the id alone. Zero shuffle."""
+    """Deterministic 80/10/10 train/val/test split by salted
+    md5(id ∥ 'split')-prefix ranges (operators/pipeline.py:
+    split_corpus): stable across runs/engines/partitionings, no row
+    lost or duplicated, membership derivable from the id alone, and
+    independent of the other samplers' hash (distinct salt). Zero
+    shuffle."""
     from ..operators.pipeline import split_corpus
 
     d = t(spark, sf_dir, "documents")
@@ -2041,12 +2084,20 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-agreement Jaccard estimate over the LSH candidates
     (operators/dedup.py:minhash_jaccard_estimate): ranks/filters
     candidate pairs moving only 8 longs per doc — exact shingle
-    verification is then paid only above the estimate threshold."""
-    from ..operators.dedup import minhash_jaccard_estimate, minhash_lsh_pairs
+    verification is then paid only above the estimate threshold.
+    Signature-first composition: the (id, sig) table is computed once
+    and feeds both the banded candidate join and the estimator — each
+    document is shingled and hashed exactly once."""
+    from ..operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
 
     d = t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, num_hashes=8, band_size=2, k=3)
-    return minhash_jaccard_estimate(pairs, d, num_hashes=8, k=3)
+    sig = minhash_signatures(d, num_hashes=8, k=3)
+    pairs = minhash_lsh_pairs(d, num_hashes=8, band_size=2, k=3, signatures=sig)
+    return minhash_jaccard_estimate(pairs, num_hashes=8, signatures=sig)
 
 
 @query(

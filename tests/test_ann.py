@@ -147,3 +147,46 @@ def test_ivfpq_recall_at_10(embeddings, exact_pairs):
     got = {(r[0], r[1]) for r in rows}
     recall = len(got & exact_pairs) / len(exact_pairs)
     assert recall >= 0.8, f"IVFPQ recall@10 = {recall:.3f}"
+
+
+def test_pq_encode_null_and_empty_vectors(spark, embeddings):
+    """NULL / empty / wrong-dim embeddings must encode to a NULL code
+    (not crash the Arrow batch) and be inert in the PQ scan."""
+    from pyspark.sql import types as T
+
+    from ppack_spark.operators.ann import pq_encode, pq_train
+
+    cb = pq_train(embeddings, m=8, k=16)
+    good = [float(i % 7) / 7.0 for i in range(64)]
+    extra = spark.createDataFrame(
+        [(900_001, None), (900_002, []), (900_003, [1.0, 2.0]), (900_004, good)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    out = {
+        r["vec_id"]: r["pq_code"] for r in pq_encode(extra, cb).collect()
+    }
+    assert out[900_001] is None
+    assert out[900_002] is None
+    assert out[900_003] is None
+    assert out[900_004] is not None and len(out[900_004]) == 8
+
+
+def test_pq_self_hit_excluded_before_shortlist(embeddings):
+    """A query that is a corpus member must not see itself at rank 1
+    by default; with exclude_self=False (cross-namespace contract) the
+    self id IS a legitimate neighbor and comes back at cos 1.0."""
+    from ppack_spark.operators.ann import cosine_topk_pq
+
+    q = embeddings.filter(F.col("vec_id") == 3)
+    top = cosine_topk_pq(q, embeddings, k=5, shortlist_mult=2).collect()
+    assert all(r["neighbor_id"] != 3 for r in top)
+    kept = cosine_topk_pq(
+        q, embeddings, k=5, shortlist_mult=2, exclude_self=False
+    ).collect()
+    r1 = [r for r in kept if r["rank"] == 1][0]
+    assert r1["neighbor_id"] == 3 and r1["cos_sim"] == 1.0

@@ -133,3 +133,53 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     assert got[(1, 2)] == 1.0
     assert got[(1, 2)] >= got[(1, 3)] >= got[(1, 4)]
     assert got[(1, 4)] == 0.0
+
+
+def test_near_dedup_verify_keeps_low_jaccard_colliders(spark):
+    """The precision-at-scale planted case: ~J=0.2 documents that DO
+    collide in a MinHash band (banding false positives) must ALL
+    survive a verified near-dedup — raw-LSH clustering chains them
+    into a mega-cluster and permanently drops unique documents."""
+    from ppack_spark.operators.dedup import minhash_lsh_pairs, near_dedup_corpus
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = []
+    for i in range(30):
+        uniq = " ".join(f"w{i}x{j}" for j in range(12))
+        # 8 shared + 12 unique words -> 6 of 18 shingles shared:
+        # pairwise true Jaccard = 6/30 = 0.2, well under threshold
+        rows.append((i, shared + " " + uniq))
+    # one genuine near-dup pair (Jaccard ~= 0.92) that must still fold
+    rows.append((100, shared + " common tail one two three"))
+    rows.append((101, shared + " common tail one two three four"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # the trap is real: banding at 32 bands x 2 rows produces candidate
+    # pairs between the J=0.2 documents
+    cand = minhash_lsh_pairs(df, num_hashes=64, band_size=2)
+    low_pairs = cand.filter(
+        (F.col("id_left") < 30) & (F.col("id_right") < 30)
+    ).count()
+    assert low_pairs > 0, "fixture must plant banding false positives"
+
+    verified = sorted(
+        r["doc_id"]
+        for r in near_dedup_corpus(
+            df, num_hashes=64, band_size=2, verify_threshold=0.5
+        ).collect()
+    )
+    assert verified == sorted(set(range(30)) | {100})
+
+    exact = sorted(
+        r["doc_id"]
+        for r in near_dedup_corpus(
+            df, num_hashes=64, band_size=2,
+            verify_threshold=0.5, exact_verify=True,
+        ).collect()
+    )
+    assert exact == verified
+
+    raw = near_dedup_corpus(
+        df, num_hashes=64, band_size=2, verify_threshold=None
+    ).count()
+    assert raw < len(verified), "raw LSH clustering should over-delete here"

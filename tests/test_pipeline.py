@@ -655,3 +655,31 @@ def test_dsir_scores_target_domain_higher(spark, docs):
         .collect()
     }
     assert means["fr"] > means["en"]
+
+
+def test_composed_samplers_are_decorrelated(spark):
+    """The samplers select on DISTINCT salted hashes, so composition
+    multiplies rates instead of nesting ranges: a 0.5 hash sample
+    inside split_corpus's 'train' must keep ~0.5 of train (a shared
+    unsalted hash would keep train's low quarter — ratio 0.625 of the
+    half, and temperature_mix after a sample would yield min(r, f)
+    instead of r*f)."""
+    from ppack_spark.operators.pipeline import hash_sample, split_corpus
+
+    n = 8000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    train = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1}).filter(
+        F.col("split") == "train"
+    )
+    n_train = train.count()
+    kept = hash_sample(train, 0.5).count()
+    assert 0.44 < kept / n_train < 0.56, (kept, n_train)
+    # distinct salts => sampling then splitting gives every label its share
+    sampled = hash_sample(df, 0.5)
+    labels = {
+        r["split"]: r["n"]
+        for r in split_corpus(sampled, {"train": 0.5, "test": 0.5})
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(labels.values())
+    assert 0.44 < labels["train"] / total < 0.56, labels
