@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "quality_filter_flags",
     "corpus_pipeline_e2e",
     "near_dedup_corpus",
+    "minhash_lsh_pairs_wide",
+    "near_dedup_corpus_wide",
     "minhash_lsh_pairs_ab",
     "corpus_delta_merge_fuzzy",
     "corpus_split",

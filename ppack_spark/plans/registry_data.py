@@ -1535,83 +1535,141 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(regexp_replace(lower(trim(t2)), '\\s+', ' ', 'g')) as h
         from nonempty
     ),
-    win as (select h, min(doc_id) as keep_id from fp group by h)
-    select f.doc_id, md5(f.t2) as clean_md5
-    from fp f join win w on f.h = w.h and f.doc_id = w.keep_id
-    where substr(md5(cast(f.doc_id as varchar)), 1, 4) < '8000'
+    win as (select h, min(doc_id) as keep_id from fp group by h),
+    surv as (
+        select f.doc_id, f.t2
+        from fp f join win w on f.h = w.h and f.doc_id = w.keep_id
+    ),
+    ev as (select doc_id as eval_id, t from chunked where doc_id % 101 = 3),
+    evsh as (
+        select eval_id,
+               case when len(tk) >= 3 then
+                   list_distinct(list_transform(
+                       generate_series(1, len(tk) - 2),
+                       i -> array_to_string(tk[i:i+2], ' ')))
+               else [array_to_string(tk, ' ')] end as shingles
+        from (select eval_id,
+                     string_split_regex(lower(trim(t)), '\\s+') as tk
+              from ev)
+    ),
+    ssh as (
+        select doc_id,
+               case when len(tk) >= 3 then
+                   list_distinct(list_transform(
+                       generate_series(1, len(tk) - 2),
+                       i -> array_to_string(tk[i:i+2], ' ')))
+               else [array_to_string(tk, ' ')] end as shingles
+        from (select doc_id,
+                     string_split_regex(lower(trim(t2)), '\\s+') as tk
+              from surv)
+    ),
+    hits as (
+        select s.doc_id
+        from (select doc_id, unnest(shingles) as g from ssh) s
+        join (select eval_id, unnest(shingles) as g from evsh) e using (g)
+        group by s.doc_id, e.eval_id
+        having count(*) >= 2
+    )
+    select s.doc_id, md5(s.t2) as clean_md5
+    from surv s
+    left join (select distinct doc_id from hits) c using (doc_id)
+    where c.doc_id is null
+      and substr(md5(cast(s.doc_id as varchar)), 1, 4) < '8000'
     """,
 )
 def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed corpus-preparation chain
     (operators/pipeline.py:prepare_corpus): quality filter → corpus
-    line dedup → exact dedup on cleaned text → deterministic 50% hash
-    sample, end-to-end in ONE lazy plan — the oracle replays every
-    stage in SQL, so composition order and inter-stage dataflow are
-    hash-checked, not just each stage alone."""
+    line dedup → exact dedup on cleaned text → eval-set
+    decontamination (docs sharing ≥2 word 3-grams with an eval doc are
+    dropped) → deterministic 50% hash sample, end-to-end in ONE lazy
+    plan — the oracle replays every stage in SQL, so composition order
+    and inter-stage dataflow are hash-checked, not just each stage
+    alone. The eval set is a deterministic slice of the corpus itself
+    (doc_id % 101 = 3), which guarantees real contamination hits."""
     from ..functions.text import rewrap_lines
     from ..operators.pipeline import prepare_corpus
     from ..operators.util import spread
 
     d = spread(t(spark, sf_dir, "documents"))
     chunked = d.select("doc_id", rewrap_lines("text", 8).alias("text"))
-    out = prepare_corpus(chunked, sample_fraction=0.5)
+    eval_docs = chunked.filter(F.col("doc_id") % 101 == 3)
+    out = prepare_corpus(chunked, eval_docs=eval_docs, sample_fraction=0.5)
     return out.select("doc_id", F.md5("text").alias("clean_md5"))
 
 
-def _sql_surgery(sql: str, old: str, new: str) -> str:
-    """str.replace that REFUSES to silently no-op: deriving one oracle
-    from another by text surgery breaks invisibly if the donor SQL is
-    reworded — fail loudly at registration time instead of gating
-    against the wrong query."""
-    out = sql.replace(old, new)
-    if out == sql:
-        raise AssertionError(
-            f"oracle surgery failed: marker not found:\n{old}"
-        )
-    return out
+def _lsh_core_sql(num_hashes: int, band_size: int, recursive: bool = False) -> str:
+    """DuckDB replay of the MinHash-LSH chain for ANY
+    (num_hashes, band_size): shingles → single-digest double-hashed
+    signature → bands → ordered candidate ``pairs`` CTE. Mirrors
+    operators/dedup.py:minhash_signatures/_lsh_bands expression for
+    expression, so fixture (8/2) and production (128/8) settings gate
+    against one template instead of hand-edited copies."""
+    n_bands = num_hashes // band_size
+    head = (
+        "with recursive" + _SHINGLE_SQL.replace("with toks", " toks", 1)
+        if recursive
+        else _SHINGLE_SQL
+    )
+    band_list = ", ".join(str(b) for b in range(n_bands))
+    return head + f"""
+    , hp as (
+        select doc_id,
+               list_transform(shingles, x -> struct_pack(
+                   h1 := cast(('0x' || substr(md5(x), 1, 8)) as bigint),
+                   h2 := cast(('0x' || substr(md5(x), 9, 8)) as bigint))) as hp
+        from sh
+    ),
+    sig as (
+        select doc_id,
+               list_transform(range(0, {num_hashes}), i ->
+                   list_min(list_transform(hp,
+                       p -> (p.h1 + i * p.h2) % 4294967296))) as sig
+        from hp
+    ),
+    bands as (
+        select doc_id, b,
+               array_to_string(list_slice(sig, b*{band_size} + 1,
+                                          b*{band_size} + {band_size}),
+                               '|') as val
+        from sig cross join unnest([{band_list}]) as tb(b)
+    ),
+    pairs as (
+        select distinct a.doc_id as id_left, b.doc_id as id_right
+        from bands a
+        join bands b on a.b = b.b and a.val = b.val and a.doc_id < b.doc_id
+    )
+    """
 
 
-def _register_near_dedup_corpus() -> None:
-    """Gate for the composed fuzzy-dedup corpus
-    (operators/dedup.py:near_dedup_corpus): LSH candidate pairs →
-    signature-agreement verify (est. Jaccard ≥ 0.5 — ≥4 of 8 MinHash
-    positions agree) → recursive-CTE closure → corpus minus every
-    non-canonical cluster member. The verify stage is replayed in the
-    oracle, so the gate checks the precision filter, not just raw-LSH
-    clustering."""
-    from .registry import ORACLE
-
-    closure = ORACLE["dedup_clusters"]
-    # insert the signature-verify CTE between candidate generation and
-    # the closure: only verified pairs become clustering edges
-    oracle = _sql_surgery(
-        closure,
-        """    edges as (
-        select id_left as a, id_right as b from pairs
-        union
-        select id_right, id_left from pairs
-    ),""",
-        """    vpairs as (
+def _near_dedup_corpus_sql(
+    num_hashes: int, band_size: int, threshold: float
+) -> str:
+    """Full near-dedup-corpus oracle: LSH candidates → signature-
+    agreement verify (≥ ``threshold``) → recursive-CTE closure →
+    corpus minus non-canonical cluster members."""
+    core = _lsh_core_sql(num_hashes, band_size, recursive=True)
+    return core + f""",
+    vpairs as (
         select p.id_left, p.id_right
         from pairs p
         join sig sa on sa.doc_id = p.id_left
         join sig sb on sb.doc_id = p.id_right
-        where list_aggregate(list_transform(generate_series(1, 8),
+        where list_aggregate(list_transform(generate_series(1, {num_hashes}),
                   i -> case when sa.sig[i] = sb.sig[i] then 1 else 0 end),
-              'sum') / 8.0 >= 0.5
+              'sum') / {num_hashes}.0 >= {threshold}
     ),
     edges as (
         select id_left as a, id_right as b from vpairs
         union
         select id_right, id_left from vpairs
-    ),""",
-    )
-    oracle = _sql_surgery(
-        oracle,
-        """select src as node, least(src, min(dst)) as component
-    from reach
-    group by src""",
-        """, comp as (
+    ),
+    reach(src, dst) as (
+        select a, b from edges
+        union
+        select r.src, e.b from reach r join edges e on r.dst = e.a
+    ),
+    comp as (
         select src as node, least(src, min(dst)) as component
         from reach group by src
     )
@@ -1619,20 +1677,57 @@ def _register_near_dedup_corpus() -> None:
     from documents d
     left join (select node from comp where node <> component) l
       on d.doc_id = l.node
-    where l.node is null""",
+    where l.node is null
+    """
+
+
+@query("near_dedup_corpus", _near_dedup_corpus_sql(8, 2, 0.5))
+def near_dedup_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed fuzzy-dedup deliverable
+    (operators/dedup.py:near_dedup_corpus): LSH candidate pairs →
+    signature-agreement verify (est. Jaccard ≥ 0.5 — ≥4 of 8 MinHash
+    positions agree) → connected components → corpus minus every
+    non-canonical cluster member. The verify stage is replayed in the
+    oracle, so the gate checks the precision filter, not just raw-LSH
+    clustering."""
+    from ..operators.dedup import near_dedup_corpus
+
+    return near_dedup_corpus(
+        t(spark, sf_dir, "documents"),
+        num_hashes=8, band_size=2, k=3, verify_threshold=0.5,
+    ).select("doc_id", "source")
+
+
+@query(
+    "minhash_lsh_pairs_wide",
+    _lsh_core_sql(128, 8) + "select id_left, id_right from pairs",
+)
+def minhash_lsh_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale LSH banding: 128 hashes in 16 bands of 8 — the
+    standard corpus-dedup paper setting (vs the 8/2 fixture setting),
+    gating that the single-digest double-hashing signature stays
+    map-bound as signature width grows 16× and that band collision
+    keeps only high-similarity candidates
+    (operators/dedup.py:minhash_lsh_pairs)."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), num_hashes=128, band_size=8, k=3
     )
 
-    @query("near_dedup_corpus", oracle)
-    def near_dedup_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ..operators.dedup import near_dedup_corpus
 
-        return near_dedup_corpus(
-            t(spark, sf_dir, "documents"),
-            num_hashes=8, band_size=2, k=3, verify_threshold=0.5,
-        ).select("doc_id", "source")
+@query("near_dedup_corpus_wide", _near_dedup_corpus_sql(128, 8, 0.5))
+def near_dedup_corpus_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near_dedup_corpus at the production LSH settings (128 hashes,
+    16 bands of 8, signature-verify ≥ 0.5): the whole verified chain —
+    wide signatures, banding, estimate filter, components, anti-join —
+    gated end-to-end at the configuration a 100 TB run would use."""
+    from ..operators.dedup import near_dedup_corpus
 
-
-_register_near_dedup_corpus()
+    return near_dedup_corpus(
+        t(spark, sf_dir, "documents"),
+        num_hashes=128, band_size=8, k=3, verify_threshold=0.5,
+    ).select("doc_id", "source")
 
 
 @query(
