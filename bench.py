@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "threshold_topk",
     "eval_decontamination",
+    "bloom_decontamination",
     "dedup_keep_first",
     "sample_uniform_hash",
     "sample_stratified_quota",

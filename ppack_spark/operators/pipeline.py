@@ -54,6 +54,9 @@ from .dedup import word_shingles
 
 __all__ = [
     "eval_ngram_contamination",
+    "bloom_bitmap",
+    "bloom_contamination",
+    "bloom_decontaminate",
     "hash_sample",
     "stratified_quota_sample",
     "pack_sequences",
@@ -116,6 +119,129 @@ def eval_ngram_contamination(
         "eval_id",
         "n_shared",
         F.round(F.col("n_shared") / F.col("n_eval_shingles"), 6).alias("containment"),
+    )
+
+
+def bloom_bitmap(
+    eval_docs: DataFrame,
+    k: int = 3,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 2,
+    text_col: str = "text",
+) -> str:
+    """Build a Bloom filter of the eval set's word ``k``-grams as a
+    '0'/'1' character bitmap (``n_bits`` chars). Bit positions come
+    from the same md5 double-hashing family as the MinHash signature
+    (p_i = (h1 + i·h2) mod n_bits), so membership replays
+    bit-identically in any engine with md5.
+
+    This is the decontamination artifact for the 100 TB regime: the
+    filter is built ONCE from the (small) eval side and inlined into
+    the corpus plan as a literal — the corpus-side check becomes a
+    pure map expression with NO join and NO shuffle at all, vs
+    ``eval_ngram_contamination``'s broadcast join whose probe cost
+    scales with |eval shingles|. Driver cost is bounded by ``n_bits``
+    (the distinct-position collect can never exceed it), like the PQ
+    codebooks in operators/ann.py.
+
+    False-positive rate per probed shingle ≈ (1 − e^(−n_hashes·m/n_bits))
+    ^ n_hashes for m eval shingles — size ``n_bits`` ≳ 10·m and flag
+    docs on ≥2 hits (the ``bloom_contamination`` default) to keep
+    false flags negligible.
+    """
+    from .dedup import word_shingles
+
+    pos_rows = (
+        eval_docs.select(F.explode(word_shingles(text_col, k)).alias("g"))
+        .distinct()
+        .select(
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5("g"), 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("h1") + F.lit(i) * F.col("h2")) % n_bits)
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = bytearray(b"0" * n_bits)
+    for r in pos_rows:
+        bits[int(r["p"])] = ord("1")
+    return bits.decode()
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    bitmap: str,
+    k: int = 3,
+    n_hashes: int = 2,
+    min_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag corpus documents whose word ``k``-grams hit the eval
+    Bloom filter (from :func:`bloom_bitmap`): adds ``n_bloom_hits``
+    (distinct shingles with ALL ``n_hashes`` bits set) and
+    ``contaminated`` (≥ ``min_hits``). Zero shuffle, zero join — the
+    bitmap rides the plan as a literal and the whole check is one
+    codegen'd map pass over the scan, the shape that lets
+    decontamination piggyback on any other corpus pass for free.
+    """
+    from .dedup import word_shingles
+
+    n_bits = len(bitmap)
+    bmp = F.lit(bitmap)
+
+    def _is_hit(g: Column) -> Column:
+        h1 = F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5(g), 9, 8), 16, 10).cast("long")
+        cond = None
+        for i in range(n_hashes):
+            p = (h1 + F.lit(i) * h2) % n_bits
+            c = F.substring(bmp, p.cast("int") + 1, 1) == "1"
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    n_hits = F.coalesce(
+        F.size(F.filter(word_shingles(text_col, k), _is_hit)), F.lit(0)
+    ).cast("long")
+    return corpus.withColumn("n_bloom_hits", n_hits).withColumn(
+        "contaminated", F.col("n_bloom_hits") >= min_hits
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 2,
+    min_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop corpus documents flagged by the eval Bloom filter — the
+    join-free twin of the ``eval_ngram_contamination`` + anti-join
+    path in :func:`prepare_corpus`. Bloom false positives can drop a
+    clean document (rate bounded as in :func:`bloom_bitmap`); when
+    that matters, use this as a cheap prefilter and confirm the
+    (few) flagged docs with the exact join."""
+    bmp = bloom_bitmap(
+        eval_docs, k=k, n_bits=n_bits, n_hashes=n_hashes, text_col=text_col
+    )
+    flagged = bloom_contamination(
+        corpus, bmp, k=k, n_hashes=n_hashes, min_hits=min_hits,
+        text_col=text_col, id_col=id_col,
+    )
+    return flagged.filter(~F.col("contaminated")).drop(
+        "n_bloom_hits", "contaminated"
     )
 
 

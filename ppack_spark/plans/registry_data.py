@@ -985,6 +985,59 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_decontamination",
+    _SHINGLE_SQL + """
+    , ev as (select shingles from sh where doc_id % 100 = 0),
+    evpos as (
+        select distinct (h1 + i * h2) % 65536 as p
+        from (
+            select cast(('0x' || substr(md5(g), 1, 8)) as bigint) as h1,
+                   cast(('0x' || substr(md5(g), 9, 8)) as bigint) as h2
+            from (select distinct unnest(shingles) as g from ev)
+        ) cross join unnest([0, 1]) as ti(i)
+    ),
+    cg as (select doc_id, unnest(shingles) as g from sh),
+    cpos as (
+        select doc_id, g, i,
+               (cast(('0x' || substr(md5(g), 1, 8)) as bigint)
+                + i * cast(('0x' || substr(md5(g), 9, 8)) as bigint))
+               % 65536 as p
+        from cg cross join unnest([0, 1]) as ti(i)
+    ),
+    chit as (
+        select doc_id, g
+        from cpos join evpos using (p)
+        group by doc_id, g
+        having count(distinct i) = 2
+    ),
+    hits as (select doc_id, count(*) as n from chit group by doc_id)
+    select d.doc_id,
+           cast(coalesce(h.n, 0) as bigint) as n_bloom_hits,
+           coalesce(h.n, 0) >= 2 as contaminated
+    from documents d left join hits h using (doc_id)
+    """,
+)
+def bloom_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/pipeline.py:
+    bloom_bitmap + bloom_contamination): the eval slice's word 3-grams
+    are folded into a 65536-bit md5-double-hashed Bloom bitmap, and
+    the corpus check is a join-free, shuffle-free map expression with
+    the bitmap inlined as a plan literal — the decontamination shape
+    that piggybacks on any corpus pass at 100 TB. The oracle replays
+    membership via the position SET (identical semantics: the bitmap
+    has exactly the eval positions' bits set)."""
+    from ..operators.pipeline import bloom_bitmap, bloom_contamination
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") % 100 == 0)
+    bmp = bloom_bitmap(ev, k=3, n_bits=1 << 16, n_hashes=2)
+    return bloom_contamination(d, bmp, k=3, n_hashes=2, min_hits=2).select(
+        "doc_id", "n_bloom_hits", "contaminated"
+    )
+
+
+@query(
     "sample_uniform_hash",
     """
     select doc_id, lang, source from documents

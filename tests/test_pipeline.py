@@ -683,3 +683,66 @@ def test_composed_samplers_are_decorrelated(spark):
     }
     total = sum(labels.values())
     assert 0.44 < labels["train"] / total < 0.56, labels
+
+
+def test_bloom_decontamination_superset_of_exact(spark, docs):
+    """Bloom membership can false-POSITIVE but never false-negative:
+    every doc the exact n-gram join flags (>= 2 shared 3-grams) must
+    also be bloom-flagged, and a planted verbatim-contaminated doc is
+    dropped by bloom_decontaminate while clean docs survive."""
+    from ppack_spark.operators.pipeline import (
+        bloom_bitmap,
+        bloom_contamination,
+        bloom_decontaminate,
+    )
+
+    from ppack_spark.operators.dedup import word_shingles
+
+    ev = docs.filter(F.col("doc_id") % 100 == 0)
+    # per-eval-doc exact contamination is a SUBSET of what bloom flags
+    # (bloom tests against the union of eval shingles)
+    exact = {
+        r["doc_id"]
+        for r in eval_ngram_contamination(docs, ev, k=3, min_shared=2)
+        .select("doc_id").distinct().collect()
+    }
+    # the true union-level ground truth bloom approximates: >= 2
+    # distinct shingles present anywhere in the eval shingle set
+    ev_sh = ev.select(F.explode(word_shingles("text", 3)).alias("g")).distinct()
+    union_exact = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.explode(word_shingles("text", 3)).alias("g")
+        )
+        .join(ev_sh, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    }
+    bmp = bloom_bitmap(ev, k=3, n_bits=1 << 16, n_hashes=2)
+    flagged = {
+        r["doc_id"]
+        for r in bloom_contamination(docs, bmp, min_hits=2)
+        .filter(F.col("contaminated")).select("doc_id").collect()
+    }
+    assert exact <= union_exact <= flagged
+    # false-positive head-room: bloom should track the union truth
+    assert len(flagged) <= len(union_exact) + 5, (len(union_exact), len(flagged))
+
+    planted_ev = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "intro text then the quick brown fox jumps over the lazy dog tonight closes it"),
+            (11, "completely unrelated material with zero shared trigram content anywhere"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in bloom_decontaminate(corpus, planted_ev).collect()
+    }
+    assert kept == {11}
