@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "temperature_mix",
     "corpus_delta_merge",
     "repeated_spans",
+    "remove_repeated_spans",
     "quality_filter_flags",
     "corpus_pipeline_e2e",
     "near_dedup_corpus",

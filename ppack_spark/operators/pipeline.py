@@ -65,6 +65,7 @@ __all__ = [
     "merge_corpus_delta",
     "merge_corpus_delta_fuzzy",
     "repeated_spans",
+    "remove_repeated_spans",
     "prepare_corpus",
     "split_corpus",
     "funnel_counts",
@@ -527,6 +528,19 @@ def merge_corpus_delta(
     return exact_dedup_keep_first(fresh, text_col=text_col, id_col=id_col)
 
 
+def _span_hash_array(text_col: str, width: int) -> Column:
+    """md5 of the ``width``-token span starting at every position
+    (stride 1) of the single-space-tokenized text — the shared span
+    fingerprint construction of :func:`repeated_spans` (detection) and
+    :func:`remove_repeated_spans` (materialization)."""
+    toks = F.split(F.col(text_col), " ", -1)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - F.lit(width), F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, width), " ")),
+    )
+
+
 def repeated_spans(
     df: DataFrame,
     width: int = 50,
@@ -567,15 +581,9 @@ def repeated_spans(
     count shuffle, and the repeated set (tiny) joins back
     broadcast-size.
     """
-    toks = F.split(F.col(text_col), " ", -1)
-    n = F.size(toks)
-    # hash of the width-token span starting at every position (stride 1)
-    kg = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - F.lit(width), F.lit(0))),
-        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, width), " ")),
-    )
     hashes = df.select(
-        F.col(id_col), F.posexplode(kg).alias("pos", "__h")
+        F.col(id_col),
+        F.posexplode(_span_hash_array(text_col, width)).alias("pos", "__h"),
     )
     wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     wall = Window.partitionBy(id_col)
@@ -600,6 +608,81 @@ def repeated_spans(
     )
     return selected.join(repeated, "span_hash").select(
         id_col, "span_pos", "span_hash", "n_occurrences"
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    width: int = 50,
+    window: int = 25,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the span-deduplicated corpus: every token covered
+    by an occurrence of a corpus-repeated span (as detected by
+    :func:`repeated_spans` winnowing) is removed from EVERY document —
+    the substring-dedup deliverable of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), with the same
+    drop-all-copies policy as ``dedup_corpus_lines`` (boilerplate
+    should vanish everywhere, and no cross-document coordination is
+    needed to elect a canonical copy).
+
+    Coverage masks ALL stride-1 occurrences of a repeated span hash —
+    not just the winnow-selected position — so a repeat is excised
+    from documents where the local window happened to select a
+    different fingerprint. Shared substrings shorter than
+    ``width + window − 1`` tokens may go undetected in some copies
+    (the winnowing guarantee's boundary); they are left in place
+    rather than half-removed.
+
+    Returns the input columns with ``text_col`` rebuilt from the
+    surviving tokens plus ``n_tokens_removed`` (NULL text stays NULL).
+
+    Scale shape: detection is :func:`repeated_spans` (only winnowed
+    32-byte hashes reach the corpus-wide count); coverage is one
+    equi-join of the per-position hash table against the (small)
+    repeated-hash set, then per-doc start offsets are collected and
+    the rebuild is a pure map expression — token ``i`` survives iff no
+    collected start ``s`` has ``s ≤ i < s + width``. The per-doc start
+    list is bounded by the doc's repeated content, so the rebuild
+    costs O(tokens · starts) inside codegen with no further shuffle.
+    """
+    rep = (
+        repeated_spans(
+            df, width=width, window=window, min_occurrences=min_occurrences,
+            text_col=text_col, id_col=id_col,
+        )
+        .select("span_hash")
+        .distinct()
+    )
+    allpos = df.select(
+        F.col(id_col),
+        F.posexplode(_span_hash_array(text_col, width)).alias("pos", "__h"),
+    )
+    occ = allpos.join(rep, allpos["__h"] == rep["span_hash"]).select(
+        id_col, "pos"
+    )
+    starts = occ.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__ss")
+    )
+    joined = df.join(starts, id_col, "left")
+    toks = F.split(F.col(text_col), " ", -1)
+    ss = F.coalesce(F.col("__ss"), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks,
+        lambda tok, i: F.size(
+            F.filter(ss, lambda p: (p <= i) & (i < p + F.lit(width)))
+        )
+        == 0,
+    )
+    keep_cols = [
+        F.array_join(kept, " ").alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return joined.select(
+        *keep_cols,
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
 
 

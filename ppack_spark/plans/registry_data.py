@@ -1411,9 +1411,9 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "repeated_spans",
-    """
+# winnowed span fingerprints (width 8, window 4) through the
+# corpus-repeated set — shared by the detection and removal gates
+_WINNOW_SQL = """
     with base as (
         select doc_id,
                list_transform(
@@ -1441,6 +1441,12 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         select span_hash, count(*) as n_occurrences
         from e group by span_hash having count(*) >= 2
     )
+"""
+
+
+@query(
+    "repeated_spans",
+    _WINNOW_SQL + """
     select e.doc_id, e.span_pos, e.span_hash, rep.n_occurrences
     from e join rep using (span_hash)
     """,
@@ -1461,6 +1467,59 @@ def repeated_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_pos",
         "span_hash",
         F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
+@query(
+    "remove_repeated_spans",
+    _WINNOW_SQL + """
+    , allpos as (
+        select doc_id, j - 1 as pos, kg[j] as h
+        from (select doc_id, kg,
+                     unnest(generate_series(1, len(kg))) as j
+              from base)
+    ),
+    occ as (
+        select a.doc_id, a.pos
+        from allpos a join (select span_hash from rep) r
+          on a.h = r.span_hash
+    ),
+    starts as (
+        select doc_id, list(pos order by pos) as ss from occ group by doc_id
+    ),
+    rb as (
+        select d.doc_id,
+               string_split(d.text, ' ') as tk,
+               list_filter(string_split(d.text, ' '),
+                 (tok, ti) -> len(list_filter(
+                     coalesce(s.ss, cast([] as bigint[])),
+                     p -> p <= ti - 1 and ti - 1 < p + 8)) = 0) as kept
+        from documents d left join starts s using (doc_id)
+    )
+    select doc_id,
+           -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+           -- array_join: normalize the fully-covered-doc case
+           md5(case when tk is null then null
+                    else coalesce(array_to_string(kept, ' '), '') end)
+             as clean_md5,
+           cast(len(tk) - len(kept) as bigint) as n_tokens_removed
+    from rb
+    """,
+)
+def remove_repeated_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup materialization
+    (operators/pipeline.py:remove_repeated_spans): tokens covered by
+    any occurrence of a corpus-repeated winnowed span are excised from
+    every document — the Lee et al. substring-dedup deliverable. The
+    oracle replays detection, full-coverage masking, and the token
+    rebuild, hash-checking the cleaned text itself."""
+    from ..operators.pipeline import remove_repeated_spans
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
+    out = remove_repeated_spans(d, width=8, window=4, min_occurrences=2)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_tokens_removed"
     )
 
 

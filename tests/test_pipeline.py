@@ -746,3 +746,36 @@ def test_bloom_decontamination_superset_of_exact(spark, docs):
         for r in bloom_decontaminate(corpus, planted_ev).collect()
     }
     assert kept == {11}
+
+
+def test_remove_repeated_spans_excises_misaligned_copies(spark):
+    """A 12-token passage copied at DIFFERENT offsets into two docs
+    (>= width+window-1 = 11 tokens, so winnowing guarantees a shared
+    fingerprint) must be excised from BOTH copies; the clean doc is
+    untouched. Coverage is content-defined, so both copies lose the
+    same number of tokens despite the misalignment."""
+    from ppack_spark.operators.pipeline import remove_repeated_spans
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, "intro one two three " + passage + " tail a b"),
+            (2, "different prefix " + passage + " other ending words here"),
+            (3, "totally unique content with no repetition at all in sight"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(df, width=8, window=4).collect()
+    }
+    assert out[3]["n_tokens_removed"] == 0
+    assert "unique content" in out[3]["text"]
+    for d in (1, 2):
+        assert out[d]["n_tokens_removed"] >= 8
+        # the passage core is always covered by any in-passage span
+        for tok in ("p4", "p5", "p6", "p7"):
+            assert tok not in out[d]["text"].split()
+    assert out[1]["n_tokens_removed"] == out[2]["n_tokens_removed"]
+    # unique surroundings survive
+    assert "intro" in out[1]["text"] and "prefix" in out[2]["text"]
