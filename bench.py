@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "near_dedup_corpus",
     "minhash_lsh_pairs_wide",
     "near_dedup_corpus_wide",
+    "semantic_dedup",
     "minhash_lsh_pairs_ab",
     "corpus_delta_merge_fuzzy",
     "corpus_split",

@@ -49,6 +49,7 @@ __all__ = [
     "pq_encode",
     "cosine_topk_pq",
     "cosine_topk_ivfpq",
+    "semantic_dedup_corpus",
 ]
 
 
@@ -305,6 +306,92 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup_corpus(
+    df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    eps: float = 0.95,
+    clusters: DataFrame | None = None,
+    cluster_col: str = "cluster",
+    use_star: bool = False,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop embedding-space near-
+    duplicates, keeping one canonical document per semantic cluster.
+
+    Pipeline: partition the corpus into semantic buckets → compute
+    pairwise cosine WITHIN buckets only → pairs with
+    ``round(cos, round_digits) >= eps`` are duplicates → connected
+    components → keep the min-id member per component plus every
+    singleton, via a left-anti join on the loser id set.
+
+    Bucketing is pluggable:
+
+    * default — deterministic random-hyperplane sign sketch
+      (:func:`hyperplane_lsh_buckets`): seedless, engine-replayable
+      (the oracle SQL replays the md5-derived hyperplanes bit-exactly),
+      and training-free. Two vectors with cosine ≥ eps ≈ 0.95 disagree
+      on a hyperplane sign with probability θ/π ≈ 0.10, so an 8-plane
+      sketch keeps most true pairs co-bucketed while the expected
+      bucket population drops 2⁸×.
+    * ``clusters`` — a caller-supplied ``(id_col, cluster_col)``
+      assignment, e.g. the k-means inverted lists from
+      :func:`ivf_index` (the paper's own clustering). Data-adaptive,
+      better recall on clustered corpora, but iterative training —
+      gate-tested by planted-duplicate properties instead of a SQL
+      oracle.
+
+    Scale shape: the quadratic work is confined to within-bucket
+    pairs (an equi-join on the bucket id, never a cross product); the
+    component kernels iterate over candidate edges with
+    localCheckpoint lineage cuts (``use_star=True`` switches to the
+    O(log n)-round large-star/small-star kernel); the final anti-join
+    touches ids only. The embedding column itself never shuffles
+    except bucket-locally.
+    """
+    from .cluster import connected_components, connected_components_star
+
+    if clusters is None:
+        bk = hyperplane_lsh_buckets(df, dims, n_planes, id_col, vec_col).select(
+            F.col(id_col), F.col(vec_col), F.col("bucket").alias("__ck")
+        )
+    else:
+        bk = df.select(F.col(id_col), F.col(vec_col)).join(
+            clusters.select(F.col(id_col), F.col(cluster_col).alias("__ck")),
+            on=id_col,
+        )
+    left = bk.select(
+        F.col("__ck"),
+        F.col(id_col).alias("id_left"),
+        F.col(vec_col).alias("__vl"),
+    )
+    right = bk.select(
+        F.col("__ck"),
+        F.col(id_col).alias("id_right"),
+        F.col(vec_col).alias("__vr"),
+    )
+    cos = F.round(cosine(F.col("__vl"), F.col("__vr")), round_digits)
+    pairs = (
+        left.join(right, on="__ck")
+        .filter(F.col("id_left") < F.col("id_right"))
+        .select("id_left", "id_right", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(float(eps)))
+        .select("id_left", "id_right")
+        # a pair can co-occur in several buckets only with a caller
+        # assignment that multi-assigns; harmless for CC but dedup
+        # keeps the edge list minimal
+        .dropDuplicates(["id_left", "id_right"])
+    )
+    kernel = connected_components_star if use_star else connected_components
+    comps = kernel(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 # --------------------------------------------------------------- PQ

@@ -2392,3 +2392,69 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import unigram_logprob
 
     return unigram_logprob(t(spark, sf_dir, "documents"), n=2)
+
+
+@query(
+    "semantic_dedup",
+    f"""
+    with recursive hp as (
+        select p, list_transform(range(0, 64), d ->
+            (('0x' || substr(md5(cast(p as varchar) || ':' ||
+                             cast(d as varchar)), 1, 8))::bigint
+             / 2147483648.0 - 1.0)) as pv
+        from (select unnest(range(0, 6)) as p)
+    ),
+    bk as (
+        select e.vec_id, e.embedding,
+               sum(case when {_DOT_SQL.format(a='e.embedding', b='hp.pv')} > 0
+                        then (1::bigint << p) else 0 end) as bucket
+        from embeddings e cross join hp
+        group by e.vec_id, e.embedding
+    ),
+    pairs as (
+        select a.vec_id as id_left, b.vec_id as id_right
+        from bk a
+        join bk b on a.bucket = b.bucket and a.vec_id < b.vec_id
+        where round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
+    ),
+    edges as (
+        select id_left as a, id_right as b from pairs
+        union
+        select id_right, id_left from pairs
+    ),
+    reach(src, dst) as (
+        select a, b from edges
+        union
+        select r.src, e.b from reach r join edges e on r.dst = e.a
+    ),
+    comp as (
+        select src as node, least(src, min(dst)) as component
+        from reach group by src
+    )
+    select e.vec_id, e.label
+    from embeddings e
+    left join (select node from comp where node <> component) l
+      on e.vec_id = l.node
+    where l.node is null
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/ann.py:semantic_dedup_corpus): embedding-
+    space near-duplicate removal — deterministic hyperplane sign-sketch
+    buckets (md5-derived planes, engine-replayable) confine the
+    quadratic cosine work to within-bucket pairs; pairs with
+    round(cos, 6) ≥ 0.3 resolve through connected components and only
+    the min-id canonical per component (plus all singletons) survives.
+    The oracle replays the hyperplanes, sign buckets, bucket-blocked
+    cosine pairs, recursive closure, and anti-join bit-for-bit. The
+    k-means-clustered variant (the paper's own bucketing, via
+    ivf_index) is property-tested in tests/test_ann.py — iterative
+    training is not SQL-expressible."""
+    from ..operators.ann import semantic_dedup_corpus
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semantic_dedup_corpus(e, dims=64, n_planes=6, eps=0.3).select(
+        "vec_id", "label"
+    )

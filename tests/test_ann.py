@@ -190,3 +190,47 @@ def test_pq_self_hit_excluded_before_shortlist(embeddings):
     ).collect()
     r1 = [r for r in kept if r["rank"] == 1][0]
     assert r1["neighbor_id"] == 3 and r1["cos_sim"] == 1.0
+
+
+def test_semantic_dedup_planted_duplicates(spark, embeddings):
+    """SemDeDup drops planted near-identical embeddings and keeps the
+    originals; distinct vectors all survive. Exercises BOTH bucketing
+    paths: the deterministic hyperplane sketch and a k-means cluster
+    assignment from ivf_index (the paper's own clustering)."""
+    from ppack_spark.operators.ann import ivf_index, semantic_dedup_corpus
+
+    base = embeddings.filter(F.col("vec_id") < 50)
+    # plant: copies of vec 0..4 with a tiny perturbation (cos ~ 1.0)
+    dups = (
+        base.filter(F.col("vec_id") < 5)
+        .select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 1.0001).alias("embedding"),
+            F.col("label"),
+        )
+    )
+    corpus = base.unionByName(dups)
+
+    kept_hp = semantic_dedup_corpus(corpus, dims=64, n_planes=6, eps=0.99)
+    ids_hp = {r[0] for r in kept_hp.select("vec_id").collect()}
+    # scaled copies have cosine exactly ~1 with their source: the copy
+    # (min-id loser is the 1000+ id) must go, every original stays
+    assert ids_hp == {r[0] for r in base.select("vec_id").collect()}
+
+    assigned, _ = ivf_index(corpus, n_centroids=4)
+    clusters = assigned.select("vec_id", F.col("centroid").alias("cluster"))
+    kept_km = semantic_dedup_corpus(
+        corpus, dims=64, eps=0.99, clusters=clusters
+    )
+    ids_km = {r[0] for r in kept_km.select("vec_id").collect()}
+    assert ids_km == ids_hp
+
+
+def test_semantic_dedup_no_pairs_is_identity(spark, embeddings):
+    """With an impossible eps the corpus passes through untouched
+    (CC over an empty edge set must not drop anything)."""
+    from ppack_spark.operators.ann import semantic_dedup_corpus
+
+    base = embeddings.filter(F.col("vec_id") < 30)
+    kept = semantic_dedup_corpus(base, dims=64, n_planes=4, eps=1.5)
+    assert kept.count() == 30
