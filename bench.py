@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs_wide",
     "near_dedup_corpus_wide",
     "semantic_dedup",
+    "corpus_shuffle",
+    "doc_chunks",
+    "corpus_upsample",
     "minhash_lsh_pairs_ab",
     "corpus_delta_merge_fuzzy",
     "corpus_split",

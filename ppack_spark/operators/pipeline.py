@@ -75,6 +75,9 @@ __all__ = [
     "perplexity_buckets",
     "dsir_importance_weights",
     "corpus_stats",
+    "shuffle_corpus",
+    "chunk_documents",
+    "upsample_corpus",
 ]
 
 
@@ -1157,4 +1160,149 @@ def corpus_stats(
             ),
             6,
         ).alias("pii_doc_rate"),
+    )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training order: assign every document a
+    ``(shard, shard_pos)`` position in a pseudo-random permutation of
+    the corpus derived from md5(id ∥ salt) — the "shuffle once, read
+    sequentially" materialization trainer loaders want.
+
+    The permutation is engine- and run-independent (same reasons as
+    :func:`hash_sample`): shard = the hash's 32-bit prefix mod
+    ``n_shards``, position = rank of (hash, id) within the shard.
+    Readers stream shards in shard order (or round-robin across them
+    for epoch-level interleaving) and see an id-decorrelated order
+    with no global sort.
+
+    Scale shape: ONE shuffle on the shard id, then a per-shard sort of
+    (hash, id) pairs — never a single global total order (a global
+    row_number would serialize on one partition). Shards are
+    independent, so parallelism = ``n_shards``; size n_shards so a
+    shard's (hash, id) pairs fit an executor's sort buffer (ids only —
+    the payload can be joined back or written alongside). Distinct
+    ``salt`` values give independent epoch orders.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    base = df.withColumn("__h", h).withColumn(
+        "shard",
+        (F.conv(F.substring("__h", 1, 8), 16, 10).cast("long") % n_shards),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        base.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token-window chunks with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the retrieval/RAG indexing and long-document training-example
+    shape. Returns one row per chunk: (id, chunk_id, chunk_start,
+    chunk_n_tokens, chunk_text).
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)``
+    with ``stride = chunk_tokens − overlap``; the last chunk may be
+    short, and a chunk starts at every stride offset < n_tokens, so
+    every token appears in ⌈chunk_tokens/stride⌉ chunks at most and
+    the windows tile deterministically regardless of partitioning.
+    Empty/whitespace-only documents produce no rows.
+
+    Scale shape: pure map pass — tokenize, ``sequence`` of starts,
+    posexplode, slice — zero shuffle, pipelines into the scan; the
+    output fans out rows but each output row is a bounded slice, and
+    predicate pushdown on the input still applies.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size("__tk")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk = F.slice(F.col("__tk"), F.col("chunk_start") + 1, chunk_tokens)
+    return (
+        df.select(F.col(id_col), toks.alias("__tk"))
+        .select(F.col(id_col), F.col("__tk"), F.posexplode(starts))
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("chunk_id"),
+            F.col("col").cast("long").alias("chunk_start"),
+            F.size(chunk).cast("long").alias("chunk_n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def upsample_corpus(
+    df: DataFrame,
+    group_col: str,
+    epochs: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "epochs",
+) -> DataFrame:
+    """Repeat-factor upsampling: each group's documents appear
+    ``epochs[group]`` times per training epoch — the upsampling half
+    of a data-mixture recipe (:func:`temperature_mix` is the
+    downsampling half; LLaMA-style mixes state both as per-source
+    epoch counts, e.g. Wikipedia 2.45 epochs).
+
+    Fractional epochs are exact in expectation and deterministic per
+    document: a rate ``e`` emits ⌊e⌋ copies of every doc plus one more
+    iff md5(id ∥ salt)'s 32-bit prefix < frac(e)·2³², so the extra-copy
+    subset is a stable :func:`hash_sample`-style draw (decorrelated
+    from the other samplers by ``salt``). Output carries ``epoch_idx``
+    (0-based copy number) so downstream shuffling can interleave
+    copies instead of clustering them. Groups absent from ``epochs``
+    default to 1.0 (pass 0.0 to drop a group).
+
+    Scale shape: the epochs table is a literal CASE expression (a few
+    named groups by construction); copy fan-out is
+    ``explode(sequence(...))`` — a map-side row multiplier with no
+    shuffle and no join. The corpus is read once regardless of the
+    total epoch mass.
+    """
+    for g, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epochs must be >= 0, got {g}={e}")
+    rate: Column = F.lit(1.0)
+    for g, e in epochs.items():
+        rate = F.when(F.col(group_col) == g, F.lit(float(e))).otherwise(rate)
+    whole = F.floor(rate).cast("long")
+    frac = rate - F.floor(rate)
+    cut = (frac * F.lit(float(2**32))).cast("long")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_copies = (whole + F.when(hv < cut, 1).otherwise(0)).alias("__n")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "epoch_idx",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n") - 1)),
+        )
+        .drop("__n")
     )

@@ -2458,3 +2458,121 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_corpus(e, dims=64, n_planes=6, eps=0.3).select(
         "vec_id", "label"
     )
+
+
+@query(
+    "corpus_shuffle",
+    """
+    with h as (
+        select doc_id, lang,
+               md5(cast(doc_id as varchar) || 'shuffle') as hh
+        from documents
+    ),
+    sh as (
+        select doc_id, lang, hh,
+               ('0x' || substr(hh, 1, 8))::bigint % 16 as shard
+        from h
+    )
+    select doc_id, lang, shard,
+           cast(row_number() over (
+               partition by shard order by hh, doc_id
+           ) as bigint) as shard_pos
+    from sh
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle
+    (operators/pipeline.py:shuffle_corpus): every doc gets a
+    (shard, shard_pos) slot in a md5(id ∥ salt)-derived pseudo-random
+    permutation — reproducible across runs/engines, ONE shuffle on the
+    shard id plus per-shard bounded sorts, never a global total order
+    (a global row_number would serialize on one partition)."""
+    from ..operators.pipeline import shuffle_corpus
+
+    d = t(spark, sf_dir, "documents")
+    return shuffle_corpus(d, n_shards=16).select(
+        "doc_id", "lang", "shard", "shard_pos"
+    )
+
+
+@query(
+    "doc_chunks",
+    """
+    with tok as (
+        select doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') as tk
+        from documents
+    ),
+    st as (
+        select doc_id, tk,
+               generate_subscripts(range(0, len(tk), 24), 1) - 1 as chunk_id,
+               unnest(range(0, len(tk), 24)) as s
+        from tok
+    )
+    select doc_id,
+           cast(chunk_id as bigint) as chunk_id,
+           cast(s as bigint) as chunk_start,
+           cast(len(tk[s+1:s+32]) as bigint) as chunk_n_tokens,
+           md5(array_to_string(tk[s+1:s+32], ' ')) as chunk_md5
+    from st
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed token-window document chunking with overlap
+    (operators/pipeline.py:chunk_documents): 32-token windows every 24
+    tokens (8 overlap) — the RAG-indexing / long-doc training-example
+    shape. Pure map pass (tokenize → sequence of starts → posexplode →
+    slice): zero shuffle, pipelines into the scan. The oracle replays
+    tokenization, stride grid, slicing, and the chunk text md5."""
+    from ..operators.pipeline import chunk_documents
+
+    d = t(spark, sf_dir, "documents")
+    out = chunk_documents(d, chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id", "chunk_id", "chunk_start", "chunk_n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@query(
+    "corpus_upsample",
+    """
+    with r as (
+        select doc_id, lang, source,
+               case when lang = 'en' then 2.5
+                    when lang = 'fr' then 0.5
+                    when lang = 'zh' then 0.0
+                    else 1.0 end as rate,
+               ('0x' || substr(md5(cast(doc_id as varchar) || 'epochs'),
+                               1, 8))::bigint as hv
+        from documents
+    ),
+    n as (
+        select doc_id, lang, source,
+               cast(floor(rate) as bigint)
+               + case when hv < (rate - floor(rate)) * 4294967296.0
+                      then 1 else 0 end as n_copies
+        from r
+    )
+    select doc_id, lang, source,
+           cast(unnest(range(0, n_copies)) as bigint) as epoch_idx
+    from n
+    where n_copies > 0
+    """,
+)
+def corpus_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-factor upsampling (operators/pipeline.py:
+    upsample_corpus): per-language epoch counts à la LLaMA data
+    recipes — en 2.5 epochs (every doc twice, a deterministic
+    md5-selected half a third time), fr 0.5, zh dropped, others 1.0.
+    Map-side explode(sequence) fan-out: no shuffle, no join, corpus
+    read once regardless of total epoch mass; the fractional-copy
+    subset is a salted hash_sample draw, decorrelated from the other
+    samplers."""
+    from ..operators.pipeline import upsample_corpus
+
+    d = t(spark, sf_dir, "documents")
+    return upsample_corpus(
+        d, "lang", {"en": 2.5, "fr": 0.5, "zh": 0.0}
+    ).select("doc_id", "lang", "source", "epoch_idx")

@@ -779,3 +779,113 @@ def test_remove_repeated_spans_excises_misaligned_copies(spark):
     assert out[1]["n_tokens_removed"] == out[2]["n_tokens_removed"]
     # unique surroundings survive
     assert "intro" in out[1]["text"] and "prefix" in out[2]["text"]
+
+
+# ------------------------------------------------------------ shuffle
+def test_shuffle_corpus_is_permutation(docs):
+    """Every doc appears exactly once, with contiguous 1..n positions
+    inside each shard, and a different salt gives a different order."""
+    from ppack_spark.operators.pipeline import shuffle_corpus
+
+    out = shuffle_corpus(docs, n_shards=8).select(
+        "doc_id", "shard", "shard_pos"
+    )
+    rows = out.collect()
+    n = docs.count()
+    assert len(rows) == n
+    assert len({r["doc_id"] for r in rows}) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+    other = shuffle_corpus(docs, n_shards=8, salt="epoch2").select(
+        "doc_id", "shard", "shard_pos"
+    )
+    a = {(r["doc_id"]): (r["shard"], r["shard_pos"]) for r in rows}
+    b = {(r["doc_id"]): (r["shard"], r["shard_pos"]) for r in other.collect()}
+    assert a != b  # distinct salts give independent epoch orders
+
+
+def test_shuffle_corpus_layout_invariant(docs):
+    """The (shard, shard_pos) assignment must not depend on input
+    partitioning — it is a pure function of the id."""
+    from ppack_spark.operators.pipeline import shuffle_corpus
+
+    base = {
+        r["doc_id"]: (r["shard"], r["shard_pos"])
+        for r in shuffle_corpus(docs, n_shards=4).collect()
+    }
+    rep = {
+        r["doc_id"]: (r["shard"], r["shard_pos"])
+        for r in shuffle_corpus(docs.repartition(17), n_shards=4).collect()
+    }
+    assert base == rep
+
+
+# ------------------------------------------------------------- chunks
+def test_chunk_documents_tiling(spark):
+    """Chunks tile the token stream: stride-aligned starts, full
+    chunks except possibly the last, and zero-overlap chunks
+    concatenate back to the exact token sequence."""
+    from ppack_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c"), (3, "  ")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    d1 = sorted(
+        [r for r in out if r["doc_id"] == 1], key=lambda r: r["chunk_id"]
+    )
+    assert [r["chunk_start"] for r in d1] == [0, 3, 6, 9]
+    assert [r["chunk_n_tokens"] for r in d1] == [4, 4, 4, 1]
+    assert d1[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap with chunk 0
+    # whitespace-only doc 3 yields nothing
+    assert not [r for r in out if r["doc_id"] == 3]
+
+    flat = chunk_documents(df.filter("doc_id = 1"), chunk_tokens=4).collect()
+    joined = " ".join(
+        r["chunk_text"]
+        for r in sorted(flat, key=lambda r: r["chunk_id"])
+    )
+    assert joined == " ".join(f"t{i}" for i in range(10))
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+# ----------------------------------------------------------- upsample
+def test_upsample_corpus_epoch_semantics(docs):
+    """en at 2.5 epochs: every doc 2 or 3 times, ~half get the third
+    copy; zh at 0.0 dropped; unlisted langs exactly once; epoch_idx is
+    contiguous from 0 per doc."""
+    from ppack_spark.operators.pipeline import upsample_corpus
+
+    out = upsample_corpus(docs, "lang", {"en": 2.5, "zh": 0.0}).select(
+        "doc_id", "lang", "epoch_idx"
+    )
+    rows = out.collect()
+    assert not [r for r in rows if r["lang"] == "zh"]
+    per_doc: dict[int, list[int]] = {}
+    lang_of = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch_idx"])
+        lang_of[r["doc_id"]] = r["lang"]
+    n_extra = 0
+    n_en = 0
+    for doc_id, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+        if lang_of[doc_id] == "en":
+            n_en += 1
+            assert len(idxs) in (2, 3)
+            n_extra += len(idxs) == 3
+        else:
+            assert len(idxs) == 1
+    # deterministic md5 draw: extra-copy fraction ~ 0.5 of en docs
+    assert 0.3 <= n_extra / n_en <= 0.7
+
+    with pytest.raises(ValueError):
+        upsample_corpus(docs, "lang", {"en": -1.0})
