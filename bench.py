@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "corpus_shuffle",
     "doc_chunks",
     "corpus_upsample",
+    "zorder_layout",
     "minhash_lsh_pairs_ab",
     "corpus_delta_merge_fuzzy",
     "corpus_split",

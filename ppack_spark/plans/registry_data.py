@@ -2576,3 +2576,73 @@ def corpus_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsample_corpus(
         d, "lang", {"en": 2.5, "fr": 0.5, "zh": 0.0}
     ).select("doc_id", "lang", "source", "epoch_idx")
+
+
+@query(
+    "zorder_layout",
+    """
+    with e as (
+        select event_id, user_id,
+               cast(floor(epoch(ts)) as bigint) // 86400 as day
+        from events
+    ),
+    b as (
+        select min(user_id) as mnu, max(user_id) as mxu,
+               min(day) as mnd, max(day) as mxd
+        from e
+    ),
+    c as (
+        select event_id,
+               least(greatest(cast(floor((user_id - mnu) * 256.0 /
+                     (mxu - mnu + 1)) as bigint), 0), 255) as cu,
+               least(greatest(cast(floor((day - mnd) * 256.0 /
+                     (mxd - mnd + 1)) as bigint), 0), 255) as cd
+        from e cross join b
+    )
+    select event_id,
+           cast((((cu >> 0) & 1) << 0)
+               + (((cu >> 1) & 1) << 2)
+               + (((cu >> 2) & 1) << 4)
+               + (((cu >> 3) & 1) << 6)
+               + (((cu >> 4) & 1) << 8)
+               + (((cu >> 5) & 1) << 10)
+               + (((cu >> 6) & 1) << 12)
+               + (((cu >> 7) & 1) << 14)
+               + (((cd >> 0) & 1) << 1)
+               + (((cd >> 1) & 1) << 3)
+               + (((cd >> 2) & 1) << 5)
+               + (((cd >> 3) & 1) << 7)
+               + (((cd >> 4) & 1) << 9)
+               + (((cd >> 5) & 1) << 11)
+               + (((cd >> 6) & 1) << 13)
+               + (((cd >> 7) & 1) << 15) as bigint) as z
+    from c
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout key (sources/etl.py:zorder_key): events
+    gridded to 8 bits per dimension on (user_id, day), bits
+    interleaved into one sort key — sorting by it makes parquet
+    min-max stats tight bounding boxes in BOTH dimensions, so range
+    filters on either column prune files (write path:
+    write_zordered, file-level skipping asserted in tests/test_etl.py).
+    Pure shift/mask codegen expression, bit-identical in the oracle;
+    the scale-to-grid double division is whole-number-exact by the
+    documented 2^53 numerator guard."""
+    from ..sources.etl import zorder_key
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(_epoch_s(F.col("ts")) / 86400).cast("long").alias("day"),
+    )
+    st = e.agg(
+        F.min("user_id").alias("mnu"), F.max("user_id").alias("mxu"),
+        F.min("day").alias("mnd"), F.max("day").alias("mxd"),
+    ).collect()[0]
+    z = zorder_key(
+        ["user_id", "day"],
+        [(st["mnu"], st["mxu"]), (st["mnd"], st["mxd"])],
+        bits=8,
+    )
+    return e.select("event_id", z.alias("z"))

@@ -157,3 +157,81 @@ def test_write_sharded_bounds_file_size(spark, tmp_path):
     for f in files:
         assert spark.read.parquet(f).count() <= 100
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_zorder_write_tightens_file_bounding_boxes(spark, tables, tmp_path):
+    """Z-ordered parquet must give per-file min-max bounding boxes that
+    are tight in BOTH dimensions — the property file skipping relies
+    on. A 1-D sort on user_id alone leaves each file spanning the full
+    day range; the Morton layout's mean box area must be well under
+    both that and the unsorted layout's."""
+    import pyarrow.dataset as ds
+
+    from ppack_spark.sources.etl import write_zordered
+
+    from ppack_spark.plans.registry_data import _epoch_s
+
+    e = tables["events"].select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(_epoch_s(F.col("ts")) / 86400).cast("long").alias("day"),
+    )
+
+    zpath = str(tmp_path / "zorder")
+    back = write_zordered(e, zpath, ["user_id", "day"], bits=10, n_files=16)
+    assert back.count() == e.count()  # lossless
+
+    lpath = str(tmp_path / "linear")
+    (
+        e.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    lo = e.agg(F.min("user_id"), F.max("user_id"), F.min("day"), F.max("day"))
+    mnu, mxu, mnd, mxd = lo.collect()[0]
+    u_span, d_span = mxu - mnu + 1, mxd - mnd + 1
+
+    def mean_extents(path: str) -> tuple[float, float]:
+        """Per-file min-max extent in each dimension, as a fraction of
+        that dimension's full range — the quantity a range filter's
+        pruning probability depends on (NOT box area: a 1-D sort wins
+        on area while being unprunable in the other dimension)."""
+        u_fr, d_fr = [], []
+        for frag in ds.dataset(path, format="parquet").get_fragments():
+            u_lo = u_hi = d_lo = d_hi = None
+            for rg in frag.row_groups:
+                s = rg.statistics
+                if not s:
+                    continue
+                u = s.get("user_id")
+                d = s.get("day")
+                u_lo = u["min"] if u_lo is None else min(u_lo, u["min"])
+                u_hi = u["max"] if u_hi is None else max(u_hi, u["max"])
+                d_lo = d["min"] if d_lo is None else min(d_lo, d["min"])
+                d_hi = d["max"] if d_hi is None else max(d_hi, d["max"])
+            u_fr.append((u_hi - u_lo + 1) / u_span)
+            d_fr.append((d_hi - d_lo + 1) / d_span)
+        assert len(u_fr) > 4  # multiple files, or the test says nothing
+        return sum(u_fr) / len(u_fr), sum(d_fr) / len(d_fr)
+
+    z_u, z_d = mean_extents(zpath)
+    l_u, l_d = mean_extents(lpath)
+    # 1-D user sort: tight on user_id but every file spans ~all days —
+    # a day filter prunes nothing. Z-order: bounded extent in BOTH.
+    assert l_d > 0.9, f"fixture degenerate? linear day extent {l_d:.3f}"
+    assert z_u < 0.5, f"z-order user extent too loose: {z_u:.3f}"
+    assert z_d < 0.5, f"z-order day extent too loose: {z_d:.3f}"
+    assert z_d < l_d * 0.6, f"no day-pruning win: {z_d:.3f} vs {l_d:.3f}"
+
+
+def test_zorder_key_validation(spark, tables):
+    from ppack_spark.sources.etl import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key(["a"], [])
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b"], [(0, 10), (0, 10)], bits=32)
+    with pytest.raises(ValueError):
+        zorder_key(["a"], [(5, 4)])
