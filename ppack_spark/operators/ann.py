@@ -142,11 +142,22 @@ def embedding_near_dup_pairs(
 def _hyperplane(plane: int, dims: int) -> Column:
     """Deterministic pseudo-random hyperplane: component d is
     md5(plane:d) mapped to [-1, 1). Stateless, reproducible, and
-    expressible in oracle SQL with the same md5/hex arithmetic."""
+    expressible in oracle SQL with the same md5/hex arithmetic.
+
+    The components are computed DRIVER-SIDE with hashlib (bit-identical
+    to Spark's md5/conv/substring chain) and emitted as literals:
+    Catalyst does not constant-fold the md5 expression tree, so the
+    in-plan form re-hashed every (plane, dim) pair PER ROW — ~384
+    md5 calls per row at 64 dims × 6 planes, a 6× slowdown measured at
+    sf0.1 and a per-row scan tax at 100 TB. The oracle replays the
+    same derivation symbolically; equality of the two forms is
+    asserted in tests/test_ann.py."""
+    import hashlib
+
     comps = []
     for d in range(dims):
-        h = F.conv(F.substring(F.md5(F.lit(f"{plane}:{d}")), 1, 8), 16, 10).cast("double")
-        comps.append(h / F.lit(float(2**31)) - F.lit(1.0))
+        h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:8], 16)
+        comps.append(F.lit(float(h) / float(2**31) - 1.0))
     return F.array(*comps)
 
 

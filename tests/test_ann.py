@@ -234,3 +234,27 @@ def test_semantic_dedup_no_pairs_is_identity(spark, embeddings):
     base = embeddings.filter(F.col("vec_id") < 30)
     kept = semantic_dedup_corpus(base, dims=64, n_planes=4, eps=1.5)
     assert kept.count() == 30
+
+
+def test_hyperplane_literals_match_md5_expression(spark, embeddings):
+    """_hyperplane emits driver-computed literals (Catalyst does not
+    fold the md5 chain, which made the in-plan form re-hash per row);
+    the literal values must stay bit-identical to the symbolic
+    md5/conv/substring derivation the oracle replays."""
+    from ppack_spark.operators.ann import _hyperplane
+
+    sym = []
+    for d in range(8):
+        h = F.conv(
+            F.substring(F.md5(F.lit(f"3:{d}")), 1, 8), 16, 10
+        ).cast("double")
+        sym.append(h / F.lit(float(2**31)) - F.lit(1.0))
+    row = (
+        spark.range(1)
+        .select(
+            F.array(*sym).alias("symbolic"),
+            _hyperplane(3, 8).alias("literal"),
+        )
+        .collect()[0]
+    )
+    assert row["symbolic"] == row["literal"]
