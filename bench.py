@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "blocking_multi_pass",
     "blocking_salted_pass",
     "blocking_pass_counts",
+    "blocking_estimate",
+    "key_skew_report",
     "jw_comparator_buckets",
     "comparison_vectors",
     "match_weight_scoring",

@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 from .exprs import as_column, suffixed, with_suffix
 from .spec import BlockingRule
 
-__all__ = ["extract_blocks", "ordered_pairs", "blocking_pass_counts"]
+__all__ = [
+    "extract_blocks",
+    "ordered_pairs",
+    "blocking_pass_counts",
+    "estimate_blocking_counts",
+    "key_skew_report",
+]
 
 RuleLike = Union[BlockingRule, str, list, tuple, dict, Column]
 
@@ -215,4 +221,86 @@ def blocking_pass_counts(
     )
     return all_passes.join(counts, on="pass_idx", how="left").select(
         "pass_idx", F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs")
+    )
+
+
+def estimate_blocking_counts(
+    data_a: DataFrame,
+    data_b: DataFrame,
+    blocking_variables: Iterable[RuleLike],
+) -> DataFrame:
+    """Predict each equi pass's candidate-pair count WITHOUT running
+    the pair join: ``|A ⋈ B on k| = Σ_v cnt_A(v) · cnt_B(v)``, from one
+    per-key aggregate per side — table-sized work instead of
+    pair-sized. ``blocking_pass_counts`` measures the same number by
+    materializing the pairs; this estimator is what you run FIRST at
+    100 TB, where a bad pass is exactly the one you cannot afford to
+    materialize even once (equality of the two is gate- and
+    unit-tested). Expression passes (non-equi) are not estimable from
+    key histograms and raise.
+
+    Rows with a NULL in any blocking key are excluded on both sides,
+    matching inner equi-join semantics exactly.
+    """
+    rules = [_coerce_rule(r) for r in blocking_variables]
+    frames = []
+    for i, rule in enumerate(rules):
+        if rule.expression is not None:
+            raise ValueError(
+                f"pass {i} is an expression rule — only equi passes "
+                "have histogram-predictable sizes"
+            )
+        keys_l = [l for l, _ in rule.keys]
+        keys_r = [r for _, r in rule.keys]
+        ca = (
+            data_a.select(*[F.col(k).alias(f"__k{j}") for j, k in enumerate(keys_l)])
+            .na.drop()
+            .groupBy(*[f"__k{j}" for j in range(len(keys_l))])
+            .agg(F.count(F.lit(1)).alias("__na"))
+        )
+        cb = (
+            data_b.select(*[F.col(k).alias(f"__k{j}") for j, k in enumerate(keys_r)])
+            .na.drop()
+            .groupBy(*[f"__k{j}" for j in range(len(keys_r))])
+            .agg(F.count(F.lit(1)).alias("__nb"))
+        )
+        est = ca.join(cb, on=[f"__k{j}" for j in range(len(keys_l))]).agg(
+            F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0))
+            .cast("long")
+            .alias("est_pairs")
+        )
+        frames.append(est.select(F.lit(i).cast("long").alias("pass_idx"), "est_pairs"))
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, frames)
+
+
+def key_skew_report(
+    df: DataFrame,
+    cols: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective shuffle/join key:
+    the ``top_n`` most frequent key values with their counts and
+    corpus fraction — the rows that become stragglers when this key
+    partitions a 100 TB shuffle (joins and groupBys are only as fast
+    as their hottest key; a key holding >1/partitions of the data
+    guarantees a straggler). Feed the result into salting decisions
+    (``salted_block_pairs``) or AQE skew-join expectations BEFORE
+    paying for the job.
+
+    One partial-aggregated shuffle on the key + a global top-n
+    (TakeOrderedAndProject — no full sort); ties broken by key value
+    for engine-stable output. NULL keys count as a (reported) group —
+    a mostly-NULL join key is itself a skew finding.
+    """
+    total = df.count()
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.orderBy(
+        F.desc("n"), *[F.asc_nulls_last(c) for c in cols]
+    ).limit(top_n)
+    return ranked.select(
+        *cols,
+        "n",
+        F.round(F.col("n") / F.lit(float(total)), 6).alias("frac"),
     )

@@ -781,6 +781,13 @@ def merge_corpus_delta_fuzzy(
         .drop("__h")
     )
     fresh = exact_dedup_keep_first(fresh, text_col=text_col, id_col=id_col)
+    # `fresh` feeds three consumers (LSH banding, shingle verify, the
+    # final anti-join); without a materialization point the whole
+    # exact-dedup join chain re-executes once per consumer. A LAZY
+    # local checkpoint materializes it on first use only — and the
+    # delta is the small side of the merge by contract, so the
+    # executor-local storage cost is delta-sized, never corpus-sized.
+    fresh = fresh.localCheckpoint(eager=False)
 
     cand = minhash_lsh_pairs_ab(
         fresh, existing, text_col=text_col, id_col=id_col,

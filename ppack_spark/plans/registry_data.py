@@ -2646,3 +2646,88 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=8,
     )
     return e.select("event_id", z.alias("z"))
+
+
+@query(
+    "blocking_estimate",
+    """
+    with a0 as (
+        select c_nationkey, count(*) as na from customer
+        where c_nationkey is not null group by c_nationkey
+    ),
+    b0 as (
+        select c_nationkey, count(*) as nb from customer
+        where c_nationkey is not null group by c_nationkey
+    ),
+    a1 as (
+        select substr(c_name, 1, 12) as k0, c_mktsegment as k1,
+               count(*) as na
+        from customer
+        where c_name is not null and c_mktsegment is not null
+        group by 1, 2
+    ),
+    b1 as (
+        select substr(c_name, 1, 12) as k0, c_mktsegment as k1,
+               count(*) as nb
+        from customer
+        where c_name is not null and c_mktsegment is not null
+        group by 1, 2
+    )
+    select 0 as pass_idx,
+           coalesce((select sum(a0.na * b0.nb) from a0
+                     join b0 using (c_nationkey)), 0) as est_pairs
+    union all
+    select 1 as pass_idx,
+           coalesce((select sum(a1.na * b1.nb) from a1
+                     join b1 on a1.k0 = b1.k0 and a1.k1 = b1.k1), 0)
+    """,
+)
+def blocking_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free blocking-size prediction
+    (blocking.py:estimate_blocking_counts): per-pass candidate counts
+    from per-key histograms — Σ cnt_a(v)·cnt_b(v), table-sized work
+    instead of pair-sized. The number equals what
+    ``blocking_pass_counts`` measures by materializing the pairs
+    (asserted in tests/test_blocking.py); at 100 TB this is the
+    guardrail you can afford to run on every candidate rule set."""
+    from ..blocking import estimate_blocking_counts
+    from ..spec import BlockingRule
+
+    customer = t(spark, sf_dir, "customer").withColumn(
+        "__pfx", F.substring("c_name", 1, 12)
+    )
+    return estimate_blocking_counts(
+        customer,
+        customer,
+        [
+            BlockingRule.on("c_nationkey"),
+            BlockingRule.on("__pfx", "c_mktsegment"),
+        ],
+    )
+
+
+@query(
+    "key_skew_report",
+    """
+    with c as (
+        select user_id, event_type, count(*) as n
+        from events group by user_id, event_type
+    ),
+    tot as (select count(*) as t from events)
+    select user_id, event_type, n,
+           round(n / (select t from tot), 6) as frac
+    from c
+    order by n desc, user_id asc, event_type asc
+    limit 15
+    """,
+)
+def key_skew_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shuffle-key diagnostic (blocking.py:
+    key_skew_report): top-15 hottest (user_id, event_type) keys with
+    corpus fraction — the rows that become stragglers when this key
+    partitions a shuffle. One partial-aggregated shuffle + global
+    top-n (TakeOrderedAndProject, no full sort)."""
+    from ..blocking import key_skew_report
+
+    ev = t(spark, sf_dir, "events")
+    return key_skew_report(ev, ["user_id", "event_type"], top_n=15)

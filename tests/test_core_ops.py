@@ -223,3 +223,75 @@ def test_salted_block_pairs_exact_parity(spark, tables):
         assert len(got) == len(set(got)), "pair met more than once"
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_blocking_estimate_equals_measured_counts(spark, tables):
+    """The histogram estimator must equal the materialized pass count
+    exactly for equi passes (it is the same sum, computed join-free),
+    including a NULL-key side and a zero-match pass; expression rules
+    must raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.blocking import (
+        blocking_pass_counts,
+        estimate_blocking_counts,
+    )
+    from ppack_spark.spec import BlockingRule
+
+    cust = tables["customer"].withColumn(
+        "__nk",
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(
+            F.col("c_nationkey")
+        ),
+    )
+    rules = [
+        BlockingRule.on("__nk"),
+        BlockingRule.on("c_mktsegment"),
+    ]
+    measured = {
+        r["pass_idx"]: r["n_pairs"]
+        for r in blocking_pass_counts(
+            cust, cust, "c_custkey", "c_custkey", rules
+        ).collect()
+    }
+    estimated = {
+        r["pass_idx"]: r["est_pairs"]
+        for r in estimate_blocking_counts(cust, cust, rules).collect()
+    }
+    assert estimated == measured
+
+    # a pass with no matching keys estimates 0 (not an empty frame)
+    a = cust.withColumn("__z", F.lit("a"))
+    b = cust.withColumn("__z", F.lit("b"))
+    est0 = {
+        r["pass_idx"]: r["est_pairs"]
+        for r in estimate_blocking_counts(a, b, [BlockingRule.on("__z")]).collect()
+    }
+    assert est0 == {0: 0}
+
+    with pytest.raises(ValueError):
+        estimate_blocking_counts(
+            cust, cust, [BlockingRule.where(F.lit(True))]
+        ).collect()
+
+
+def test_key_skew_report_finds_planted_hot_key(spark, tables):
+    """A planted hot key must rank first with the right count and
+    fraction; NULL keys are reported as a group, not dropped."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.blocking import key_skew_report
+
+    base = tables["customer"].select(
+        F.when(F.col("c_custkey") % 3 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("k")
+    )
+    hot = spark.range(5000).select(F.lit(999).alias("k"))
+    df = base.unionByName(hot)
+    total = df.count()
+    rows = key_skew_report(df, ["k"], top_n=3).collect()
+    assert rows[0]["k"] == 999 and rows[0]["n"] == 5000
+    assert abs(rows[0]["frac"] - 5000 / total) < 1e-6
+    assert any(r["k"] is None for r in rows)  # NULL group is a finding
