@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "remove_repeated_spans",
     "quality_filter_flags",
     "corpus_pipeline_e2e",
+    "trainer_export_e2e",
     "near_dedup_corpus",
     "minhash_lsh_pairs_wide",
     "near_dedup_corpus_wide",
@@ -206,22 +207,36 @@ def main() -> None:
         f.write("\n")
     spark.stop()
     sys.stderr.flush()
-    # compact single line, emitted last: 2-decimal means, no spread —
-    # must fit the driver's stdout tail capture in one piece
-    print(
-        json.dumps(
+    # compact single line, emitted last — must fit the driver's
+    # 2000-char stdout tail capture in ONE piece (the round-4 line
+    # outgrew it and the round's numbers were lost). Precision adapts
+    # to the query count: 2 decimals normally, 1 decimal if the line
+    # would run long, and as a last resort sub-0.1s queries collapse
+    # into a single "_fast_total" entry. Full 3-decimal detail is
+    # always in BENCH_local.json.
+    def _line(qmap: dict[str, float], digits: int) -> str:
+        return json.dumps(
             {
                 "metric": "total_sec",
                 "value": round(total, 2),
                 "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in times.items()},
+                "queries": {k: round(v, digits) for k, v in qmap.items()},
                 "sf": sf,
                 "iters": iters,
             },
             separators=(",", ":"),
-        ),
-        flush=True,
-    )
+        )
+
+    out = _line(times, 2)
+    if len(out) > 1900:
+        out = _line(times, 1)
+    if len(out) > 1900:
+        slow = {k: v for k, v in times.items() if v >= 0.1 or v < 0}
+        slow["_fast_total"] = sum(
+            v for k, v in times.items() if 0 <= v < 0.1
+        )
+        out = _line(slow, 1)
+    print(out, flush=True)
 
 
 if __name__ == "__main__":

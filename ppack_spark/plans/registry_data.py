@@ -2731,3 +2731,112 @@ def key_skew_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return key_skew_report(ev, ["user_id", "event_type"], top_n=15)
+
+
+@query(
+    "trainer_export_e2e",
+    """
+    with s0 as (
+        select doc_id, text,
+               string_split_regex(trim(text), '\\s+') as words
+        from documents
+    ),
+    q as (
+        select doc_id, text from s0
+        where len(words) >= 5
+          and list_aggregate(list_transform(words, w -> length(w)), 'sum')
+              / cast(greatest(len(words), 1) as double) >= 3.0
+          and list_aggregate(list_transform(words, w -> length(w)), 'sum')
+              / cast(greatest(len(words), 1) as double) <= 10.0
+          and (length(text)
+               - length(replace(replace(text, '#', ''), '…', '')))
+              / cast(greatest(length(text), 1) as double) <= 0.1
+          and not contains(lower(text), 'lorem ipsum')
+          and not contains(text, '{')
+    ),
+    fp as (
+        select doc_id, text,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as h
+        from q
+    ),
+    win as (select h, min(doc_id) as keep_id from fp group by h),
+    surv as (
+        select f.doc_id, f.text
+        from fp f join win w on f.h = w.h and f.doc_id = w.keep_id
+    ),
+    tok as (
+        select doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') as tk
+        from surv
+    ),
+    st as (
+        select doc_id, tk,
+               generate_subscripts(range(0, len(tk), 32), 1) - 1 as chunk_id,
+               unnest(range(0, len(tk), 32)) as s
+        from tok
+    ),
+    ch as (
+        select doc_id * 1000 + chunk_id as uid,
+               cast(len(tk[s+1:s+32]) as bigint) as n_tokens
+        from st
+    ),
+    pk as (
+        select uid, n_tokens, uid % 8 as bucket,
+               sum(n_tokens) over (
+                   partition by uid % 8 order by uid
+                   rows unbounded preceding
+               ) as cum
+        from ch
+    ),
+    pk2 as (
+        select uid, n_tokens, bucket,
+               (cum - n_tokens) // 256 as seq_id,
+               (cum - n_tokens) % 256 as seq_offset
+        from pk
+    ),
+    sh as (
+        select *, md5(cast(uid as varchar) || 'shuffle') as hh from pk2
+    )
+    select uid, n_tokens, bucket, seq_id, seq_offset,
+           ('0x' || substr(hh, 1, 8))::bigint % 8 as shard,
+           cast(row_number() over (
+               partition by ('0x' || substr(hh, 1, 8))::bigint % 8
+               order by hh, uid
+           ) as bigint) as shard_pos
+    from sh
+    """,
+)
+def trainer_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full trainer-materialization chain composed end-to-end in
+    ONE lazy plan: prepare_corpus (quality filter → normalized exact
+    dedup) → chunk_documents (32-token windows) → pack_sequences
+    (256-token budget, 8 hash buckets) → shuffle_corpus (8-shard
+    deterministic training order). The oracle replays every stage —
+    composition order and inter-stage dataflow are hash-checked, the
+    same guarantee corpus_pipeline_e2e gives the hygiene chain, here
+    for the raw-text → training-shard path. Shard files themselves
+    are written by write_sharded (size-bound tested in
+    tests/test_etl.py); this gate pins the rows/slots they receive."""
+    from ..operators.pipeline import (
+        chunk_documents,
+        pack_sequences,
+        prepare_corpus,
+        shuffle_corpus,
+    )
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
+    corpus = prepare_corpus(d, quality=True, line_dedup=False, exact_dedup=True)
+    chunks = chunk_documents(corpus, chunk_tokens=32, overlap=0).withColumn(
+        "uid", F.col("doc_id") * 1000 + F.col("chunk_id")
+    )
+    packed = pack_sequences(
+        chunks, budget=256, n_buckets=8, id_col="uid",
+        token_col="chunk_n_tokens",
+    )
+    shuffled = shuffle_corpus(packed, id_col="uid", n_shards=8)
+    return shuffled.select(
+        "uid", "n_tokens", "bucket", "seq_id", "seq_offset",
+        "shard", "shard_pos",
+    )
