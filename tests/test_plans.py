@@ -173,3 +173,77 @@ def test_repeated_spans_winnowed_hashes_shuffle(spark, tables, queries):
     plan = _plan(queries["repeated_spans"](spark, SF_DIR))
     keys = [s.split(",")[0] for s in plan.split("Exchange hashpartitioning(")[1:]]
     assert any("span_hash" in k for k in keys)
+
+
+def test_doc_chunks_zero_shuffle(spark, tables, queries):
+    """Chunking is a pure map fan-out (tokenize → posexplode → slice):
+    no Exchange anywhere — it pipelines into the scan."""
+    plan = _plan(queries["doc_chunks"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_corpus_upsample_zero_shuffle(spark, tables, queries):
+    """Epoch upsampling is a map-side explode(sequence) with a literal
+    CASE rate table: no Exchange, no join."""
+    plan = _plan(queries["corpus_upsample"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_corpus_shuffle_single_exchange(spark, tables, queries):
+    """The training-order shuffle pays exactly ONE shuffle (on the
+    shard id) — never a global sort/total order."""
+    plan = _plan(queries["corpus_shuffle"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_blocking_estimate_is_table_sized(spark, tables, queries):
+    """The estimator must never materialize pairs: aggregates happen
+    on per-key counts (partial_count before the exchange) and the
+    per-pass total is a scalar aggregate — no pair-fan-out join output
+    beyond the key-histogram join."""
+    plan = _plan(queries["blocking_estimate"](spark, SF_DIR))
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_key_skew_report_no_full_sort(spark, tables, queries):
+    """Top-n must be TakeOrderedAndProject (rank-pruned), not a global
+    Sort of every key."""
+    plan = _plan(queries["key_skew_report"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_key_pure_expression(spark, tables, queries):
+    """The Morton key is shift/mask codegen over the scan — the gate
+    plan's only exchange is the min/max stats aggregate feeding the
+    literal bounds (computed before the plan is built), so the keyed
+    projection itself has no Exchange and no UDF."""
+    plan = _plan(queries["zorder_layout"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_pairs_are_bucket_equi_join(spark, tables):
+    """The quadratic cosine work must be confined to a bucket
+    equi-join — no cartesian product anywhere in the pair plan."""
+    from ppack_spark.operators.ann import (
+        cosine,
+        hyperplane_lsh_buckets,
+    )
+
+    e = tables["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    bk = hyperplane_lsh_buckets(e, 64, 6).select(
+        F.col("vec_id"), F.col("embedding"), F.col("bucket").alias("__ck")
+    )
+    left = bk.select(
+        "__ck", F.col("vec_id").alias("id_left"), F.col("embedding").alias("__vl")
+    )
+    right = bk.select(
+        "__ck", F.col("vec_id").alias("id_right"), F.col("embedding").alias("__vr")
+    )
+    pairs = left.join(right, on="__ck").filter(F.col("id_left") < F.col("id_right"))
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
