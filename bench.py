@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "line_dedup_corpus",
     "repetition_signals",
     "top_term_coverage",
+    "quality_classifier_score",
     "lm_quality_score",
     "lm_bigram_score",
     "lm_perplexity_buckets",

@@ -17,7 +17,13 @@ cosine), similarity search, text analysis, and multimodal column
 plumbing.
 """
 
-from .blocking import blocking_pass_counts, extract_blocks, ordered_pairs
+from .blocking import (
+    blocking_pass_counts,
+    estimate_blocking_counts,
+    extract_blocks,
+    key_skew_report,
+    ordered_pairs,
+)
 from .em import FSParams, run_em
 from .exprs import (
     bucket_comparator,
@@ -57,6 +63,8 @@ __all__ = [
     "attach_cluster_ids",
     "blocking_pass_counts",
     "bucket_comparator",
+    "estimate_blocking_counts",
+    "key_skew_report",
     "connected_components",
     "collect_probabilities",
     "compute_pairs_dataset",

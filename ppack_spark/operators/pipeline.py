@@ -78,6 +78,9 @@ __all__ = [
     "shuffle_corpus",
     "chunk_documents",
     "upsample_corpus",
+    "train_quality_classifier",
+    "quality_classifier_score",
+    "QUALITY_CLASSIFIER_FEATURES",
 ]
 
 
@@ -1313,3 +1316,91 @@ def upsample_corpus(
         )
         .drop("__n")
     )
+
+
+QUALITY_CLASSIFIER_FEATURES = (
+    "log_n_tokens",
+    "mean_token_len",
+    "punct_ratio",
+    "stopword_ratio",
+)
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    lang: str = "en",
+    max_iter: int = 100,
+) -> dict:
+    """Train a model-based document quality classifier — the
+    fasttext-style "does this look like reference text?" filter LLM
+    pipelines put after the rule-based C4/Gopher pass (positives:
+    curated corpus; negatives: raw crawl). Logistic regression over
+    the engine's quality features (log token count, mean token length,
+    punctuation ratio, stopword ratio), fitted with Spark ML.
+
+    Returns ``{"intercept": float, "weights": [w, ...]}`` aligned with
+    ``QUALITY_CLASSIFIER_FEATURES`` — a handful of driver-side scalars
+    (the PQ-codebook pattern: iterative training on the bounded
+    labeled set, scoring as a pure map expression). Apply with
+    :func:`quality_classifier_score`; at 100 TB the labeled set is
+    sampled, the corpus only ever sees the codegen'd scoring pass.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.text import quality_features
+
+    feats = quality_features(F.trim(F.col(text_col)), lang=lang)
+    vec = F.array(
+        F.log1p(feats["n_tokens"].cast("double")),
+        feats["mean_token_len"],
+        feats["punct_ratio"],
+        feats["stopword_ratio"],
+    )
+    train = labeled.select(
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(vec).alias("features"),
+    )
+    lr = LogisticRegression(maxIter=max_iter)
+    model = lr.fit(train)
+    return {
+        "intercept": float(model.intercept),
+        "weights": [float(w) for w in model.coefficients],
+    }
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    lang: str = "en",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score documents with a trained quality classifier
+    (:func:`train_quality_classifier`): appends ``quality_prob`` =
+    σ(intercept + w·features) as a PURE codegen expression — zero
+    shuffle, no UDF, no model object on the executors; the fitted
+    scalars inline into the plan, so the scoring pass piggybacks on
+    any corpus scan for free (same shape as the Bloom decontaminator).
+    """
+    from ..functions.text import quality_features
+
+    w = model["weights"]
+    if len(w) != len(QUALITY_CLASSIFIER_FEATURES):
+        raise ValueError(
+            f"expected {len(QUALITY_CLASSIFIER_FEATURES)} weights, got {len(w)}"
+        )
+    feats = quality_features(F.trim(F.col(text_col)), lang=lang)
+    z = (
+        F.lit(float(model["intercept"]))
+        + F.lit(float(w[0])) * F.log1p(feats["n_tokens"].cast("double"))
+        + F.lit(float(w[1])) * feats["mean_token_len"]
+        + F.lit(float(w[2])) * feats["punct_ratio"]
+        + F.lit(float(w[3])) * feats["stopword_ratio"]
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    if round_digits is not None:
+        prob = F.round(prob, round_digits)
+    return df.withColumn("quality_prob", prob)

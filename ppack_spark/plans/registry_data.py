@@ -2840,3 +2840,49 @@ def trainer_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uid", "n_tokens", "bucket", "seq_id", "seq_offset",
         "shard", "shard_pos",
     )
+
+
+@query(
+    "quality_classifier_score",
+    f"""
+    with base as (
+        select doc_id, lang, trim(text) as t,
+               length(trim(text)) as n_chars,
+               string_split_regex(lower(trim(text)), '\\s+') as tk
+        from documents
+    ),
+    feat as (
+        select doc_id, lang,
+               ln(1 + len(tk)::double) as f0,
+               (n_chars - (len(tk) - 1)) / len(tk)::double as f1,
+               len(regexp_extract_all(t, '[^\\w\\s]')) / n_chars::double
+                   as f2,
+               len(list_filter(tk, x -> list_contains({_EN_SQL}, x)))
+                   / len(tk)::double as f3
+        from base
+    )
+    select doc_id, lang,
+           round(1.0 / (1.0 + exp(-(-2.0 + 0.35 * f0 + 0.1 * f1
+                                    + -8.0 * f2 + 6.0 * f3))), 6)
+               as quality_prob
+    from feat
+    """,
+)
+def quality_classifier_score_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (operators/pipeline.py:
+    quality_classifier_score): σ(intercept + w·features) over the
+    quality feature vector with FIXED example weights — training
+    (train_quality_classifier, Spark ML logistic regression on a
+    bounded labeled set) is iterative and not SQL-expressible, but the
+    deployed artifact is four scalars inlined into a pure codegen
+    scoring expression, which the oracle replays term-for-term. This
+    is the fasttext-classifier-style filter stage of an LLM data
+    pipeline: corpus only ever sees a zero-shuffle map pass
+    (separation quality property-tested in tests/test_pipeline.py)."""
+    from ..operators.pipeline import quality_classifier_score
+
+    d = t(spark, sf_dir, "documents")
+    model = {"intercept": -2.0, "weights": [0.35, 0.1, -8.0, 6.0]}
+    return quality_classifier_score(d, model).select(
+        "doc_id", "lang", "quality_prob"
+    )

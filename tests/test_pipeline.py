@@ -889,3 +889,52 @@ def test_upsample_corpus_epoch_semantics(docs):
 
     with pytest.raises(ValueError):
         upsample_corpus(docs, "lang", {"en": -1.0})
+
+
+# -------------------------------------------------- quality classifier
+def test_quality_classifier_separates_fluent_from_gibberish(spark, docs):
+    """Train on fluent-en vs punctuation-soup labels; a held-out
+    fluent doc must outscore a held-out gibberish doc decisively, and
+    scoring must be a pure expression (weights inline, no model on
+    executors — asserted by scoring a different DataFrame than the
+    training one)."""
+    from ppack_spark.operators.pipeline import (
+        quality_classifier_score,
+        train_quality_classifier,
+    )
+
+    fluent = docs.filter(F.col("lang") == "en").select(
+        F.col("text"), F.lit(1).alias("label")
+    )
+    gibberish = spark.createDataFrame(
+        [
+            ("$$!! ###@@ %%^^&&* ((]][[ ;;::" * 4,),
+            ("zzxqj vvkpw qqq###$ mmm!!! @@@" * 5,),
+            ("!!!! ???? **** %%%% ####" * 6,),
+            ("xk$%j 9#1@ p0!? &&&& ~~~~" * 5,),
+        ],
+        ["text"],
+    ).select("text", F.lit(0).alias("label"))
+    model = train_quality_classifier(
+        fluent.limit(80).unionByName(gibberish)
+    )
+    assert len(model["weights"]) == 4
+
+    holdout = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs away to the forest"),
+            (2, "&&&& !!!! @@## $$%% ^^** (()) ;;;; ~~~~ ???? ####"),
+        ],
+        ["doc_id", "text"],
+    )
+    scored = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_classifier_score(holdout, model).collect()
+    }
+    assert scored[1] > 0.5 > scored[2]
+    assert scored[1] - scored[2] > 0.4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quality_classifier_score(holdout, {"intercept": 0.0, "weights": [1.0]})
