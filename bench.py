@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "eval_decontamination",
     "bloom_decontamination",
     "dedup_keep_first",
+    "dedup_keep_best",
+    "salted_join_orders",
     "sample_uniform_hash",
     "sample_stratified_quota",
     "sequence_packing",

@@ -40,6 +40,7 @@ __all__ = [
     "content_hash",
     "exact_dedup_groups",
     "exact_dedup_keep_first",
+    "exact_dedup_keep_best",
     "word_shingles",
     "minhash_signature",
     "minhash_signatures",
@@ -83,6 +84,45 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = 
     over the full corpus → partial agg keeps the shuffle small)."""
     winners = exact_dedup_groups(df, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
+    )
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+def exact_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deduplicated corpus keeping the HIGHEST-``score_col`` row per
+    content hash (ties broken by min id) — the quality-aware variant
+    of :func:`exact_dedup_keep_first`: when a pipeline has scored
+    documents (``quality_classifier_score``, ``unigram_logprob``,
+    DSIR weights), the duplicate to keep is the best copy, not the
+    first-crawled one (copies often differ in surrounding boilerplate
+    after cleaning stages, so scores genuinely differ).
+
+    Same scale shape as keep-first: one partial-aggregated groupBy on
+    the 32-byte content hash picking argmax(score, -id) via a struct
+    max — no window over the corpus — then a left-semi join on the
+    winner ids. The min-id tiebreak is expressed as max(-id), so the
+    id column must be numeric (the repo's corpus ids are; for string
+    ids map them through xxhash64 first or use keep-first)."""
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long", "float", "double"):
+        raise ValueError(
+            f"exact_dedup_keep_best needs a numeric id for the min-id "
+            f"tiebreak; {id_col} is {id_type}"
+        )
+    h = content_hash(text_col)
+    winners = (
+        df.select(F.col(id_col), F.col(score_col).alias("__s"), h.alias("__h"))
+        .groupBy("__h")
+        .agg(
+            F.max(F.struct(F.col("__s"), (-F.col(id_col)).alias("__negid")))
+            .alias("__best")
+        )
+        .select((-F.col("__best.__negid")).alias(id_col))
     )
     return df.join(winners, on=id_col, how="left_semi")
 

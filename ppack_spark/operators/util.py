@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["spread"]
+__all__ = ["spread", "salted_join"]
 
 
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
@@ -23,3 +23,45 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_from: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit key salting — the two-table skew play
+    for when one join key holds a disproportionate share of the left
+    (big/probe) side and a single shuffle partition becomes the
+    straggler. The left side gets a deterministic salt
+    ``pmod(xxhash64(salt_from), s)``; the right side replicates each
+    row to all ``s`` salts; the join runs on (keys…, salt), splitting
+    every hot key's partition ``s`` ways at the cost of an ``s``×
+    right-side replication — so use it when the RIGHT side is the
+    smaller table but too big (or too skew-correlated) to broadcast.
+
+    Complements :func:`ppack_spark.blocking.salted_block_pairs` (the
+    SELF-join triangle decomposition, where both sides replicate
+    ~s/2×) and AQE's skew-join splitting (which only kicks in for
+    sort-merge joins above size thresholds and cannot split a
+    single oversized hash-aggregate input). Salting is deterministic
+    (``salt_from`` is hashed, not rand()), so retried tasks reproduce
+    identical output. ``how`` supports 'inner' and 'left' — the
+    replicated side is the match source in both.
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    s = int(num_salts)
+    if s < 1:
+        raise ValueError(f"num_salts must be >= 1, got {num_salts}")
+    l = left.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(s)))
+    r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(s - 1).cast("long"))),
+    )
+    return l.join(r, on=[*on, "__salt"], how=how).drop("__salt")

@@ -2886,3 +2886,73 @@ def quality_classifier_score_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     return quality_classifier_score(d, model).select(
         "doc_id", "lang", "quality_prob"
     )
+
+
+@query(
+    "dedup_keep_best",
+    """
+    with c as (
+        select doc_id, text, lang from documents
+        union all
+        select doc_id + 10000, text, lang from documents
+        where doc_id % 5 = 0
+    ),
+    s as (
+        select doc_id, text, lang,
+               cast(doc_id % 7 as double) as score,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as h
+        from c
+    )
+    select doc_id, lang, score from (
+        select doc_id, lang, score,
+               row_number() over (
+                   partition by h order by score desc, doc_id asc
+               ) as rn
+        from s
+    ) where rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup
+    (operators/dedup.py:exact_dedup_keep_best): re-identified copies
+    are planted (doc_id+10000 for every 5th doc) with DIFFERENT
+    deterministic scores (doc_id % 7), and the highest-scoring copy
+    per content hash must win (ties → min id). The argmax is a struct
+    max inside one partial-aggregated groupBy on the 32-byte hash —
+    no corpus window; winners left-semi join back."""
+    from ..operators.dedup import exact_dedup_keep_best
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    planted = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    c = d.unionByName(planted).withColumn(
+        "score", (F.col("doc_id") % 7).cast("double")
+    )
+    return exact_dedup_keep_best(c, "score").select("doc_id", "lang", "score")
+
+
+@query(
+    "salted_join_orders",
+    """
+    select o.o_orderkey, c.c_custkey, c.c_mktsegment
+    from orders o join customer c on o.o_custkey = c.c_custkey
+    """,
+)
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-table salted equi-join
+    (operators/util.py:salted_join): orders×customer on the custkey
+    with 5 salts — the probe side's hot keys split 5 ways, the
+    build side replicates 5×, and the result must equal the plain
+    join row-for-row (the oracle IS the plain join). The skew play for
+    a right side too big or too skew-correlated to broadcast, where
+    AQE's sort-merge-only splitting can't reach."""
+    from ..operators.util import salted_join
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return salted_join(
+        o, c, on=["c_custkey"], salt_from="o_orderkey", num_salts=5
+    ).select("o_orderkey", "c_custkey", "c_mktsegment")

@@ -183,3 +183,63 @@ def test_near_dedup_verify_keeps_low_jaccard_colliders(spark):
         df, num_hashes=64, band_size=2, verify_threshold=None
     ).count()
     assert raw < len(verified), "raw LSH clustering should over-delete here"
+
+
+def test_keep_best_prefers_score_then_min_id(spark):
+    """Highest score wins per content group; equal scores fall back to
+    min id; distinct docs untouched; string ids raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.dedup import exact_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text here", 0.2),
+            (2, "same text here", 0.9),   # best copy → wins
+            (3, "same text here", 0.9),   # equal score, higher id → loses
+            (4, "unique document", 0.1),
+            (5, "Same   TEXT here ", 0.5),  # normalizes to the same hash
+        ],
+        ["doc_id", "text", "score"],
+    )
+    kept = {r["doc_id"] for r in exact_dedup_keep_best(df, "score").collect()}
+    assert kept == {2, 4}
+
+    sdf = df.withColumn("doc_id", F.col("doc_id").cast("string"))
+    with pytest.raises(ValueError):
+        exact_dedup_keep_best(sdf, "score")
+
+
+def test_salted_join_parity_and_left_semantics(spark, tables):
+    """Salted inner join equals the plain join exactly for any salt
+    count; left join keeps unmatched probe rows exactly once."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.util import salted_join
+
+    o = tables["orders"].select(
+        "o_orderkey", F.col("o_custkey").alias("k")
+    )
+    c = tables["customer"].select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    plain = {(r[0], r[1], r[2]) for r in o.join(c, "k").select("k", "o_orderkey", "c_mktsegment").collect()}
+    for s in (1, 3, 16):
+        got = {
+            (r[0], r[1], r[2])
+            for r in salted_join(o, c, ["k"], "o_orderkey", num_salts=s)
+            .select("k", "o_orderkey", "c_mktsegment")
+            .collect()
+        }
+        assert got == plain, f"salt={s}"
+
+    # left join: orders pointing at a customer key that doesn't exist
+    o2 = o.withColumn("k", F.col("k") + 10_000_000)
+    left = salted_join(o2, c, ["k"], "o_orderkey", num_salts=4, how="left")
+    assert left.count() == o2.count()
+    assert left.filter(F.col("c_mktsegment").isNotNull()).count() == 0
+
+    with pytest.raises(ValueError):
+        salted_join(o, c, ["k"], "o_orderkey", how="full")
