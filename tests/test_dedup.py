@@ -243,3 +243,57 @@ def test_salted_join_parity_and_left_semantics(spark, tables):
 
     with pytest.raises(ValueError):
         salted_join(o, c, ["k"], "o_orderkey", how="full")
+
+
+def test_near_dedup_accuracy_on_planted_mutations(spark, tables):
+    """End-to-end dedup accuracy at the production LSH settings
+    (128 hashes, 16 bands x 8, verify >= 0.6): lightly-mutated copies
+    (1 word in 25 replaced -> shingle Jaccard ~0.85) must be removed
+    with high recall, every base document must survive as the
+    canonical, and NO unrelated document may be dropped — the
+    precision property the signature-verify stage exists to protect
+    (raw banding chains false candidates into clusters that delete
+    unique docs)."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.dedup import near_dedup_corpus
+
+    base = (
+        tables["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    # deterministic mutation: replace every 25th token
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    mutated_text = F.array_join(
+        F.transform(
+            toks,
+            lambda x, i: F.when(i % 25 == 0, F.concat(F.lit("xmut"), i)).otherwise(x),
+        ),
+        " ",
+    )
+    copies = base.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        mutated_text.alias("text"),
+    )
+    # the synthetic fixture contains NATURAL near-dups (template-
+    # generated docs) — calibrate: whatever the dedup drops on the
+    # base corpus alone is legitimate, anything beyond that is a
+    # false deletion caused by the planted copies
+    kw = dict(num_hashes=128, band_size=8, verify_threshold=0.6)
+    base_kept = {
+        r["doc_id"] for r in near_dedup_corpus(base, **kw).select("doc_id").collect()
+    }
+    corpus = base.unionByName(copies)
+    kept = near_dedup_corpus(corpus, **kw)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    copy_ids = {r["doc_id"] for r in copies.select("doc_id").collect()}
+
+    # precision: every base doc the dedup keeps when run alone must
+    # still be kept with the copies planted (copies have higher ids,
+    # so the min-id canonical of every planted cluster is the base)
+    assert base_kept <= kept_ids, f"lost {sorted(base_kept - kept_ids)[:5]}"
+    # recall: the planted near-dup copies overwhelmingly removed
+    removed = copy_ids - kept_ids
+    recall = len(removed) / len(copy_ids)
+    assert recall >= 0.9, f"near-dup removal recall {recall:.2f}"
