@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "media_metadata",
     "media_phash_near_dup",
     "ngram_jaccard_pairs",
+    "tfidf_cosine_pairs",
     "embedding_cosine_topk",
     "embedding_near_dup",
     "ann_lsh_topk",

@@ -2956,3 +2956,53 @@ def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         o, c, on=["c_custkey"], salt_from="o_orderkey", num_salts=5
     ).select("o_orderkey", "c_custkey", "c_mktsegment")
+
+
+@query(
+    "tfidf_cosine_pairs",
+    """
+    with tok as (
+        select doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) as term
+        from documents
+    ),
+    tf as (
+        select doc_id, term, count(*) as tf from tok group by doc_id, term
+    ),
+    dfreq as (select term, count(*) as df from tf group by term),
+    kept as (
+        select tf.doc_id, tf.term,
+               tf.tf * ln(500.0 / dfreq.df) as w
+        from tf join dfreq using (term)
+        where dfreq.df <= 100
+    ),
+    nrm as (select doc_id, sqrt(sum(w * w)) as nn from kept group by doc_id),
+    dots as (
+        select a.doc_id as id_left, b.doc_id as id_right,
+               sum(a.w * b.w) as dot
+        from kept a
+        join kept b on a.term = b.term and a.doc_id < b.doc_id
+        group by a.doc_id, b.doc_id
+    )
+    select id_left, id_right,
+           round(dot / (na.nn * nb.nn), 6) as cos_sim
+    from dots
+    join nrm na on dots.id_left = na.doc_id
+    join nrm nb on dots.id_right = nb.doc_id
+    where round(dot / (na.nn * nb.nn), 6) >= 0.2
+    """,
+)
+def tfidf_cosine_pairs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity pairs
+    (operators/dedup.py:tfidf_cosine_pairs): inverted-index
+    term-at-a-time TF-IDF cosine with df-capped pruning (df ≤ 100) —
+    the hottest terms ARE the quadratic join blowup, and idf already
+    sends their weights to ~0, so dropping them bounds fan-out at
+    negligible recall cost. The lexical complement to the
+    dense-embedding near-dup family; every shuffle keys on term or
+    doc id. n_docs=500 matches the sf0.01 fixture (the driver gates at
+    that scale; the oracle inlines the same constant)."""
+    from ..operators.dedup import tfidf_cosine_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, n_docs=500, max_df=100, threshold=0.2)

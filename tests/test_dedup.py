@@ -297,3 +297,33 @@ def test_near_dedup_accuracy_on_planted_mutations(spark, tables):
     removed = copy_ids - kept_ids
     recall = len(removed) / len(copy_ids)
     assert recall >= 0.9, f"near-dup removal recall {recall:.2f}"
+
+
+def test_tfidf_cosine_pairs_rare_terms_and_df_pruning(spark):
+    """Docs sharing only rare terms pair with high cosine; docs
+    sharing only a ubiquitous term produce NO pair once the df cap
+    excludes it (the quadratic-blowup guard)."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = [
+        (1, "common zebra quagga unique words here"),
+        (2, "common zebra quagga other tokens there"),
+        (3, "common completely different content now"),
+        (4, "common another unrelated document text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # df cap 3: 'common' (df=4) is pruned; zebra/quagga (df=2) survive
+    out = tfidf_cosine_pairs(df, n_docs=4, max_df=3, threshold=0.05)
+    pairs = {(r["id_left"], r["id_right"]): r["cos_sim"] for r in out.collect()}
+    # zebra+quagga (df=2) carry the dot; each doc's three df=1 terms
+    # dominate the norms, so the cosine is modest but nonzero
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.1
+    assert all(p == (1, 2) for p in pairs), f"unexpected pairs {pairs}"
+
+    # with the cap lifted, 'common' may create (weak) pairs between
+    # the otherwise-unrelated docs — the pruning is what kept them out
+    out2 = tfidf_cosine_pairs(df, n_docs=4, max_df=100, threshold=0.0)
+    pairs2 = {(r["id_left"], r["id_right"]) for r in out2.collect()}
+    assert len(pairs2) == 6  # all C(4,2) pairs meet through 'common'
