@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "sample_stratified_quota",
     "sequence_packing",
     "pii_stats",
+    "script_fractions",
     "line_dedup_corpus",
     "repetition_signals",
     "top_term_coverage",

@@ -32,6 +32,8 @@ __all__ = [
     "pii_counts",
     "STOPWORDS",
     "PII_PATTERNS",
+    "script_fractions",
+    "SCRIPT_RANGES",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -289,3 +291,46 @@ def c4_quality_flags(
         "has_curly_brace": has_curly,
         "keep": keep,
     }
+
+
+SCRIPT_RANGES = {
+    # Java-regex and RE2 both accept [\x{...}-\x{...}] classes, so the
+    # same pattern strings replay in the DuckDB oracle verbatim
+    "latin": r"[A-Za-z\x{00c0}-\x{024f}]",
+    "cjk": r"[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]",
+    "cyrillic": r"[\x{0400}-\x{04ff}]",
+    "arabic": r"[\x{0600}-\x{06ff}]",
+    "devanagari": r"[\x{0900}-\x{097f}]",
+}
+
+
+def script_fractions(text: Column | str) -> dict[str, Column]:
+    """Unicode-script composition of a document: per-script fraction
+    of non-whitespace characters plus the dominant script — the
+    writing-system detector CCNet/mC4-style pipelines run BEFORE
+    language id (stopword-based lang-id is meaningless on the wrong
+    script, and mixed-script text is its own quality signal: mojibake,
+    spam, and wrongly-decoded pages show up as script soup).
+
+    Pure codegen regexp counts — zero shuffle, pipelines into the
+    scan. Returns ``{script: fraction}`` plus ``"dominant"`` (the
+    argmax script name, ties broken by the fixed SCRIPT_RANGES order,
+    ``'other'`` when nothing matches). Fractions use the non-space
+    char count as the denominator, so punctuation/digits dilute every
+    script equally.
+    """
+    t = _col(text)
+    n = F.greatest(
+        F.length(F.regexp_replace(t, r"\s+", "")), F.lit(1)
+    ).cast("double")
+    fracs = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))) / n
+        for name, pat in SCRIPT_RANGES.items()
+    }
+    dominant = F.lit("other")
+    best = F.lit(0.0)
+    for name in SCRIPT_RANGES:  # fixed order = deterministic ties
+        is_better = fracs[name] > best
+        dominant = F.when(is_better, F.lit(name)).otherwise(dominant)
+        best = F.when(is_better, fracs[name]).otherwise(best)
+    return {**fracs, "dominant": dominant}

@@ -3006,3 +3006,44 @@ def tfidf_cosine_pairs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(d, n_docs=500, max_df=100, threshold=0.2)
+
+
+@query(
+    "script_fractions",
+    r"""
+    with base as (
+        select doc_id, lang, text,
+               greatest(length(regexp_replace(text, '\s+', '', 'g')),
+                        1)::double as n
+        from documents
+    )
+    select doc_id, lang,
+           round(len(regexp_extract_all(text,
+                 '[A-Za-z\x{00c0}-\x{024f}]')) / n, 6) as latin_frac,
+           round(len(regexp_extract_all(text,
+                 '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]'))
+                 / n, 6) as cjk_frac,
+           round(len(regexp_extract_all(text,
+                 '[\x{0400}-\x{04ff}]')) / n, 6) as cyrillic_frac
+    from base
+    """,
+)
+def script_fractions_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition (functions/text.py:script_fractions):
+    per-script fraction of non-space characters — the writing-system
+    detector that runs BEFORE stopword lang-id (and flags mojibake /
+    script soup). Pure regexp-count codegen, zero shuffle; the
+    [\\x{...}] class syntax parses identically in Java regex and RE2,
+    so the oracle replays the patterns verbatim. The synthetic fixture
+    is ASCII-only (the gate pins the computation; the multi-script
+    signal is unit-tested on planted CJK/Cyrillic text)."""
+    from ..functions.text import script_fractions
+
+    d = t(spark, sf_dir, "documents")
+    s = script_fractions("text")
+    return d.select(
+        "doc_id", "lang",
+        F.round(s["latin"], 6).alias("latin_frac"),
+        F.round(s["cjk"], 6).alias("cjk_frac"),
+        F.round(s["cyrillic"], 6).alias("cyrillic_frac"),
+    )

@@ -938,3 +938,38 @@ def test_quality_classifier_separates_fluent_from_gibberish(spark, docs):
 
     with _pytest.raises(ValueError):
         quality_classifier_score(holdout, {"intercept": 0.0, "weights": [1.0]})
+
+
+def test_script_fractions_planted_multiscript(spark):
+    """Planted CJK / Cyrillic / mixed documents classify correctly;
+    the dominant script follows the majority and 'other' covers
+    digits-only text."""
+    from ppack_spark.functions.text import script_fractions
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world this is plain english text"),
+            (2, "你好世界 这是 中文 文本 测试 样例"),
+            (3, "привет мир это русский текст для теста"),
+            (4, "mixed 文本 with some latin and 中文 both"),
+            (5, "12345 67890 !!! ???"),
+        ],
+        ["doc_id", "text"],
+    )
+    s = script_fractions("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            s["latin"].alias("lat"),
+            s["cjk"].alias("cjk"),
+            s["cyrillic"].alias("cyr"),
+            s["dominant"].alias("dom"),
+        ).collect()
+    }
+    assert rows[1]["dom"] == "latin" and rows[1]["lat"] > 0.9
+    assert rows[2]["dom"] == "cjk" and rows[2]["cjk"] > 0.9
+    assert rows[3]["dom"] == "cyrillic" and rows[3]["cyr"] > 0.9
+    assert rows[4]["dom"] in ("latin", "cjk")
+    assert 0.1 < rows[4]["cjk"] < 0.8  # genuinely mixed
+    assert rows[5]["dom"] == "other"
