@@ -4,6 +4,7 @@ from .ops import (
     read_events_stream,
     run_to_memory,
     streaming_asof_enrich,
+    streaming_corpus_ingest,
     streaming_quota_sample,
     streaming_dedup,
     streaming_near_dup_candidates,
@@ -17,6 +18,7 @@ __all__ = [
     "read_events_stream",
     "run_to_memory",
     "streaming_asof_enrich",
+    "streaming_corpus_ingest",
     "streaming_quota_sample",
     "streaming_dedup",
     "streaming_near_dup_candidates",

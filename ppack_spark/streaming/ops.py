@@ -40,6 +40,7 @@ __all__ = [
     "streaming_near_dup_candidates",
     "index_corpus_bands",
     "streaming_asof_enrich",
+    "streaming_corpus_ingest",
     "run_to_memory",
 ]
 
@@ -369,3 +370,61 @@ def streaming_quota_sample(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_corpus_ingest(
+    stream: DataFrame,
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fuzzy: bool = False,
+    jaccard_threshold: float = 0.7,
+):
+    """Continuous corpus ingestion: each micro-batch of crawled
+    documents is deduplicated against the corpus-so-far (exact
+    normalized-fingerprint anti-join; ``fuzzy=True`` adds the
+    LSH-candidate + exact-Jaccard near-mirror rejection of
+    ``merge_corpus_delta_fuzzy``) and only the genuinely-new rows are
+    appended to ``corpus_path`` — the streaming twin of the batch
+    delta-merge operators, via ``foreachBatch``.
+
+    Semantics: order-dependent by construction (the first arrival of a
+    content wins — exactly what a crawl feed wants); a replay of the
+    same batches yields the same corpus because every stage is
+    deterministic. The corpus-so-far is re-scanned per batch as
+    parquet, so the merge state lives in the STORAGE, not in stream
+    state — restarts recover for free from the files themselves, and
+    the scan is fingerprint-only (hashes shuffle, documents don't).
+    At 100 TB the corpus side should be laid out bucketed on the
+    fingerprint (``write_bucketed``) so the anti-join is Exchange-free;
+    the append-only writer here keeps the demo storage-agnostic.
+
+    Returns the ``DataStreamWriter``; start with
+    ``.trigger(availableNow=True)`` / ``.start()`` as usual.
+    """
+    from ..operators.pipeline import merge_corpus_delta, merge_corpus_delta_fuzzy
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(corpus_path)
+            have = existing.limit(1).count() > 0
+        except Exception:
+            have = False
+        if not have:
+            from ..operators.dedup import exact_dedup_keep_first
+
+            fresh = exact_dedup_keep_first(batch_df, text_col=text_col, id_col=id_col)
+        elif fuzzy:
+            fresh = merge_corpus_delta_fuzzy(
+                existing, batch_df,
+                jaccard_threshold=jaccard_threshold,
+                text_col=text_col, id_col=id_col,
+            )
+        else:
+            fresh = merge_corpus_delta(
+                existing, batch_df, text_col=text_col, id_col=id_col
+            )
+        fresh.write.mode("append").parquet(corpus_path)
+
+    return stream.writeStream.foreachBatch(_process)

@@ -347,3 +347,73 @@ def test_streaming_trainer_prep_parity(spark, tmp_path_factory):
         ).collect()
     }
     assert got == got2
+
+
+def test_streaming_corpus_ingest_matches_batch_merge(spark, tmp_path_factory):
+    """Micro-batched ingestion through streaming_corpus_ingest must
+    land exactly the rows the batch delta-merge sequence would: exact
+    re-crawls of already-held content never append, within-batch
+    duplicates collapse to the min id, and the final corpus equals a
+    driver-side replay of merge_corpus_delta over the same batch
+    sequence."""
+    from ppack_spark.operators.dedup import exact_dedup_keep_first
+    from ppack_spark.operators.pipeline import merge_corpus_delta
+    from ppack_spark.streaming import streaming_corpus_ingest
+
+    src = str(tmp_path_factory.mktemp("ingest_src"))
+    corpus = str(tmp_path_factory.mktemp("ingest_corpus")) + "/corpus"
+
+    b0 = spark.createDataFrame(
+        [
+            (1, "first unique document body"),
+            (2, "second unique document body"),
+            (3, "second  UNIQUE   document body"),  # dup of 2 (normalized)
+        ],
+        ["doc_id", "text"],
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, "first unique document body"),   # re-crawl of 1 — rejected
+            (11, "a genuinely new third document"),
+            (12, "a genuinely new third document"),  # within-batch dup
+        ],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [
+            (20, "A GENUINELY new third document "),  # re-crawl of 11
+            (21, "the final brand new document"),
+        ],
+        ["doc_id", "text"],
+    )
+    batches = [b0, b1, b2]
+    # one parquet file per micro-batch, in order
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+    # a file-source stream consumes files in discovery order; feed the
+    # batches through three sequential availableNow runs to pin order
+    for i in range(len(batches)):
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b{i}")
+        )
+        q = (
+            streaming_corpus_ingest(stream, corpus)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(corpus).collect()
+    }
+
+    # driver-side batch replay of the same sequence
+    acc = exact_dedup_keep_first(batches[0])
+    for b in batches[1:]:
+        acc = acc.unionByName(merge_corpus_delta(acc, b))
+    want = {(r["doc_id"], r["text"]) for r in acc.collect()}
+    assert got == want
+    assert {d for d, _ in got} == {1, 2, 11, 21}
