@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "events_value_quantiles",
+    "events_trailing_agg",
+    "profile_columns",
     "events_funnel",
     "events_cohort_retention",
     "blocking_multi_pass",

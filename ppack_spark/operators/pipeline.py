@@ -81,6 +81,8 @@ __all__ = [
     "train_quality_classifier",
     "quality_classifier_score",
     "QUALITY_CLASSIFIER_FEATURES",
+    "trailing_window_agg",
+    "profile_columns",
 ]
 
 
@@ -1404,3 +1406,107 @@ def quality_classifier_score(
     if round_digits is not None:
         prob = F.round(prob, round_digits)
     return df.withColumn("quality_prob", prob)
+
+
+def trailing_window_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: Column | str,
+    value_col: str,
+    window_seconds: int,
+    aggs: tuple[str, ...] = ("avg", "count"),
+) -> DataFrame:
+    """Per-ROW trailing time-window aggregates: for every event, the
+    avg/count/sum/min/max of ``value_col`` over the key's events in
+    the preceding ``window_seconds`` (inclusive) — the moving-average
+    / rate-limiter / rolling-feature shape that tumbling and hopping
+    windows (events_window_agg, events_sliding_window) cannot express,
+    because those emit one row per window, not per event.
+
+    A native range-frame window (``rangeBetween(-w, 0)`` over epoch
+    seconds): ONE shuffle on the key columns, then a single ordered
+    pass per partition maintaining the sliding frame — no self-join,
+    no fan-out (the naive range self-join is O(rows × window
+    occupancy) and was already rejected for the range-join operator;
+    the frame walk is O(rows)). Ties on the timestamp are peers:
+    every equal-timestamp row is in the frame, matching SQL RANGE
+    semantics in any engine.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts.cast("long"))
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    fns = {"avg": F.avg, "count": F.count, "sum": F.sum, "min": F.min, "max": F.max}
+    out_cols = []
+    for a in aggs:
+        if a not in fns:
+            raise ValueError(f"unsupported agg {a!r}; pick from {sorted(fns)}")
+        c = fns[a](F.col(value_col)).over(w)
+        if a in ("avg", "sum"):
+            c = F.round(c, 6)
+        if a == "count":
+            c = c.cast("long")
+        out_cols.append(c.alias(f"{a}_{window_seconds}s"))
+    return df.select("*", *out_cols)
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-profiling rollup: one output row per column with count,
+    null count, distinct count, min/max (as strings, type-agnostic)
+    and mean/stddev for numeric columns — the first-look data-quality
+    report run before committing a pipeline to a new table.
+
+    ONE aggregation job computes every column's statistics in a single
+    pass (no per-column actions); the per-column structs are then
+    unpivoted with a stack expression. Exact distinct counts shuffle
+    per column at scale — swap ``countDistinct`` for
+    ``approx_count_distinct`` (HLL, one pass, merge-friendly) when
+    profiling 100 TB and the exact cardinality isn't the point.
+    """
+    from pyspark.sql import types as T
+
+    cols = cols or df.columns
+    num_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    aggs = []
+    for c in cols:
+        is_num = isinstance(df.schema[c].dataType, num_types)
+        aggs.extend(
+            [
+                F.count(F.col(c)).alias(f"__cnt_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+                F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+                (
+                    F.round(F.avg(F.col(c)), 6)
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias(f"__mean_{c}"),
+                (
+                    F.round(F.stddev_samp(F.col(c)), 6)
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias(f"__std_{c}"),
+            ]
+        )
+    row = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__cnt_{c}").alias("n_non_null"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+                F.col(f"__mean_{c}").alias("mean"),
+                F.col(f"__std_{c}").alias("stddev"),
+            )
+        )
+    return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")

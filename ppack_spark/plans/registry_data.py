@@ -3047,3 +3047,80 @@ def script_fractions_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s["cjk"], 6).alias("cjk_frac"),
         F.round(s["cyrillic"], 6).alias("cyrillic_frac"),
     )
+
+
+@query(
+    "events_trailing_agg",
+    """
+    select event_id, user_id,
+           round(avg(value) over (
+               partition by user_id order by cast(floor(epoch(ts)) as bigint)
+               range between 3600 preceding and current row
+           ), 6) as avg_3600s,
+           cast(count(*) over (
+               partition by user_id order by cast(floor(epoch(ts)) as bigint)
+               range between 3600 preceding and current row
+           ) as bigint) as count_3600s
+    from events
+    """,
+)
+def events_trailing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row trailing 1-hour aggregates
+    (operators/pipeline.py:trailing_window_agg): every event carries
+    the avg/count of its user's events in the preceding hour — the
+    moving-average shape tumbling/hopping windows can't express (they
+    emit per-window, not per-event). Native RANGE frame: one shuffle
+    on the key, O(rows) frame walk, no self-join fan-out."""
+    from ..operators.pipeline import trailing_window_agg
+
+    ev = t(spark, sf_dir, "events")
+    out = trailing_window_agg(
+        ev, ["user_id"], _epoch_s(F.col("ts")), "value", 3600
+    )
+    return out.select("event_id", "user_id", "avg_3600s", "count_3600s")
+
+
+@query(
+    "profile_columns",
+    """
+    with s as (select * from events)
+    select 'event_id' as column,
+           count(event_id) as n_non_null,
+           sum(case when event_id is null then 1 else 0 end) as n_null,
+           count(distinct event_id) as n_distinct,
+           cast(min(event_id) as varchar) as min_value,
+           cast(max(event_id) as varchar) as max_value,
+           round(avg(event_id), 6) as mean,
+           round(stddev_samp(event_id), 6) as stddev
+    from s
+    union all
+    select 'event_type',
+           count(event_type),
+           sum(case when event_type is null then 1 else 0 end),
+           count(distinct event_type),
+           cast(min(event_type) as varchar),
+           cast(max(event_type) as varchar),
+           null, null
+    from s
+    union all
+    select 'value',
+           count(value),
+           sum(case when value is null then 1 else 0 end),
+           count(distinct value),
+           cast(min(value) as varchar),
+           cast(max(value) as varchar),
+           round(avg(value), 6),
+           round(stddev_samp(value), 6)
+    from s
+    """,
+)
+def profile_columns_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/pipeline.py:profile_columns): one
+    aggregation pass computes every column's count/null/distinct/
+    min/max/mean/stddev, unpivoted to a row per column — the
+    first-look data-quality report. Exact distincts here (gate-sized);
+    swap to approx_count_distinct at 100 TB, as documented."""
+    from ..operators.pipeline import profile_columns
+
+    ev = t(spark, sf_dir, "events")
+    return profile_columns(ev, ["event_id", "event_type", "value"])

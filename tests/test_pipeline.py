@@ -973,3 +973,51 @@ def test_script_fractions_planted_multiscript(spark):
     assert rows[4]["dom"] in ("latin", "cjk")
     assert 0.1 < rows[4]["cjk"] < 0.8  # genuinely mixed
     assert rows[5]["dom"] == "other"
+
+
+def test_trailing_window_boundary_and_ties(spark):
+    """RANGE frame: an event exactly window_seconds old is IN the
+    frame; timestamp ties are peers (all included); other keys never
+    leak in; unsupported agg names raise."""
+    from ppack_spark.operators.pipeline import trailing_window_agg
+
+    rows = [
+        (1, 100, 1000, 10.0),
+        (2, 100, 4600, 20.0),   # exactly 3600 after event 1 → includes it
+        (3, 100, 4600, 30.0),   # tie with event 2 → peers, both frames see both
+        (4, 100, 8201, 40.0),   # 3601 after 4600 → events 2,3 fall out
+        (5, 200, 4600, 99.0),   # different key
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts_s", "value"])
+    out = {
+        r["event_id"]: (r["avg_3600s"], r["count_3600s"])
+        for r in trailing_window_agg(
+            df, ["user_id"], "ts_s", "value", 3600
+        ).collect()
+    }
+    assert out[1] == (10.0, 1)
+    assert out[2] == (20.0, 3)  # events 1,2,3 (tie 3 is a peer)
+    assert out[3] == (20.0, 3)
+    assert out[4] == (40.0, 1)
+    assert out[5] == (99.0, 1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        trailing_window_agg(df, ["user_id"], "ts_s", "value", 10, aggs=("median",))
+
+
+def test_profile_columns_nulls_and_types(spark):
+    """Null counting, distinct, and numeric-only mean/stddev."""
+    from ppack_spark.operators.pipeline import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", None), (3, None, 6.0), (4, "b", 4.0)],
+        "id long, s string, v double",
+    )
+    rows = {r["column"]: r for r in profile_columns(df).collect()}
+    assert rows["s"]["n_null"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["mean"] is None
+    assert rows["v"]["n_non_null"] == 3 and rows["v"]["mean"] == 4.0
+    assert rows["id"]["n_distinct"] == 4 and rows["id"]["n_null"] == 0
+    assert rows["v"]["min_value"] == "2.0" and rows["v"]["max_value"] == "6.0"
