@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "events_sessionize",
     "events_asof_join",
+    "events_asof_forward",
     "events_range_join",
     "events_value_quantiles",
     "events_trailing_agg",

@@ -36,15 +36,23 @@ def asof_join(
     right_cols: list[str] | None = None,
     ts_matched: str | None = None,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """Join each left row to the most recent right row with
-    ``right.ts <= left.ts`` within the same ``on`` key(s).
+    ``right.ts <= left.ts`` within the same ``on`` key(s)
+    (``direction='backward'``, the default), or to the NEAREST
+    FOLLOWING right row with ``right.ts >= left.ts``
+    (``direction='forward'`` — the "next event after" labeling shape:
+    next purchase after a click, next failure after a deploy). Both
+    directions match ties inclusively, like DuckDB's ``ASOF JOIN``
+    with ``>=`` / ``<=``.
 
     Returns every left column plus the matched ``right_cols`` and the
     matched right timestamp (``ts_matched``, default ``{ts}_matched``).
-    ``how='inner'`` drops left rows with no prior right row (DuckDB
+    ``how='inner'`` drops left rows with no matching right row (DuckDB
     ``ASOF JOIN``); ``how='left'`` keeps them with nulls (``ASOF LEFT
-    JOIN``).
+    JOIN``). Forward is the same union-sort plan with the sort
+    reversed — one shuffle, no range fan-out, either way.
     """
     from pyspark.sql import types as T
 
@@ -78,10 +86,19 @@ def asof_join(
         if c not in on_cols + [ts]:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     u = l.select(l.columns).unionByName(r.select(l.columns))
+    # forward = the same carry trick over the REVERSED timestamp order:
+    # preceding rows then have ts >= current, and last(...) picks the
+    # nearest following right row. Ties stay inclusive in both
+    # directions because the right side (0) sorts before the left (1).
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(*on_cols)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("__carry", F.last("__carry", ignorenulls=True).over(w))

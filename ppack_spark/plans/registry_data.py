@@ -3124,3 +3124,51 @@ def profile_columns_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     return profile_columns(ev, ["event_id", "event_type", "value"])
+
+
+@query(
+    "events_asof_forward",
+    """
+    with clicks as (
+        select user_id, event_id, ts from events where event_type = 'click'
+    ),
+    purch as (
+        select user_id, ts, max(value) as purchase_value
+        from events where event_type = 'purchase'
+        group by user_id, ts
+    )
+    select c.user_id, c.event_id,
+           cast(floor(epoch(c.ts)) as bigint) as click_ts_s,
+           cast(floor(epoch(p.ts)) as bigint) as purchase_ts_s,
+           round(p.purchase_value, 6) as purchase_value
+    from clicks c
+    asof join purch p on c.user_id = p.user_id and c.ts <= p.ts
+    """,
+)
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py, direction='forward'):
+    each click joined to the user's NEXT purchase at-or-after it — the
+    'next event after' labeling shape (conversion attribution,
+    time-to-next-failure). Gated against DuckDB's native forward ASOF
+    (ON c.ts <= p.ts); same one-shuffle union-sort plan with the sort
+    reversed."""
+    from ..operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purch, on="user_id", ts="ts",
+        right_cols=["purchase_value"], direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        _epoch_s(F.col("ts")).alias("click_ts_s"),
+        _epoch_s(F.col("ts_matched")).alias("purchase_ts_s"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )

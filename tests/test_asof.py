@@ -110,3 +110,42 @@ def test_fuzz_against_brute_force(spark):
                 key=lambda t: t[0],
             )
             assert got == brute(how), (seed, how)
+
+
+def test_asof_forward_semantics(spark):
+    """Forward direction: nearest FOLLOWING right row, ties inclusive,
+    inner drops rows with nothing ahead, left keeps them as nulls."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (1, 40, "c"), (2, 5, "d")],
+        ["k", "ts", "tag"],
+    )
+    r = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 30, 300.0)], ["k", "ts", "p"]
+    )
+    got = {
+        row["tag"]: (row["ts_matched"], row["p"])
+        for row in asof_join(
+            l, r, on="k", ts="ts", right_cols=["p"], direction="forward"
+        ).collect()
+    }
+    assert got["a"] == (10, 100.0)  # tie: right at same ts matches
+    assert got["b"] == (30, 300.0)  # nearest following
+    assert "c" not in got           # nothing ahead → inner drops
+    assert "d" not in got           # key 2 has no right rows
+
+    left_rows = {
+        row["tag"]: row["p"]
+        for row in asof_join(
+            l, r, on="k", ts="ts", right_cols=["p"],
+            direction="forward", how="left",
+        ).collect()
+    }
+    assert left_rows["c"] is None and left_rows["d"] is None
+
+    with pytest.raises(ValueError):
+        asof_join(l, r, on="k", ts="ts", direction="sideways")
