@@ -292,15 +292,32 @@ def key_skew_report(
     One partial-aggregated shuffle on the key + a global top-n
     (TakeOrderedAndProject — no full sort); ties broken by key value
     for engine-stable output. NULL keys count as a (reported) group —
-    a mostly-NULL join key is itself a skew finding.
+    a mostly-NULL join key is itself a skew finding. The total-row
+    denominator comes from a ROLLUP grand-total row in the SAME
+    aggregation (disambiguated from genuine NULL keys by
+    ``grouping_id``), so the input is scanned exactly once — a
+    separate count() would be a second full pass at 100 TB.
     """
-    total = df.count()
-    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
-    ranked = counts.orderBy(
-        F.desc("n"), *[F.asc_nulls_last(c) for c in cols]
-    ).limit(top_n)
-    return ranked.select(
+    counts = df.groupingSets([list(cols), []], *cols).agg(
+        F.count(F.lit(1)).alias("n"), F.grouping_id().alias("__gid")
+    )
+    # both consumers below (top-n and the grand-total denominator)
+    # read `counts`; without a materialization point each would re-run
+    # the aggregation — i.e. re-scan the INPUT. A lazy local checkpoint
+    # of the per-key count table (distinct-keys-sized, input-sized
+    # never) makes the input scan happen exactly once.
+    counts = counts.localCheckpoint(eager=False)
+    grand = (1 << len(cols)) - 1
+    total = counts.filter(F.col("__gid") == grand).select(
+        F.col("n").cast("double").alias("__total")
+    )
+    ranked = (
+        counts.filter(F.col("__gid") == 0)
+        .orderBy(F.desc("n"), *[F.asc_nulls_last(c) for c in cols])
+        .limit(top_n)
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
         *cols,
         "n",
-        F.round(F.col("n") / F.lit(float(total)), 6).alias("frac"),
+        F.round(F.col("n") / F.col("__total"), 6).alias("frac"),
     )

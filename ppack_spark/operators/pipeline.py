@@ -2,16 +2,22 @@
 between dedup and training in an LLM data pipeline (SURVEY.md §2e):
 
 * hygiene: CCNet corpus-line dedup (``dedup_corpus_lines``), winnowed
-  repeated-span detection (``repeated_spans``), eval decontamination;
+  repeated-span detection (``repeated_spans``), eval decontamination
+  (broadcast-join and join-free Bloom-bitmap forms);
 * sampling & mixing: deterministic hash / stratified-quota /
   temperature-weighted (``temperature_mix``) sampling, train-val-test
-  splitting (``split_corpus``);
+  splitting (``split_corpus``), repeat-factor epoch upsampling
+  (``upsample_corpus``);
 * selection & scoring: unigram-LM quality scores + CCNet perplexity
-  buckets, DSIR importance weights, data-card rollups
-  (``corpus_stats``);
+  buckets, DSIR importance weights, a trained logistic quality
+  classifier (``train_quality_classifier``), data-card rollups
+  (``corpus_stats``), column profiling (``profile_columns``);
 * ingestion & packing: incremental exact/fuzzy delta merge, sequence
-  packing, the composed ``prepare_corpus`` chain;
-* events analytics: conversion funnels, cohort retention.
+  packing, document chunking (``chunk_documents``), deterministic
+  training-order shuffling (``shuffle_corpus``), the composed
+  ``prepare_corpus`` chain;
+* events analytics: conversion funnels, cohort retention, per-row
+  trailing window aggregates (``trailing_window_agg``).
 
 Every operator is gated against a DuckDB SQL replay (plans/
 registry_data.py). Detailed scale notes live on each function; the
