@@ -43,7 +43,7 @@ from .patterns import (
     pattern_counts,
     u_probability_frequencies,
 )
-from .plans import Linker
+from .plans import CorpusPipeline, CorpusSpec, Linker
 from .scoring import label_with_truth, posterior_probability, score_pairs, threshold_and_rank
 from .session import get_spark
 from .similarity import jaro_winkler, jw_similarity, levenshtein_similarity
@@ -54,6 +54,8 @@ __version__ = "0.1.0"
 __all__ = [
     "BlockingRule",
     "Comparison",
+    "CorpusPipeline",
+    "CorpusSpec",
     "EXACT_LEVELS",
     "FSParams",
     "JW_LEVELS",

@@ -1,3 +1,4 @@
+from .corpus import CorpusPipeline, CorpusSpec
 from .linker import Linker
 
-__all__ = ["Linker"]
+__all__ = ["CorpusPipeline", "CorpusSpec", "Linker"]

@@ -1,0 +1,145 @@
+"""CorpusPipeline — the corpus-preparation counterpart of
+:class:`~ppack_spark.plans.linker.Linker`: a declarative spec of the
+standard raw-crawl → training-shard stage sequence, compiled into ONE
+lazy DataFrame plan per run.
+
+Stage order (each optional, every stage an already-gated operator):
+
+    quality filter → corpus line dedup → exact dedup → near dedup
+    (MinHash-LSH, verified) → eval decontamination → temperature mix
+    → hash sample → train/val/test split → chunk → pack → shuffle
+
+The facade only fixes composition order and threads the column names;
+there is deliberately no hidden state — ``run()`` returns a plain
+DataFrame, and every stage can still be called directly for custom
+chains. Near dedup and the samplers keep their documented scale
+shapes (bucketed LSH with signature verify, salted md5 selectors);
+chunk/pack/shuffle produce the trainer-facing columns
+(chunk_id/chunk_text, seq_id/seq_offset, shard/shard_pos) that
+``write_sharded`` then materializes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["CorpusSpec", "CorpusPipeline"]
+
+
+@dataclass
+class CorpusSpec:
+    """Declarative configuration for :class:`CorpusPipeline`.
+
+    ``None`` disables a stage. Dict-valued stages pass their entries as
+    keyword arguments to the underlying operator (validated there).
+    """
+
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    quality: bool = True
+    line_dedup: bool = True
+    exact_dedup: bool = True
+    # e.g. {"num_hashes": 128, "band_size": 8, "verify_threshold": 0.6}
+    near_dedup: dict | None = None
+    decontaminate: bool = True  # applied when run() receives eval_docs
+    # e.g. {"group_col": "lang", "alpha": 0.5, "target_total": 100_000}
+    mix: dict | None = None
+    sample_fraction: float | None = None
+    # e.g. {"weights": {"train": 0.9, "val": 0.05, "test": 0.05}}
+    split: dict | None = None
+    # e.g. {"chunk_tokens": 1024, "overlap": 64}
+    chunk: dict | None = None
+    # e.g. {"budget": 4096, "n_buckets": 64}
+    pack: dict | None = None
+    # e.g. {"n_shards": 64, "salt": "epoch0"}
+    shuffle: dict | None = field(default_factory=dict)
+
+
+class CorpusPipeline:
+    """Compose the corpus-preparation stages declared in a
+    :class:`CorpusSpec` into one lazy plan.
+
+    >>> spec = CorpusSpec(near_dedup={"num_hashes": 128, "band_size": 8},
+    ...                   chunk={"chunk_tokens": 1024},
+    ...                   pack={"budget": 4096})
+    >>> out = CorpusPipeline(spec).run(docs, eval_docs=benchmarks)
+
+    ``run()`` returns the trainer-facing DataFrame; pair it with
+    ``sources.etl.write_sharded`` (size-bounded shards) or
+    ``write_zordered`` for the final layout.
+    """
+
+    def __init__(self, spec: CorpusSpec | None = None):
+        self.spec = spec or CorpusSpec()
+
+    def run(self, df: DataFrame, eval_docs: DataFrame | None = None) -> DataFrame:
+        from ..operators.dedup import near_dedup_corpus
+        from ..operators.pipeline import (
+            chunk_documents,
+            hash_sample,
+            pack_sequences,
+            prepare_corpus,
+            shuffle_corpus,
+            split_corpus,
+            temperature_mix,
+        )
+
+        s = self.spec
+        out = prepare_corpus(
+            df,
+            eval_docs=eval_docs if s.decontaminate else None,
+            quality=s.quality,
+            line_dedup=s.line_dedup,
+            exact_dedup=s.exact_dedup,
+            sample_fraction=None,  # sampling happens after near-dedup/mix
+            text_col=s.text_col,
+            id_col=s.id_col,
+        )
+        if s.near_dedup is not None:
+            out = near_dedup_corpus(
+                out, text_col=s.text_col, id_col=s.id_col, **s.near_dedup
+            )
+        if s.mix is not None:
+            out = temperature_mix(out, id_col=s.id_col, **s.mix)
+        if s.sample_fraction is not None:
+            out = hash_sample(out, s.sample_fraction, id_col=s.id_col)
+        if s.split is not None:
+            out = split_corpus(out, id_col=s.id_col, **s.split)
+        if s.chunk is not None:
+            chunks = chunk_documents(
+                out, text_col=s.text_col, id_col=s.id_col, **s.chunk
+            )
+            carry = [c for c in out.columns if c not in (s.text_col,)]
+            out = chunks.join(
+                out.select(*carry), on=s.id_col, how="left"
+            ) if len(carry) > 1 else chunks
+            # downstream stages key on the chunk, not the document
+            out = out.withColumn(
+                "__chunk_uid",
+                F.concat(
+                    F.col(s.id_col).cast("string"),
+                    F.lit("#"),
+                    F.col("chunk_id").cast("string"),
+                ),
+            )
+            unit_id, token_col = "__chunk_uid", "chunk_n_tokens"
+        else:
+            unit_id, token_col = s.id_col, None
+        if s.pack is not None:
+            packed = pack_sequences(
+                out,
+                id_col=unit_id,
+                text_col=s.text_col if s.chunk is None else "chunk_text",
+                token_col=token_col,
+                **s.pack,
+            )
+            # pack_sequences projects to its slot columns; join the
+            # (bucket, seq_id, seq_offset) assignment back onto the
+            # full rows so text and carried metadata flow to the sink
+            out = out.join(packed.drop("n_tokens"), on=unit_id, how="inner")
+        if s.shuffle is not None:
+            out = shuffle_corpus(out, id_col=unit_id, **s.shuffle)
+        return out

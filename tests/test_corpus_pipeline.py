@@ -1,0 +1,78 @@
+"""CorpusPipeline facade: the declarative spec must compose to exactly
+the same result as hand-chaining the underlying gated operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from ppack_spark import CorpusPipeline, CorpusSpec
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_hygiene_stages_equal_manual_chain(spark, docs):
+    from ppack_spark.operators.dedup import near_dedup_corpus
+    from ppack_spark.operators.pipeline import prepare_corpus, temperature_mix
+
+    spec = CorpusSpec(
+        near_dedup={"num_hashes": 32, "band_size": 4, "verify_threshold": 0.6},
+        mix={"group_col": "lang", "alpha": 0.5, "target_total": 300},
+        sample_fraction=0.8,
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 5).select("doc_id", "text")
+    got = CorpusPipeline(spec).run(docs, eval_docs=eval_docs)
+
+    manual = prepare_corpus(docs, eval_docs=eval_docs)
+    manual = near_dedup_corpus(
+        manual, num_hashes=32, band_size=4, verify_threshold=0.6
+    )
+    manual = temperature_mix(manual, "lang", alpha=0.5, target_total=300)
+    from ppack_spark.operators.pipeline import hash_sample
+
+    manual = hash_sample(manual, 0.8)
+    g = {tuple(r) for r in got.select("doc_id", "lang").collect()}
+    w = {tuple(r) for r in manual.select("doc_id", "lang").collect()}
+    assert g == w and len(g) > 0
+
+
+def test_trainer_stages_chunk_pack_shuffle(spark, docs):
+    """With chunking on, pack/shuffle operate per CHUNK: every chunk
+    gets exactly one (seq_id, seq_offset) and one (shard, shard_pos);
+    chunk text round-trips; carried doc columns survive."""
+    spec = CorpusSpec(
+        line_dedup=False,
+        chunk={"chunk_tokens": 32, "overlap": 0},
+        pack={"budget": 128, "n_buckets": 4},
+        shuffle={"n_shards": 4},
+    )
+    out = CorpusPipeline(spec).run(docs)
+    rows = out.collect()
+    assert len(rows) > 0
+    uids = [r["__chunk_uid"] for r in rows]
+    assert len(uids) == len(set(uids))
+    for r in rows[:50]:
+        assert r["seq_offset"] < 128 and r["seq_id"] >= 0
+        assert 0 <= r["shard"] < 4 and r["shard_pos"] >= 1
+        assert r["lang"] is not None  # carried through the chunk join
+    # shard positions contiguous per shard
+    per = {}
+    for r in rows:
+        per.setdefault(r["shard"], []).append(r["shard_pos"])
+    for ps in per.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_default_spec_is_prepare_corpus(spark, docs):
+    from ppack_spark.operators.pipeline import prepare_corpus, shuffle_corpus
+
+    got = CorpusPipeline().run(docs)
+    want = shuffle_corpus(prepare_corpus(docs))
+    g = {tuple(r) for r in got.select("doc_id", "shard", "shard_pos").collect()}
+    w = {tuple(r) for r in want.select("doc_id", "shard", "shard_pos").collect()}
+    assert g == w
