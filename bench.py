@@ -238,12 +238,24 @@ def main() -> None:
     out = _line(times, 2)
     if len(out) > 1900:
         out = _line(times, 1)
-    if len(out) > 1900:
-        slow = {k: v for k, v in times.items() if v >= 0.1 or v < 0}
-        slow["_fast_total"] = sum(
-            v for k, v in times.items() if 0 <= v < 0.1
+    # collapse fast queries into one "_fast_total" entry, raising the
+    # cutoff until the line fits; failed queries (-1) are always kept
+    for cutoff in (0.1, 0.2, 0.5, 1.0, 2.0):
+        if len(out) <= 1900:
+            break
+        slow = {k: v for k, v in times.items() if v >= cutoff or v < 0}
+        slow["_fast_total"] = round(
+            sum(v for v in times.values() if 0 <= v < cutoff), 1
         )
         out = _line(slow, 1)
+    if len(out) > 1900:  # last resort: top-40 slowest + remainder
+        top = dict(
+            sorted(times.items(), key=lambda kv: -kv[1])[:40]
+        )
+        top["_rest_total"] = round(
+            sum(v for k, v in times.items() if k not in top and v >= 0), 1
+        )
+        out = _line(top, 1)
     print(out, flush=True)
 
 

@@ -43,3 +43,16 @@ def test_entry_smoke(spark, tables):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert "weight" in df.columns
+
+
+def test_board_order_leads_queries():
+    """The driver records only the first 50 queries() entries (see
+    ppack_spark/plans/board.py); assert the curated board actually
+    leads the iteration order and covers exactly 50 registered
+    gates."""
+    from ppack_spark.plans.board import BOARD
+
+    names = list(_queries())
+    assert len(BOARD) == 50
+    assert names[:50] == BOARD
+    assert len(set(names)) == len(names)
