@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "corpus_pipeline_e2e",
     "trainer_export_e2e",
     "near_dedup_corpus",
+    "near_dedup_keep_best",
+    "corpus_split_leakage_safe",
     "minhash_lsh_pairs_wide",
     "near_dedup_corpus_wide",
     "semantic_dedup",

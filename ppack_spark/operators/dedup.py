@@ -51,7 +51,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_df",
     "simhash_pairs",
+    "near_dup_components",
     "near_dedup_corpus",
+    "near_dedup_keep_best",
     "minhash_jaccard_estimate",
 ]
 
@@ -497,6 +499,74 @@ def simhash_pairs(
     )
 
 
+def near_dup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    use_star: bool = False,
+    verify_threshold: float | None = 0.5,
+    exact_verify: bool = False,
+) -> DataFrame:
+    """Near-duplicate cluster membership as a ``(node, component)``
+    table: MinHash-LSH candidate pairs → signature-agreement (and
+    optionally exact-Jaccard) verification → connected components.
+    ``component`` is the cluster's min member id; documents with no
+    verified near-duplicate do not appear (they are singletons).
+
+    This is the shared first half of every near-dup consumer —
+    :func:`near_dedup_corpus` (drop non-canonical members),
+    :func:`near_dedup_keep_best` (keep the best-scored member), and
+    leakage-safe splitting (assign whole clusters to one split) — so
+    the shingle→signature map pass, the banded candidate join, and
+    the verify stage are written once. See :func:`near_dedup_corpus`
+    for the parameter semantics and the 100 TB scale shape.
+    """
+    from .cluster import connected_components, connected_components_star
+
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, band_size=band_size, k=k, signatures=sig,
+    )
+    if verify_threshold is not None:
+        est = minhash_jaccard_estimate(
+            pairs, id_col=id_col, num_hashes=num_hashes, signatures=sig
+        )
+        pairs = est.filter(
+            F.col("est_jaccard") >= F.lit(float(verify_threshold))
+        ).select("id_left", "id_right")
+        if exact_verify:
+            sh = df.select(
+                F.col(id_col), word_shingles(text_col, k).alias("__sh")
+            )
+            pairs = (
+                pairs.join(
+                    sh.select(
+                        F.col(id_col).alias("id_left"),
+                        F.col("__sh").alias("__sh_l"),
+                    ),
+                    "id_left",
+                )
+                .join(
+                    sh.select(
+                        F.col(id_col).alias("id_right"),
+                        F.col("__sh").alias("__sh_r"),
+                    ),
+                    "id_right",
+                )
+                .filter(
+                    jaccard_similarity(F.col("__sh_l"), F.col("__sh_r"))
+                    >= F.lit(float(verify_threshold))
+                )
+                .select("id_left", "id_right")
+            )
+    kernel = connected_components_star if use_star else connected_components
+    return kernel(pairs)
+
+
 def near_dedup_corpus(
     df: DataFrame,
     text_col: str = "text",
@@ -544,49 +614,71 @@ def near_dedup_corpus(
     — losers are a fraction of the corpus, ids only, broadcast-size
     after AQE.
     """
-    from .cluster import connected_components, connected_components_star
-
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    pairs = minhash_lsh_pairs(
-        df, text_col=text_col, id_col=id_col,
-        num_hashes=num_hashes, band_size=band_size, k=k, signatures=sig,
+    comps = near_dup_components(
+        df, text_col, id_col, num_hashes, band_size, k,
+        use_star, verify_threshold, exact_verify,
     )
-    if verify_threshold is not None:
-        est = minhash_jaccard_estimate(
-            pairs, id_col=id_col, num_hashes=num_hashes, signatures=sig
-        )
-        pairs = est.filter(
-            F.col("est_jaccard") >= F.lit(float(verify_threshold))
-        ).select("id_left", "id_right")
-        if exact_verify:
-            sh = df.select(
-                F.col(id_col), word_shingles(text_col, k).alias("__sh")
-            )
-            pairs = (
-                pairs.join(
-                    sh.select(
-                        F.col(id_col).alias("id_left"),
-                        F.col("__sh").alias("__sh_l"),
-                    ),
-                    "id_left",
-                )
-                .join(
-                    sh.select(
-                        F.col(id_col).alias("id_right"),
-                        F.col("__sh").alias("__sh_r"),
-                    ),
-                    "id_right",
-                )
-                .filter(
-                    jaccard_similarity(F.col("__sh_l"), F.col("__sh_r"))
-                    >= F.lit(float(verify_threshold))
-                )
-                .select("id_left", "id_right")
-            )
-    kernel = connected_components_star if use_star else connected_components
-    comps = kernel(pairs)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def near_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    use_star: bool = False,
+    verify_threshold: float | None = 0.5,
+    exact_verify: bool = False,
+) -> DataFrame:
+    """Near-duplicate dedup keeping the HIGHEST-``score_col`` member
+    of each verified near-dup cluster (ties → min id) — the fuzzy
+    twin of :func:`exact_dedup_keep_best`. Near-dup copies genuinely
+    differ (boilerplate, truncation, OCR noise), so once a pipeline
+    has scored documents (``quality_classifier_score``,
+    ``unigram_logprob``, DSIR) the copy worth keeping is the best
+    one, not the lowest-id one.
+
+    Built on :func:`near_dup_components`: per cluster, the winner is
+    argmax(score, −id) via a struct max inside one partial-aggregated
+    groupBy on the component id (cluster-count-sized, never a corpus
+    window); every non-winner cluster member is dropped with a
+    left-anti join of ids. Singletons never enter the component table
+    and survive untouched. The id must be numeric for the max(−id)
+    tiebreak, as in :func:`exact_dedup_keep_best`.
+    """
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long", "float", "double"):
+        raise ValueError(
+            f"near_dedup_keep_best needs a numeric id for the min-id "
+            f"tiebreak; {id_col} is {id_type}"
+        )
+    comps = near_dup_components(
+        df, text_col, id_col, num_hashes, band_size, k,
+        use_star, verify_threshold, exact_verify,
+    )
+    members = comps.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
+        "node",
+    )
+    winners = (
+        members.groupBy("component")
+        .agg(
+            F.max(F.struct(F.col("__s"), (-F.col("node")).alias("__negid")))
+            .alias("__best")
+        )
+        .select((-F.col("__best.__negid")).alias("__w"))
+    )
+    losers = (
+        comps.join(
+            winners.select(F.col("__w").alias("node")), "node", "left_anti"
+        )
+        .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
 

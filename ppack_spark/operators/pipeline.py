@@ -74,6 +74,7 @@ __all__ = [
     "remove_repeated_spans",
     "prepare_corpus",
     "split_corpus",
+    "split_corpus_leakage_safe",
     "funnel_counts",
     "cohort_retention",
     "top_term_coverage",
@@ -865,6 +866,56 @@ def split_corpus(
     last = F.lit(items[-1][0])
     label = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", label)
+
+
+def split_corpus_leakage_safe(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    verify_threshold: float | None = 0.5,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test splitting that never puts two near-duplicate
+    documents in different splits: the split hash is computed on each
+    document's near-dup CLUSTER canonical id (the verified-LSH
+    connected-component min id), so a whole cluster lands in one
+    split. A plain id-hash split leaks — a near-copy of a training
+    document in the eval split inflates eval scores exactly like
+    train/test contamination — and deduplicating first doesn't fix
+    pipelines that intentionally keep near-dups (e.g. weighted
+    training). Same determinism contract as :func:`split_corpus`:
+    membership is reproducible from the corpus content alone, rows
+    are never lost or duplicated between splits.
+
+    Scale shape: the cluster table comes from
+    ``near_dup_components`` (one shingle→signature map pass, banded
+    candidate join, signature verify, O(log n) components — all
+    already paid by any near-dup-aware pipeline and reusable from
+    it); clustered docs get their canonical id with one left join of
+    an id-pair table (cluster-member-sized, a small fraction of the
+    corpus — broadcast after AQE); singletons stay on their own id
+    with no join hit. The final assignment is the same zero-shuffle
+    CASE over the salted md5 prefix as :func:`split_corpus`.
+    """
+    from .dedup import near_dup_components
+
+    comps = near_dup_components(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        band_size=band_size, k=k, verify_threshold=verify_threshold,
+    )
+    canon = comps.select(
+        F.col("node").alias(id_col), F.col("component").alias("__canon")
+    )
+    with_canon = df.join(canon, id_col, "left").withColumn(
+        "__canon", F.coalesce(F.col("__canon"), F.col(id_col))
+    )
+    return split_corpus(with_canon, weights, id_col="__canon", salt=salt).drop(
+        "__canon"
+    )
 
 
 def funnel_counts(

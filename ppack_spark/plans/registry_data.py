@@ -1754,12 +1754,11 @@ def _lsh_core_sql(num_hashes: int, band_size: int, recursive: bool = False) -> s
     """
 
 
-def _near_dedup_corpus_sql(
-    num_hashes: int, band_size: int, threshold: float
-) -> str:
-    """Full near-dedup-corpus oracle: LSH candidates → signature-
-    agreement verify (≥ ``threshold``) → recursive-CTE closure →
-    corpus minus non-canonical cluster members."""
+def _near_dup_comp_sql(num_hashes: int, band_size: int, threshold: float) -> str:
+    """Shared oracle prefix for every near-dup consumer: LSH
+    candidates → signature-agreement verify (≥ ``threshold``) →
+    recursive-CTE closure → ``comp`` CTE of (node, component-min-id).
+    Mirrors operators/dedup.py:near_dup_components."""
     core = _lsh_core_sql(num_hashes, band_size, recursive=True)
     return core + f""",
     vpairs as (
@@ -1785,6 +1784,16 @@ def _near_dedup_corpus_sql(
         select src as node, least(src, min(dst)) as component
         from reach group by src
     )
+    """
+
+
+def _near_dedup_corpus_sql(
+    num_hashes: int, band_size: int, threshold: float
+) -> str:
+    """Full near-dedup-corpus oracle: LSH candidates → signature-
+    agreement verify (≥ ``threshold``) → recursive-CTE closure →
+    corpus minus non-canonical cluster members."""
+    return _near_dup_comp_sql(num_hashes, band_size, threshold) + """
     select d.doc_id, d.source
     from documents d
     left join (select node from comp where node <> component) l
@@ -1840,6 +1849,80 @@ def near_dedup_corpus_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"),
         num_hashes=128, band_size=8, k=3, verify_threshold=0.5,
     ).select("doc_id", "source")
+
+
+@query(
+    "near_dedup_keep_best",
+    _near_dup_comp_sql(8, 2, 0.5) + """,
+    members as (
+        select c.node, c.component, d.n_chars
+        from comp c join documents d on d.doc_id = c.node
+    ),
+    winners as (
+        select node as w from (
+            select node, row_number() over (
+                partition by component
+                order by n_chars desc, node asc) as rn
+            from members
+        ) where rn = 1
+    ),
+    losers as (
+        select node from comp
+        where node not in (select w from winners)
+    )
+    select d.doc_id, d.source
+    from documents d
+    left join losers l on d.doc_id = l.node
+    where l.node is null
+    """,
+)
+def near_dedup_keep_best_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware fuzzy dedup (operators/dedup.py:
+    near_dedup_keep_best): within each VERIFIED near-dup cluster keep
+    the longest document (score = n_chars, ties → min id) instead of
+    the min-id one — the keep policy for pipelines that scored
+    documents before deduping. The oracle replays signatures, banding,
+    the estimate verify, the recursive closure, AND the per-cluster
+    argmax."""
+    from ..operators.dedup import near_dedup_keep_best
+
+    return near_dedup_keep_best(
+        t(spark, sf_dir, "documents"), "n_chars",
+        num_hashes=8, band_size=2, k=3, verify_threshold=0.5,
+    ).select("doc_id", "source")
+
+
+@query(
+    "corpus_split_leakage_safe",
+    _near_dup_comp_sql(8, 2, 0.5) + """,
+    canon as (
+        select d.doc_id, d.lang,
+               coalesce(c.component, d.doc_id) as cid
+        from documents d left join comp c on d.doc_id = c.node
+    )
+    select doc_id, lang,
+           case when substr(md5(cast(cid as varchar) || 'split'), 1, 4)
+                    < 'cccc' then 'train'
+                when substr(md5(cast(cid as varchar) || 'split'), 1, 4)
+                    < 'e666' then 'val'
+                else 'test' end as split
+    from canon
+    """,
+)
+def corpus_split_leakage_safe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 splitting (operators/pipeline.py:
+    split_corpus_leakage_safe): the split hash runs on each document's
+    verified near-dup cluster canonical id, so near-copies can never
+    straddle train/eval — the contamination mode a plain id-hash
+    split invites. Cluster membership AND the salted range assignment
+    are both replayed in the oracle."""
+    from ..operators.pipeline import split_corpus_leakage_safe
+
+    return split_corpus_leakage_safe(
+        t(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        num_hashes=8, band_size=2, k=3, verify_threshold=0.5,
+    ).select("doc_id", "lang", "split")
 
 
 @query(

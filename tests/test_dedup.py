@@ -327,3 +327,81 @@ def test_tfidf_cosine_pairs_rare_terms_and_df_pruning(spark):
     out2 = tfidf_cosine_pairs(df, n_docs=4, max_df=100, threshold=0.0)
     pairs2 = {(r["id_left"], r["id_right"]) for r in out2.collect()}
     assert len(pairs2) == 6  # all C(4,2) pairs meet through 'common'
+
+
+def test_near_dedup_keep_best_prefers_score(spark):
+    """Within a verified near-dup cluster the highest-scored member
+    survives (ties -> min id); singletons keep their rows; string ids
+    raise; result agrees with near_dedup_corpus when scores follow
+    -id order."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.dedup import (
+        near_dedup_corpus,
+        near_dedup_keep_best,
+    )
+
+    base = "the common core of this document is long enough to shingle"
+    rows = [
+        (1, base + " with tail one", 0.1),
+        (2, base + " with tail two", 0.9),   # best near-dup copy → wins
+        (3, base + " with tail three", 0.9), # tie, higher id → loses
+        (4, "a completely different and unrelated document body here", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "score"])
+    kept = {
+        r["doc_id"]
+        for r in near_dedup_keep_best(df, "score").select("doc_id").collect()
+    }
+    assert kept == {2, 4}
+
+    # when score is -id, keep-best == keep-min-id == near_dedup_corpus
+    scored = df.withColumn("score", -F.col("doc_id").cast("double"))
+    a = {r["doc_id"] for r in near_dedup_keep_best(scored, "score").collect()}
+    b = {r["doc_id"] for r in near_dedup_corpus(df).collect()}
+    assert a == b == {1, 4}
+
+    with pytest.raises(ValueError):
+        near_dedup_keep_best(
+            df.withColumn("doc_id", F.col("doc_id").cast("string")), "score"
+        )
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-dup cluster members always land in the same split; the
+    assignment equals split_corpus on the cluster canonical id; no row
+    is lost or duplicated."""
+    from ppack_spark.operators.pipeline import (
+        split_corpus,
+        split_corpus_leakage_safe,
+    )
+
+    base = "the common core of this document is long enough to shingle"
+    # standalone docs share NO shingles with each other (every token
+    # carries the index), so they are genuine singletons
+    rows = [(i, base + f" with tail {i}") for i in range(1, 21)] + [
+        (
+            100 + i,
+            f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h",
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = split_corpus_leakage_safe(df, w).collect()
+    assert len(out) == df.count()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    cluster_splits = {by_id[i] for i in range(1, 21)}
+    assert len(cluster_splits) == 1  # the whole near-dup cluster together
+    # plain id-hash split puts the canonical id's cluster members
+    # wherever their own hash falls; leakage-safe must match the
+    # canonical member's plain assignment
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(df, w).collect()
+    }
+    assert cluster_splits == {plain[1]}
+    # singletons: identical to the plain split (same salt, own id)
+    for i in range(100, 130):
+        assert by_id[i] == plain[i]
