@@ -99,11 +99,14 @@ BENCH_QUERIES = [
     "quality_classifier_score",
     "lm_quality_score",
     "lm_bigram_score",
+    "lm_interp_score",
     "lm_perplexity_buckets",
     "dsir_importance",
     "minhash_jaccard_est",
     "corpus_data_card",
     "temperature_mix",
+    "budget_mix",
+    "quantile_length_filter",
     "corpus_delta_merge",
     "repeated_spans",
     "remove_repeated_spans",
@@ -146,24 +149,35 @@ def main() -> None:
 
     queries = entry_mod.queries()
     iters = max(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")), 1)
+    # iterations run as whole PASSES over the query list (pass 1 for
+    # every query, then pass 2, ...) rather than back-to-back per
+    # query: host-level noise (CPU steal, a neighbor VM) arrives in
+    # multi-minute windows, and back-to-back iterations let one
+    # window inflate all of a query's samples — interleaving spreads
+    # a query's samples ~minutes apart so the min survives.
+    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    failed: set[str] = set()
+    for _ in range(iters):
+        for name in BENCH_QUERIES:
+            fn = queries.get(name)
+            if fn is None or name in failed:
+                continue
+            try:
+                t0 = time.monotonic()
+                _force(fn(spark, sf_dir))
+                samples[name].append(time.monotonic() - t0)
+            except Exception as exc:  # keep the bench line parseable
+                print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+                failed.add(name)
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        samples: list[float] = []
-        try:
-            for _ in range(iters):
-                t0 = time.monotonic()
-                _force(fn(spark, sf_dir))
-                samples.append(time.monotonic() - t0)
-            times[name] = round(min(samples), 3)
-            warm = sorted(samples)[:-1] or samples  # drop the worst (cold) run
-            spread[name] = round(max(warm) - min(warm), 3)
-        except Exception as exc:  # keep the bench line parseable
-            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+        if name in failed:
             times[name] = -1.0
+        elif samples[name]:
+            times[name] = round(min(samples[name]), 3)
+            warm = sorted(samples[name])[:-1] or samples[name]
+            spread[name] = round(max(warm) - min(warm), 3)
 
     # optional: time the DuckDB oracle SQL for each benched query on the
     # same parquet (SPARK_GRAFT_BENCH_ORACLE=1) — the per-query
@@ -187,15 +201,26 @@ def main() -> None:
             sql = oracles.get(name)
             if sql is None:
                 continue
-            samples = []
+            osamples = []
             try:
                 for _ in range(iters):
                     t0 = time.monotonic()
                     con.execute(f"select count(*) from ({sql})").fetchone()
-                    samples.append(time.monotonic() - t0)
-                oracle_times[name] = round(min(samples), 3)
+                    osamples.append(time.monotonic() - t0)
+                oracle_times[name] = round(min(osamples), 3)
             except Exception as exc:
                 print(f"bench: oracle {name} failed: {exc!r}", file=sys.stderr)
+
+    # single-core calibration constant: cross-round machine speed
+    # differs (round-5 host measured ~1.5-2x slower per core than
+    # round 4's); this pins each bench run to a hardware yardstick so
+    # round-over-round query times can be normalized instead of
+    # misread as code regressions.
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i * i
+    calib_s = round(time.monotonic() - t0, 2)
 
     total = round(sum(v for v in times.values() if v >= 0), 3)
     extra = {"oracle": oracle_times} if oracle_times else {}
@@ -206,6 +231,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "iters": iters,
+        "calib_s": calib_s,
         "spread": spread,
         **extra,
     }
@@ -233,6 +259,7 @@ def main() -> None:
                 "queries": {k: round(v, digits) for k, v in qmap.items()},
                 "sf": sf,
                 "iters": iters,
+                "calib_s": calib_s,
             },
             separators=(",", ":"),
         )

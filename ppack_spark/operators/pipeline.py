@@ -68,6 +68,8 @@ __all__ = [
     "pack_sequences",
     "dedup_corpus_lines",
     "temperature_mix",
+    "budget_mix",
+    "quantile_filter",
     "merge_corpus_delta",
     "merge_corpus_delta_fuzzy",
     "repeated_spans",
@@ -79,6 +81,7 @@ __all__ = [
     "cohort_retention",
     "top_term_coverage",
     "unigram_logprob",
+    "interpolated_bigram_logprob",
     "perplexity_buckets",
     "dsir_importance_weights",
     "corpus_stats",
@@ -510,6 +513,114 @@ def temperature_mix(
         .filter(hash_u32 < F.col("__rate") * F.lit(4294967296.0))
         .drop("__rate")
         .select(*df.columns)
+    )
+
+
+def budget_mix(
+    df: DataFrame,
+    budget_tokens: float,
+    weights: dict[str, float],
+    group_col: str = "lang",
+    size_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Token-budget mixture sampling: deterministically down-sample so
+    each group contributes (approximately) its ``weights`` share of a
+    ``budget_tokens`` total — the "assemble a 1T-token mix at these
+    domain proportions" step of a training-data recipe, where
+    :func:`temperature_mix` shapes proportions by corpus counts and
+    this operator pins them to an explicit target budget.
+
+    Per group g: ``rate_g = min(1, budget·w_g / tokens_g)`` with
+    weights normalized; a group short of its allocation is taken
+    whole (no replication and no redistribution of the shortfall —
+    deterministic single-pass semantics; compose with
+    :func:`upsample_corpus` to fill gaps by repetition). Groups
+    absent from ``weights`` are dropped. ``size_col`` supplies
+    per-row token counts (e.g. from ``token_stats``); otherwise
+    whitespace tokens of ``text_col`` are counted in-plan.
+
+    Selection is by md5(id ∥ salt) prefix against the group rate —
+    reproducible across runs/engines/partitionings and independent of
+    the other samplers (distinct default salt, see ``_id_hash``).
+    Scale shape: one tiny per-group aggregate broadcast back; the
+    corpus never shuffles; the accept filter sits on the scan.
+    """
+    from ..functions.text import tokens
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
+    total_w = float(sum(weights.values()))
+    size = F.col(size_col) if size_col else F.size(tokens(text_col))
+    sizes = df.groupBy(group_col).agg(
+        F.sum(size).cast("double").alias("__t")
+    )
+    pairs: list[Column] = []
+    for g, w in weights.items():
+        pairs.append(F.lit(g))
+        pairs.append(F.lit(float(w) / total_w))
+    wexpr = F.create_map(*pairs)[F.col(group_col)]
+    # drop no-weight groups BEFORE least(): least() skips NULLs, so a
+    # NULL allocation would otherwise silently become rate 1.0
+    rates = (
+        sizes.select(group_col, F.col("__t"), wexpr.alias("__w"))
+        .filter(F.col("__w").isNotNull())
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_tokens)) * F.col("__w") / F.col("__t"),
+            ).alias("__rate"),
+        )
+    )
+    hash_u32 = F.conv(_id_hash(id_col, 8, salt), 16, 10).cast("double")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_u32 < F.col("__rate") * F.lit(4294967296.0))
+        .drop("__rate")
+        .select(*df.columns)
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    col: str,
+    lo: float = 0.02,
+    hi: float = 0.98,
+) -> DataFrame:
+    """Keep rows whose ``col`` lies inside the corpus's own
+    [``lo``, ``hi``] quantile range — the data-driven outlier trim
+    (truncated docs, concatenation blobs, length spikes) that a fixed
+    threshold can't express across heterogeneous corpora. NULLs are
+    dropped (they have no quantile position).
+
+    Exact linear-interpolated percentiles (one aggregate over the
+    column) broadcast back as a 2-value row; the filter itself is a
+    zero-shuffle scan predicate. At 100 TB swap the exact percentile
+    for ``approx_percentile`` (t-digest; same plan shape, bounded
+    memory) — exact is used here so the DuckDB oracle
+    (``quantile_cont``) replays it bit-for-bit.
+    """
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got {lo}, {hi}")
+    cuts = df.agg(
+        F.percentile(col, F.array(F.lit(float(lo)), F.lit(float(hi)))).alias(
+            "__q"
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .filter(
+            (F.col(col) >= F.element_at("__q", 1))
+            & (F.col(col) <= F.element_at("__q", 2))
+        )
+        .drop("__q")
     )
 
 
@@ -1097,6 +1208,85 @@ def unigram_logprob(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.round(F.avg("__lp"), 6).alias("mean_logprob"),
         )
+    )
+
+
+def interpolated_bigram_logprob(
+    df: DataFrame,
+    lam: float = 0.7,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean log-probability under a Jelinek-Mercer
+    interpolated bigram model built from the corpus itself:
+    position i ≥ 2 scores ``log(λ·P_ML(w_i|w_{i-1}) + (1−λ)·P_uni(w_i))``,
+    position 1 scores the smoothed unigram alone. This is the step
+    between :func:`unigram_logprob`'s pure-multiplicity models and a
+    real KenLM: the unigram backoff keeps rare continuations from
+    collapsing to the tiny add-α floor, so the score tracks fluency
+    (word order AND word choice) much more closely than either pure
+    model — the standard interpolation of Jelinek & Mercer (1980) /
+    Chen & Goodman (1999) §2.
+
+    Returns (id, n_tokens, mean_logprob). Scale shape: unigram
+    probabilities are vocab-bounded and broadcast; the bigram ML
+    table (count(prev,cur)/count(prev·)) grows with the corpus, so
+    its join is left to AQE exactly as in :func:`unigram_logprob`
+    n≥2 — never a forced broadcast. One corpus shuffle on the gram
+    key for counts, one back-join, one per-doc mean.
+    """
+    from ..functions.text import tokens
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    toks = tokens(text_col)
+    sz = F.size(toks)
+    pos_arr = F.transform(
+        F.sequence(F.lit(1), sz),
+        lambda i: F.struct(
+            F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
+            F.element_at(toks, i).alias("cur"),
+        ),
+    )
+    pos = df.select(F.col(id_col), F.explode(pos_arr).alias("__p")).select(
+        F.col(id_col),
+        F.col("__p.prev").alias("__prev"),
+        F.col("__p.cur").alias("__cur"),
+    )
+    uni = pos.groupBy("__cur").agg(F.count(F.lit(1)).alias("__n"))
+    totals = uni.agg(
+        F.sum("__n").alias("__tot"), F.count(F.lit(1)).alias("__vocab")
+    )
+    # vocab-bounded → broadcast is safe (same argument as unigram n=1)
+    pu = F.broadcast(
+        uni.crossJoin(F.broadcast(totals)).select(
+            F.col("__cur"),
+            (
+                (F.col("__n") + F.lit(float(alpha)))
+                / (F.col("__tot") + F.lit(float(alpha)) * F.col("__vocab"))
+            ).alias("__pu"),
+        )
+    )
+    big = (
+        pos.filter(F.col("__prev").isNotNull())
+        .groupBy("__prev", "__cur")
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    ctx = big.groupBy("__prev").agg(F.sum("__nb").alias("__np"))
+    pb = big.join(ctx, "__prev")  # corpus-sized: strategy left to AQE
+    scored = pos.join(pu, "__cur").join(pb, ["__prev", "__cur"], "left")
+    lp = F.when(
+        F.col("__prev").isNull(), F.log(F.col("__pu"))
+    ).otherwise(
+        F.log(
+            F.lit(float(lam)) * (F.col("__nb") / F.col("__np"))
+            + F.lit(1.0 - float(lam)) * F.col("__pu")
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg(lp), 6).alias("mean_logprob"),
     )
 
 

@@ -1323,6 +1323,74 @@ def temperature_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "budget_mix",
+    """
+    with sizes as (
+        select lang,
+               cast(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                    as double) as t
+        from documents group by lang
+    ),
+    r as (
+        select lang,
+               least(1.0, 8000.0 * w / t) as rate
+        from (
+            select lang, t,
+                   case lang when 'en' then 0.5
+                             when 'fr' then 0.3
+                             when 'zh' then 0.2 end as w
+            from sizes
+        )
+        where w is not null
+    )
+    select d.doc_id, d.lang, d.source
+    from documents d join r using (lang)
+    where ('0x' || substr(md5(cast(d.doc_id as varchar) || 'budget'), 1, 8))::bigint
+          < r.rate * 4294967296.0
+    """,
+)
+def budget_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (operators/pipeline.py:
+    budget_mix): per-language acceptance rate min(1, budget·w/tokens)
+    pins each group's contribution to an explicit 8000-token budget
+    at 50/30/20 en/fr/zh weights; unweighted languages are dropped;
+    selection by md5(id ∥ 'budget') prefix replays bit-identically
+    and draws independently of the other samplers."""
+    from ..operators.pipeline import budget_mix
+
+    return budget_mix(
+        t(spark, sf_dir, "documents"),
+        8000.0,
+        {"en": 0.5, "fr": 0.3, "zh": 0.2},
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "quantile_length_filter",
+    """
+    with q as (
+        select quantile_cont(n_chars, [0.02, 0.98]) as qs from documents
+    )
+    select d.doc_id, d.n_chars
+    from documents d, q
+    where d.n_chars >= qs[1] and d.n_chars <= qs[2]
+    """,
+)
+def quantile_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative outlier trim (operators/pipeline.py:
+    quantile_filter): keep documents inside the [2 %, 98 %] n_chars
+    quantile range — the data-driven length filter (truncation stubs,
+    concatenation blobs) a fixed threshold can't express. Exact
+    interpolated percentile on both engines (approx_percentile is the
+    documented 100 TB swap)."""
+    from ..operators.pipeline import quantile_filter
+
+    return quantile_filter(
+        t(spark, sf_dir, "documents"), "n_chars", 0.02, 0.98
+    ).select("doc_id", "n_chars")
+
+
+@query(
     "corpus_delta_merge",
     """
     with ex as (select * from documents where doc_id % 2 = 0),
@@ -2287,6 +2355,61 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     scored = unigram_logprob(d).join(d.select("doc_id", "lang"), "doc_id")
     return perplexity_buckets(scored).select("doc_id", "lang", "bucket")
+
+
+_LM_INTERP_SQL = """
+    with tok as (
+        select doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') as ts
+        from documents
+    ),
+    pos as (
+        select doc_id,
+               case when i > 1 then ts[i - 1] end as prev,
+               ts[i] as cur
+        from tok cross join unnest(range(1, len(ts) + 1)) as r(i)
+    ),
+    uni as (select cur as w, count(*) as n from pos group by cur),
+    tot as (select sum(n) as total_n, count(*) as vocab from uni),
+    pu as (
+        select w, (n + 1.0) / (total_n + 1.0 * vocab) as pu
+        from uni cross join tot
+    ),
+    big as (
+        select prev, cur, count(*) as nb
+        from pos where prev is not null group by prev, cur
+    ),
+    ctx as (select prev, sum(nb) as np from big group by prev),
+    pb as (select b.prev, b.cur, b.nb, c.np from big b join ctx c using (prev))
+    select pos.doc_id,
+           cast(count(*) as bigint) as n_tokens,
+           round(avg(case when pos.prev is null then ln(pu.pu)
+                          else ln({lam} * (pb.nb / pb.np)
+                                  + {oml} * pu.pu) end), 6) as mean_logprob
+    from pos
+    join pu on pos.cur = pu.w
+    left join pb on pos.prev = pb.prev and pos.cur = pb.cur
+    group by pos.doc_id
+"""
+
+
+@query(
+    "lm_interp_score",
+    _LM_INTERP_SQL.format(lam=repr(0.7), oml=repr(1.0 - 0.7)),
+)
+def lm_interp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring
+    (operators/pipeline.py:interpolated_bigram_logprob): position 1
+    scores the smoothed unigram, later positions
+    log(0.7·P_ML(cur|prev) + 0.3·P_uni(cur)) — the unigram backoff
+    keeps rare continuations off the add-α floor, tracking true LM
+    perplexity closer than either pure model. Unigram table
+    broadcast; bigram ML join strategy left to AQE. The (1−λ)
+    literal is repr()'d into the oracle so both engines multiply by
+    the identical double."""
+    from ..operators.pipeline import interpolated_bigram_logprob
+
+    return interpolated_bigram_logprob(t(spark, sf_dir, "documents"))
 
 
 @query(

@@ -1021,3 +1021,109 @@ def test_profile_columns_nulls_and_types(spark):
     assert rows["v"]["n_non_null"] == 3 and rows["v"]["mean"] == 4.0
     assert rows["id"]["n_distinct"] == 4 and rows["id"]["n_null"] == 0
     assert rows["v"]["min_value"] == "2.0" and rows["v"]["max_value"] == "6.0"
+
+
+def test_interpolated_bigram_logprob(spark):
+    """lam=0 degenerates to the unigram model; formulaic text
+    outscores shuffled text under the bigram term; single-token docs
+    score; invalid lam raises."""
+    import pytest
+    from ppack_spark.operators.pipeline import (
+        interpolated_bigram_logprob,
+        unigram_logprob,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat on the mat again"),
+        (2, "mat the on cat sat the and mat on the sat cat the again"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # lam=0: every position scores (1-0)*P_uni -> identical to the
+    # pure unigram mean over the same positions
+    interp0 = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in interpolated_bigram_logprob(df, lam=0.0).collect()
+    }
+    uni = {
+        r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(df).collect()
+    }
+    assert interp0 == pytest.approx(uni, abs=2e-6)
+
+    scored = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+        for r in interpolated_bigram_logprob(df).collect()
+    }
+    assert scored[1][0] == 14 and scored[2][0] == 14
+    # doc 1 reuses its bigrams ("the cat", "sat on", ...) -> higher
+    # interpolated score than the shuffled bag with the same unigrams
+    assert scored[1][1] > scored[2][1]
+    assert scored[3][0] == 1  # unigram-only position still scored
+
+    with pytest.raises(ValueError):
+        interpolated_bigram_logprob(df, lam=1.5)
+
+
+def test_budget_mix_rates_and_validation(spark):
+    """Group acceptance tracks min(1, budget*w/tokens); unweighted
+    groups are dropped; short groups are taken whole; invalid args
+    raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.pipeline import budget_mix
+
+    rows = []
+    for i in range(400):
+        rows.append((i, "en", "five words of filler text"))
+    for i in range(400, 440):
+        rows.append((i, "fr", "cinq mots de remplissage ici"))
+    for i in range(440, 460):
+        rows.append((i, "de", "fuenf woerter als platzhalter hier"))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    # tokens: en 2000, fr 200; budget 1000 at 50/50 -> en rate 0.25,
+    # fr rate 1.0 (short group taken whole); de unweighted -> dropped
+    out = budget_mix(df, 1000.0, {"en": 0.5, "fr": 0.5}, group_col="lang")
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert "de" not in counts
+    assert counts["fr"] == 40  # rate 1.0: every fr row kept
+    assert 60 <= counts["en"] <= 140  # ~100 of 400 at rate 0.25
+    # deterministic: same inputs, same selection
+    again = budget_mix(df, 1000.0, {"en": 0.5, "fr": 0.5}, group_col="lang")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+    with pytest.raises(ValueError):
+        budget_mix(df, 0.0, {"en": 1.0})
+    with pytest.raises(ValueError):
+        budget_mix(df, 100.0, {})
+    with pytest.raises(ValueError):
+        budget_mix(df, 100.0, {"en": -1.0})
+
+
+def test_quantile_filter_trims_outliers(spark):
+    """Rows outside the corpus quantile band are dropped, bounds are
+    inclusive, NULLs are dropped, invalid bounds raise."""
+    import pytest
+    from ppack_spark.operators.pipeline import quantile_filter
+
+    rows = [(i, float(i)) for i in range(1, 100)] + [
+        (1000, 1e9),   # spike outlier
+        (1001, -1e9),  # low outlier
+        (1002, None),  # no quantile position
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "v"])
+    kept = {r["doc_id"] for r in quantile_filter(df, "v", 0.05, 0.95).collect()}
+    assert 1000 not in kept and 1001 not in kept and 1002 not in kept
+    assert 50 in kept
+    # inclusive bounds: with lo=0 and hi=1 everything non-null stays
+    all_kept = {r["doc_id"] for r in quantile_filter(df, "v", 0.0, 1.0).collect()}
+    assert all_kept == {r[0] for r in rows if r[1] is not None}
+
+    with pytest.raises(ValueError):
+        quantile_filter(df, "v", 0.9, 0.1)
