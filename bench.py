@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "salted_join_orders",
     "sample_uniform_hash",
     "sample_stratified_quota",
+    "stratified_topk",
+    "curriculum_order",
     "sequence_packing",
     "pii_stats",
     "script_fractions",

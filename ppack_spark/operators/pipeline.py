@@ -65,6 +65,8 @@ __all__ = [
     "bloom_decontaminate",
     "hash_sample",
     "stratified_quota_sample",
+    "stratified_topk",
+    "curriculum_order",
     "pack_sequences",
     "dedup_corpus_lines",
     "temperature_mix",
@@ -330,6 +332,101 @@ def stratified_quota_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
         .withColumn("sample_rank", F.col("sample_rank").cast("long"))
+    )
+
+
+def stratified_topk(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    order_col: str,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the ``k`` best rows per stratum ranked by ``order_col``
+    (default descending — highest score wins; ties → min id): the
+    per-domain quality cap of FineWeb-style recipes ("at most k
+    documents per source, best first"), where
+    :func:`stratified_quota_sample` picks k *representative* rows
+    this picks the k *best*.
+
+    Plan: one shuffle on the strata columns; the row_number is
+    rank-pruned (Spark's WindowGroupLimit keeps only k rows per
+    partition in the sort buffer), so memory is O(k) per stratum, not
+    O(stratum) — the same scale shape as ``threshold_topk``.
+    Returns the input columns plus ``quality_rank`` (1-based).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = F.asc(order_col) if ascending else F.desc(order_col)
+    w = Window.partitionBy(*strata).orderBy(order, F.asc(id_col))
+    return (
+        df.withColumn("quality_rank", F.row_number().over(w))
+        .filter(F.col("quality_rank") <= k)
+        .withColumn("quality_rank", F.col("quality_rank").cast("long"))
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 3,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "curr",
+) -> DataFrame:
+    """Curriculum training schedule: stage 0 holds the
+    highest-``score_col`` documents (easiest/cleanest first — the
+    curriculum-learning ordering of Bengio et al. 2009 as used in
+    data-recipe schedulers), later stages progressively lower bands;
+    within each stage documents get a deterministic pseudo-random
+    (shard, shard_pos) slot exactly like :func:`shuffle_corpus`. The
+    trainer reads stages in order, shards within a stage in any
+    order. Returns (id, stage, shard, shard_pos).
+
+    Scale shape: stage boundaries are ``n_stages − 1`` exact
+    interpolated percentiles of the score — ONE tiny aggregate
+    broadcast back as a cut array, then a zero-shuffle comparison
+    (never a global ntile, which would serialize the corpus through
+    one window partition); the only corpus shuffle is the per-(stage,
+    shard) position sort, bounded by shard size. Swap the exact
+    percentile for ``approx_percentile`` at 100 TB (documented
+    t-digest trade, as in :func:`quantile_filter`).
+    """
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    out_cols = [F.col(id_col), F.col("stage"), F.col("shard")]
+    if n_stages == 1:
+        staged = df.withColumn("stage", F.lit(0).cast("long"))
+    else:
+        fr = F.array(
+            *[F.lit(i / n_stages) for i in range(1, n_stages)]
+        )
+        cuts = df.agg(F.percentile(score_col, fr).alias("__cuts"))
+        # stage = how many cut points sit at-or-above the score: the
+        # top band (scores above every cut) is stage 0
+        staged = (
+            df.crossJoin(F.broadcast(cuts))
+            .withColumn(
+                "stage",
+                F.size(
+                    F.filter(
+                        F.col("__cuts"),
+                        lambda c: F.col(score_col) <= c,
+                    )
+                ).cast("long"),
+            )
+            .drop("__cuts")
+        )
+    h = _id_hash(id_col, 8, salt)
+    staged = staged.withColumn(
+        "shard", F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(n_shards))
+    )
+    w = Window.partitionBy("stage", "shard").orderBy(h, F.col(id_col))
+    return staged.select(
+        *out_cols, F.row_number().over(w).cast("long").alias("shard_pos")
     )
 
 
@@ -654,16 +751,28 @@ def merge_corpus_delta(
     return exact_dedup_keep_first(fresh, text_col=text_col, id_col=id_col)
 
 
-def _span_hash_array(text_col: str, width: int) -> Column:
-    """md5 of the ``width``-token span starting at every position
-    (stride 1) of the single-space-tokenized text — the shared span
-    fingerprint construction of :func:`repeated_spans` (detection) and
-    :func:`remove_repeated_spans` (materialization)."""
+def _span_hashes(
+    df: DataFrame, text_col: str, id_col: str, width: int
+) -> DataFrame:
+    """(id, pos, __h): md5 of the ``width``-token span starting at
+    every position (stride 1) of the single-space-tokenized text —
+    the shared span fingerprint stream of :func:`repeated_spans`
+    (detection) and :func:`remove_repeated_spans` (materialization).
+
+    The token array is materialized into a column BEFORE the
+    per-position slice: referencing the split expression inside the
+    transform lambda would re-evaluate the split per position
+    (Catalyst does no CSE across lambda boundaries — an O(n²)/doc
+    blowup, measured 8× at sf0.1)."""
     toks = F.split(F.col(text_col), " ", -1)
-    n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(n - F.lit(width), F.lit(0))),
-        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, width), " ")),
+    spans = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size("__tk") - F.lit(width), F.lit(0))
+        ),
+        lambda i: F.md5(F.array_join(F.slice(F.col("__tk"), i + 1, width), " ")),
+    )
+    return df.select(F.col(id_col), toks.alias("__tk")).select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "__h")
     )
 
 
@@ -707,10 +816,7 @@ def repeated_spans(
     count shuffle, and the repeated set (tiny) joins back
     broadcast-size.
     """
-    hashes = df.select(
-        F.col(id_col),
-        F.posexplode(_span_hash_array(text_col, width)).alias("pos", "__h"),
-    )
+    hashes = _span_hashes(df, text_col, id_col, width)
     wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     wall = Window.partitionBy(id_col)
     fps = (
@@ -782,10 +888,7 @@ def remove_repeated_spans(
         .select("span_hash")
         .distinct()
     )
-    allpos = df.select(
-        F.col(id_col),
-        F.posexplode(_span_hash_array(text_col, width)).alias("pos", "__h"),
-    )
+    allpos = _span_hashes(df, text_col, id_col, width)
     occ = allpos.join(rep, allpos["__h"] == rep["span_hash"]).select(
         id_col, "pos"
     )
@@ -1182,12 +1285,20 @@ def unigram_logprob(
         toks = tokens(text_col)
         sz = F.size(toks)
         # all n-grams WITH multiplicity; docs shorter than n
-        # contribute their whole text as one gram
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(sz - F.lit(n), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        # contribute their whole text as one gram. Built by zipping n
+        # shifted slices (the token split evaluates n times total) —
+        # NOT transform(sequence, i -> slice(toks, ...)), which
+        # re-evaluates the split per gram inside the lambda (no CSE
+        # across lambda boundaries: O(n²)/doc, measured 8× slower)
+        n_grams = sz - F.lit(n - 1)
+        parts = [F.slice(toks, i + 1, n_grams).alias(f"_g{i}") for i in range(n)]
+        zipped = F.transform(
+            F.arrays_zip(*parts),
+            lambda st: F.concat_ws(" ", *[st[f"_g{i}"] for i in range(n)]),
         )
-        gram_arr = grams
+        gram_arr = F.when(sz >= n, zipped).otherwise(
+            F.array(F.array_join(toks, " "))
+        )
     tok = df.select(F.col(id_col), F.explode(gram_arr).alias("__t"))
     counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__n"))
     totals = counts.agg(
@@ -1241,14 +1352,16 @@ def interpolated_bigram_logprob(
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
     toks = tokens(text_col)
-    sz = F.size(toks)
-    pos_arr = F.transform(
-        F.sequence(F.lit(1), sz),
-        lambda i: F.struct(
-            F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
-            F.element_at(toks, i).alias("cur"),
-        ),
+    # (prev, cur) positions by zipping the token array against a
+    # null-prefixed shifted copy — array operands evaluate once; the
+    # transform(sequence, i -> element_at(toks, i)) form re-evaluates
+    # the token split per element inside the lambda (no CSE across
+    # lambda boundaries) and measured 49× slower at sf0.1
+    prev_arr = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
     )
+    pos_arr = F.arrays_zip(prev_arr.alias("prev"), toks.alias("cur"))
     pos = df.select(F.col(id_col), F.explode(pos_arr).alias("__p")).select(
         F.col(id_col),
         F.col("__p.prev").alias("__prev"),

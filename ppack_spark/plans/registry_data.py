@@ -1323,6 +1323,66 @@ def temperature_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_topk",
+    """
+    select doc_id, lang, n_chars, quality_rank from (
+        select doc_id, lang, n_chars,
+               cast(row_number() over (partition by lang
+                    order by n_chars desc, doc_id asc) as bigint)
+                 as quality_rank
+        from documents
+    ) where quality_rank <= 25
+    """,
+)
+def stratified_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality cap (operators/pipeline.py:stratified_topk):
+    the 25 longest documents per language, ties by min id — the
+    FineWeb-style "best k per source" selection. Rank-pruned
+    (WindowGroupLimit): O(k) memory per stratum, one shuffle on the
+    stratum key."""
+    from ..operators.pipeline import stratified_topk
+
+    return stratified_topk(
+        t(spark, sf_dir, "documents"), ["lang"], 25, "n_chars"
+    ).select("doc_id", "lang", "n_chars", "quality_rank")
+
+
+@query(
+    "curriculum_order",
+    """
+    with cuts as (
+        select quantile_cont(n_chars, [1.0/3, 2.0/3]) as qs from documents
+    ),
+    staged as (
+        select d.doc_id,
+               len(list_filter(qs, c -> d.n_chars <= c)) as stage,
+               ('0x' || substr(md5(cast(d.doc_id as varchar) || 'curr'),
+                               1, 8))::bigint % 8 as shard,
+               substr(md5(cast(d.doc_id as varchar) || 'curr'), 1, 8) as h
+        from documents d, cuts
+    )
+    select doc_id, stage, shard,
+           cast(row_number() over (partition by stage, shard
+                                   order by h, doc_id) as bigint)
+             as shard_pos
+    from staged
+    """,
+)
+def curriculum_order_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule (operators/pipeline.py:curriculum_order):
+    3 stages cut at exact score terciles (longest documents = stage
+    0), deterministic md5 (shard, shard_pos) within each stage. Stage
+    assignment is a broadcast cut-array comparison — never a global
+    ntile — so the only corpus shuffle is the bounded per-(stage,
+    shard) position sort."""
+    from ..operators.pipeline import curriculum_order
+
+    return curriculum_order(
+        t(spark, sf_dir, "documents"), "n_chars", n_stages=3, n_shards=8
+    )
+
+
+@query(
     "budget_mix",
     """
     with sizes as (

@@ -1127,3 +1127,67 @@ def test_quantile_filter_trims_outliers(spark):
 
     with pytest.raises(ValueError):
         quantile_filter(df, "v", 0.9, 0.1)
+
+
+def test_stratified_topk_keeps_best_per_stratum(spark):
+    """Highest-order rows win per stratum (ties -> min id), ascending
+    flag flips the ordering, k >= stratum size keeps everything."""
+    import pytest
+    from ppack_spark.operators.pipeline import stratified_topk
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 30.0), (3, "a", 30.0), (4, "a", 5.0),
+        (5, "b", 1.0), (6, "b", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+    top2 = stratified_topk(df, ["lang"], 2, "score")
+    got = {(r["doc_id"], r["quality_rank"]) for r in top2.collect()}
+    # a: score 30 tie -> ids 2 then 3; b: 2.0 then 1.0
+    assert got == {(2, 1), (3, 2), (6, 1), (5, 2)}
+
+    asc = stratified_topk(df, ["lang"], 1, "score", ascending=True)
+    assert {r["doc_id"] for r in asc.collect()} == {4, 5}
+
+    allk = stratified_topk(df, ["lang"], 10, "score")
+    assert allk.count() == 6
+
+    with pytest.raises(ValueError):
+        stratified_topk(df, ["lang"], 0, "score")
+
+
+def test_curriculum_order_stages_and_determinism(spark):
+    """Stage 0 holds the highest scores, stages partition the corpus
+    near-evenly, (shard, shard_pos) slots are unique and stable
+    across runs, and n_stages=1 degenerates to a plain shuffle."""
+    import pytest
+    from ppack_spark.operators.pipeline import curriculum_order
+
+    rows = [(i, float(i)) for i in range(1, 91)]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    out = curriculum_order(df, "score", n_stages=3, n_shards=4).collect()
+    assert len(out) == 90
+    stage_of = {r["doc_id"]: r["stage"] for r in out}
+    # highest scores -> stage 0, lowest -> stage 2
+    assert stage_of[90] == 0 and stage_of[1] == 2
+    from collections import Counter
+    sizes = Counter(r["stage"] for r in out)
+    assert set(sizes) == {0, 1, 2}
+    assert all(25 <= n <= 35 for n in sizes.values())
+    # monotone: a higher score can never land in a later stage
+    for i in range(1, 90):
+        assert stage_of[i + 1] <= stage_of[i]
+    # slots unique within (stage, shard), contiguous from 1
+    slots = {}
+    for r in out:
+        slots.setdefault((r["stage"], r["shard"]), []).append(r["shard_pos"])
+    for poss in slots.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic across runs
+    again = curriculum_order(df, "score", n_stages=3, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    one = curriculum_order(df, "score", n_stages=1, n_shards=4)
+    assert {r["stage"] for r in one.collect()} == {0}
+
+    with pytest.raises(ValueError):
+        curriculum_order(df, "score", n_stages=0)

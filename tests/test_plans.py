@@ -247,3 +247,73 @@ def test_semantic_dedup_pairs_are_bucket_equi_join(spark, tables):
     pairs = left.join(right, on="__ck").filter(F.col("id_left") < F.col("id_right"))
     plan = _plan(pairs)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_budget_mix_corpus_never_shuffles(spark, tables, queries):
+    """Same contract as temperature_mix: the corpus reaches the
+    accept filter via a broadcast of the tiny per-group rate table —
+    no Exchange between the documents scan and the join."""
+    plan = _plan(queries["budget_mix"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    probe_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_side
+
+
+def test_quantile_filter_probe_side_unshuffled(spark, tables, queries):
+    """The 2-value percentile row is broadcast back; the corpus side
+    must be a plain filtered scan with no hash Exchange."""
+    plan = _plan(queries["quantile_length_filter"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    probe_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_side
+
+
+def test_near_dedup_keep_best_no_corpus_window(spark, tables, queries):
+    """The per-cluster argmax is a struct max inside a groupBy on the
+    component id — never a Window over the corpus; candidate joins
+    stay equi-joins."""
+    plan = _plan(queries["near_dedup_keep_best"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_leakage_safe_split_shape(spark, tables, queries):
+    """Cluster-canonical assignment is a join + CASE over the salted
+    hash: no window, no cartesian blowup anywhere in the chain."""
+    plan = _plan(queries["corpus_split_leakage_safe"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_interp_no_forced_bigram_broadcast(spark, tables, queries):
+    """The bigram ML table join must be left to the optimizer (its
+    size grows with the corpus); only the vocab-bounded unigram and
+    totals tables may carry explicit broadcast hints. The logical
+    plan must contain no python UDF and no cartesian join."""
+    df = queries["lm_interp_score"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_stratified_topk_is_rank_pruned(spark, tables, queries):
+    """The per-stratum cap must hit Spark's WindowGroupLimit rewrite
+    (O(k) sort buffers), not a full per-stratum sort."""
+    plan = _plan(queries["stratified_topk"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_curriculum_order_no_global_window(spark, tables, queries):
+    """Stage assignment must be a broadcast cut-array comparison —
+    the only Window may partition by (stage, shard), never a global
+    (unpartitioned) ntile that would serialize the corpus."""
+    plan = _plan(queries["curriculum_order"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Window")[1:]:
+        head = frag.splitlines()[0]
+        # every window operator's partition spec must be non-empty
+        assert "partitionBy" not in head or "partitionBy()" not in head
+        assert "windowspecdefinition(stage" in head or "stage" in head
