@@ -5,9 +5,11 @@ lazy DataFrame plan per run.
 
 Stage order (each optional, every stage an already-gated operator):
 
-    quality filter → corpus line dedup → exact dedup → near dedup
-    (MinHash-LSH, verified) → eval decontamination → temperature mix
-    → hash sample → train/val/test split → chunk → pack → shuffle
+    quality filter → corpus line dedup → exact dedup → eval
+    decontamination → quantile trim → near dedup (MinHash-LSH,
+    verified; min-id or best-score canonical) → temperature mix →
+    token-budget mix → hash sample → train/val/test split (id-hash or
+    leakage-safe cluster-hash) → chunk → pack → shuffle | curriculum
 
 The facade only fixes composition order and threads the column names;
 there is deliberately no hidden state — ``run()`` returns a plain
@@ -40,15 +42,25 @@ class CorpusSpec:
     text_col: str = "text"
     id_col: str = "doc_id"
     quality: bool = True
+    # e.g. {"col": "n_chars", "lo": 0.02, "hi": 0.98} — corpus-relative
+    # outlier trim applied right after the hygiene stages
+    quantile_trim: dict | None = None
     line_dedup: bool = True
     exact_dedup: bool = True
-    # e.g. {"num_hashes": 128, "band_size": 8, "verify_threshold": 0.6}
+    # e.g. {"num_hashes": 128, "band_size": 8, "verify_threshold": 0.6};
+    # add "score_col": "quality" to keep each cluster's BEST-scored
+    # member (near_dedup_keep_best) instead of the min-id one
     near_dedup: dict | None = None
     decontaminate: bool = True  # applied when run() receives eval_docs
     # e.g. {"group_col": "lang", "alpha": 0.5, "target_total": 100_000}
     mix: dict | None = None
+    # e.g. {"budget_tokens": 1e9, "weights": {"en": .5, "fr": .5}} —
+    # pin the mix to an explicit token budget (budget_mix)
+    budget: dict | None = None
     sample_fraction: float | None = None
-    # e.g. {"weights": {"train": 0.9, "val": 0.05, "test": 0.05}}
+    # e.g. {"weights": {"train": 0.9, "val": 0.05, "test": 0.05}};
+    # add "leakage_safe": True to hash the near-dup cluster canonical
+    # id so near-copies never straddle train/eval
     split: dict | None = None
     # e.g. {"chunk_tokens": 1024, "overlap": 64}
     chunk: dict | None = None
@@ -56,6 +68,9 @@ class CorpusSpec:
     pack: dict | None = None
     # e.g. {"n_shards": 64, "salt": "epoch0"}
     shuffle: dict | None = field(default_factory=dict)
+    # e.g. {"score_col": "mean_logprob", "n_stages": 3, "n_shards": 64}
+    # — easy-first curriculum slots INSTEAD of the plain shuffle
+    curriculum: dict | None = None
 
 
 class CorpusPipeline:
@@ -76,14 +91,18 @@ class CorpusPipeline:
         self.spec = spec or CorpusSpec()
 
     def run(self, df: DataFrame, eval_docs: DataFrame | None = None) -> DataFrame:
-        from ..operators.dedup import near_dedup_corpus
+        from ..operators.dedup import near_dedup_corpus, near_dedup_keep_best
         from ..operators.pipeline import (
+            budget_mix,
             chunk_documents,
+            curriculum_order,
             hash_sample,
             pack_sequences,
             prepare_corpus,
+            quantile_filter,
             shuffle_corpus,
             split_corpus,
+            split_corpus_leakage_safe,
             temperature_mix,
         )
 
@@ -98,16 +117,35 @@ class CorpusPipeline:
             text_col=s.text_col,
             id_col=s.id_col,
         )
+        if s.quantile_trim is not None:
+            out = quantile_filter(out, **s.quantile_trim)
         if s.near_dedup is not None:
-            out = near_dedup_corpus(
-                out, text_col=s.text_col, id_col=s.id_col, **s.near_dedup
-            )
+            if "score_col" in s.near_dedup:
+                nd = dict(s.near_dedup)
+                out = near_dedup_keep_best(
+                    out, nd.pop("score_col"),
+                    text_col=s.text_col, id_col=s.id_col, **nd,
+                )
+            else:
+                out = near_dedup_corpus(
+                    out, text_col=s.text_col, id_col=s.id_col, **s.near_dedup
+                )
         if s.mix is not None:
             out = temperature_mix(out, id_col=s.id_col, **s.mix)
+        if s.budget is not None:
+            out = budget_mix(
+                out, text_col=s.text_col, id_col=s.id_col, **s.budget
+            )
         if s.sample_fraction is not None:
             out = hash_sample(out, s.sample_fraction, id_col=s.id_col)
         if s.split is not None:
-            out = split_corpus(out, id_col=s.id_col, **s.split)
+            if s.split.get("leakage_safe"):
+                sp = {k: v for k, v in s.split.items() if k != "leakage_safe"}
+                out = split_corpus_leakage_safe(
+                    out, text_col=s.text_col, id_col=s.id_col, **sp
+                )
+            else:
+                out = split_corpus(out, id_col=s.id_col, **s.split)
         if s.chunk is not None:
             chunks = chunk_documents(
                 out, text_col=s.text_col, id_col=s.id_col, **s.chunk
@@ -140,6 +178,9 @@ class CorpusPipeline:
             # (bucket, seq_id, seq_offset) assignment back onto the
             # full rows so text and carried metadata flow to the sink
             out = out.join(packed.drop("n_tokens"), on=unit_id, how="inner")
-        if s.shuffle is not None:
+        if s.curriculum is not None:
+            slots = curriculum_order(out, id_col=unit_id, **s.curriculum)
+            out = out.join(slots, on=unit_id, how="inner")
+        elif s.shuffle is not None:
             out = shuffle_corpus(out, id_col=unit_id, **s.shuffle)
         return out

@@ -76,3 +76,52 @@ def test_default_spec_is_prepare_corpus(spark, docs):
     g = {tuple(r) for r in got.select("doc_id", "shard", "shard_pos").collect()}
     w = {tuple(r) for r in want.select("doc_id", "shard", "shard_pos").collect()}
     assert g == w
+
+
+def test_round5_stages_equal_manual_chain(spark, docs):
+    """quantile trim, keep-best near dedup, budget mix, leakage-safe
+    split, and curriculum slots route through the facade identically
+    to the manual operator chain."""
+    from ppack_spark.operators.dedup import near_dedup_keep_best
+    from ppack_spark.operators.pipeline import (
+        budget_mix,
+        curriculum_order,
+        prepare_corpus,
+        quantile_filter,
+        split_corpus_leakage_safe,
+    )
+
+    scored = docs.withColumn("score", F.length("text").cast("double"))
+    spec = CorpusSpec(
+        quantile_trim={"col": "score", "lo": 0.01, "hi": 0.99},
+        near_dedup={
+            "num_hashes": 32, "band_size": 4,
+            "verify_threshold": 0.6, "score_col": "score",
+        },
+        budget={"budget_tokens": 3000.0, "weights": {"en": 0.6, "fr": 0.4},
+                "group_col": "lang"},
+        split={"weights": {"train": 0.8, "test": 0.2}, "leakage_safe": True,
+               "num_hashes": 32, "band_size": 4, "verify_threshold": 0.6},
+        curriculum={"score_col": "score", "n_stages": 2, "n_shards": 4},
+    )
+    got = CorpusPipeline(spec).run(scored)
+
+    manual = prepare_corpus(scored)
+    manual = quantile_filter(manual, "score", 0.01, 0.99)
+    manual = near_dedup_keep_best(
+        manual, "score", num_hashes=32, band_size=4, verify_threshold=0.6
+    )
+    manual = budget_mix(
+        manual, 3000.0, {"en": 0.6, "fr": 0.4}, group_col="lang"
+    )
+    manual = split_corpus_leakage_safe(
+        manual, {"train": 0.8, "test": 0.2},
+        num_hashes=32, band_size=4, verify_threshold=0.6,
+    )
+    slots = curriculum_order(manual, "score", n_stages=2, n_shards=4)
+    manual = manual.join(slots, on="doc_id", how="inner")
+
+    cols = ["doc_id", "lang", "split", "stage", "shard", "shard_pos"]
+    g = {tuple(r) for r in got.select(*cols).collect()}
+    w = {tuple(r) for r in manual.select(*cols).collect()}
+    assert g == w and len(g) > 0
