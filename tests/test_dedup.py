@@ -405,3 +405,40 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # singletons: identical to the plain split (same salt, own id)
     for i in range(100, 130):
         assert by_id[i] == plain[i]
+
+
+def test_dedup_operators_are_idempotent(spark, tables):
+    """Running a dedup pass over its own output must be a no-op:
+    exact keep-first, quality-aware keep-best, and verified near-dup
+    all converge in one application on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.dedup import (
+        exact_dedup_keep_first,
+        near_dedup_corpus,
+        near_dedup_keep_best,
+    )
+
+    docs = tables["documents"]
+    once = exact_dedup_keep_first(docs)
+    assert exact_dedup_keep_first(once).count() == once.count()
+
+    kw = dict(num_hashes=32, band_size=4, verify_threshold=0.6)
+    nd = near_dedup_corpus(docs, **kw)
+    nd_ids = {r["doc_id"] for r in nd.select("doc_id").collect()}
+    nd2_ids = {
+        r["doc_id"]
+        for r in near_dedup_corpus(nd, **kw).select("doc_id").collect()
+    }
+    assert nd2_ids == nd_ids
+
+    scored = docs.withColumn("score", F.col("n_chars").cast("double"))
+    kb = near_dedup_keep_best(scored, "score", **kw)
+    kb_ids = {r["doc_id"] for r in kb.select("doc_id").collect()}
+    kb2_ids = {
+        r["doc_id"]
+        for r in near_dedup_keep_best(kb, "score", **kw)
+        .select("doc_id")
+        .collect()
+    }
+    assert kb2_ids == kb_ids
