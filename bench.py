@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "remove_repeated_spans",
     "quality_filter_flags",
     "corpus_pipeline_e2e",
+    "corpus_stage_report",
     "trainer_export_e2e",
     "near_dedup_corpus",
     "near_dedup_keep_best",
@@ -160,6 +161,14 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     failed: set[str] = set()
     for _ in range(iters):
+        # reclaim shuffle/broadcast state between passes: the
+        # ContextCleaner acts on driver GC, and a large mostly-idle
+        # heap can go a whole pass without one (late queries were
+        # measured 3-4x slower in-session than isolated)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         for name in BENCH_QUERIES:
             fn = queries.get(name)
             if fn is None or name in failed:

@@ -77,6 +77,8 @@ __all__ = [
     "repeated_spans",
     "remove_repeated_spans",
     "prepare_corpus",
+    "prepare_corpus_stages",
+    "corpus_stage_report",
     "split_corpus",
     "split_corpus_leakage_safe",
     "funnel_counts",
@@ -942,27 +944,95 @@ def prepare_corpus(
     lazy plan and Catalyst pipelines the map stages into the scans.
     Returns the surviving rows of ``df`` with ``text_col`` cleaned.
     """
+    return prepare_corpus_stages(
+        df,
+        eval_docs=eval_docs,
+        quality=quality,
+        line_dedup=line_dedup,
+        exact_dedup=exact_dedup,
+        sample_fraction=sample_fraction,
+        text_col=text_col,
+        id_col=id_col,
+    )[-1][1]
+
+
+def prepare_corpus_stages(
+    df: DataFrame,
+    eval_docs: DataFrame | None = None,
+    quality: bool = True,
+    line_dedup: bool = True,
+    exact_dedup: bool = True,
+    sample_fraction: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, DataFrame]]:
+    """The :func:`prepare_corpus` chain with every stage boundary
+    exposed: ``[("input", df), ("quality", ...), ...]`` — the last
+    entry is what ``prepare_corpus`` returns. Consumed by
+    :func:`corpus_stage_report` (stage-survival observability) and by
+    anyone needing a mid-chain tap (e.g. training on the deduped
+    corpus while auditing what decontamination dropped)."""
     from ..functions.text import c4_quality_flags
 
+    stages: list[tuple[str, DataFrame]] = [("input", df)]
     out = df
     if quality:
         out = out.filter(c4_quality_flags(text_col)["keep"])
+        stages.append(("quality", out))
     if line_dedup:
         out = dedup_corpus_lines(out, text_col=text_col, id_col=id_col).drop(
             "n_lines_kept"
         )
         out = out.filter(F.length(F.trim(F.col(text_col))) > 0)
+        stages.append(("line_dedup", out))
     if exact_dedup:
         from .dedup import exact_dedup_keep_first
 
         out = exact_dedup_keep_first(out, text_col=text_col, id_col=id_col)
+        stages.append(("exact_dedup", out))
     if eval_docs is not None:
         contaminated = eval_ngram_contamination(
             out, eval_docs, k=3, min_shared=2, text_col=text_col, id_col=id_col
         ).select(id_col).distinct()
         out = out.join(contaminated, id_col, "left_anti")
+        stages.append(("decontaminate", out))
     if sample_fraction is not None:
         out = hash_sample(out, sample_fraction, id_col=id_col)
+        stages.append(("sample", out))
+    return stages
+
+
+def corpus_stage_report(
+    df: DataFrame,
+    eval_docs: DataFrame | None = None,
+    **prepare_kwargs,
+) -> DataFrame:
+    """Stage-survival funnel for the corpus-preparation chain: one row
+    per :func:`prepare_corpus` stage boundary with the number of
+    documents still alive — the observability report a data-prep run
+    publishes next to its output ("quality kept 84 %, line dedup
+    emptied 2 %, exact dedup dropped 11 %, decontamination 0.3 %").
+    Returns (stage_idx, stage, n_docs).
+
+    Scale shape: each stage's count re-executes its prefix chain (k
+    passes for a k-stage report — counts cannot share one pass
+    without materializing intermediates); this is the DIAGNOSTIC
+    variant, priced accordingly. On a 100 TB run, either localCheckpoint
+    the deduped midpoint first or accept the k-pass cost on a sampled
+    slice (``df`` pre-filtered by ``hash_sample``)."""
+    stages = prepare_corpus_stages(df, eval_docs=eval_docs, **prepare_kwargs)
+    parts = []
+    for i, (name, s) in enumerate(stages):
+        parts.append(
+            s.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col("n_docs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
     return out
 
 

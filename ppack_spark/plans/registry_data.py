@@ -1729,9 +1729,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_pipeline_e2e",
-    f"""
+_PREP_CHAIN_SQL = f"""
     with chunked as ({_CHUNKED_SQL}),
     q as (
         select doc_id, t from (
@@ -1809,12 +1807,22 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         join (select eval_id, unnest(shingles) as g from evsh) e using (g)
         group by s.doc_id, e.eval_id
         having count(*) >= 2
+    ),
+    decon as (
+        select s.doc_id, s.t2
+        from surv s
+        left join (select distinct doc_id from hits) c using (doc_id)
+        where c.doc_id is null
     )
-    select s.doc_id, md5(s.t2) as clean_md5
-    from surv s
-    left join (select distinct doc_id from hits) c using (doc_id)
-    where c.doc_id is null
-      and substr(md5(cast(s.doc_id as varchar)), 1, 4) < '8000'
+"""
+
+
+@query(
+    "corpus_pipeline_e2e",
+    _PREP_CHAIN_SQL + """
+    select doc_id, md5(t2) as clean_md5
+    from decon
+    where substr(md5(cast(doc_id as varchar)), 1, 4) < '8000'
     """,
 )
 def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1928,6 +1936,38 @@ def _near_dedup_corpus_sql(
       on d.doc_id = l.node
     where l.node is null
     """
+
+
+@query(
+    "corpus_stage_report",
+    _PREP_CHAIN_SQL + """
+    select cast(0 as bigint) as stage_idx, 'input' as stage,
+           cast((select count(*) from chunked) as bigint) as n_docs
+    union all
+    select 1, 'quality', (select count(*) from q)
+    union all
+    select 2, 'line_dedup', (select count(*) from nonempty)
+    union all
+    select 3, 'exact_dedup', (select count(*) from surv)
+    union all
+    select 4, 'decontaminate', (select count(*) from decon)
+    """,
+)
+def corpus_stage_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-survival funnel (operators/pipeline.py:
+    corpus_stage_report): document counts at every prepare_corpus
+    boundary, replayed against the SAME shared CTE chain the e2e gate
+    uses (_PREP_CHAIN_SQL) — the two gates cannot drift apart. The
+    observability artifact a data-prep run publishes next to its
+    output."""
+    from ..functions.text import rewrap_lines
+    from ..operators.pipeline import corpus_stage_report
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
+    chunked = d.select("doc_id", rewrap_lines("text", 8).alias("text"))
+    eval_docs = chunked.filter(F.col("doc_id") % 101 == 3)
+    return corpus_stage_report(chunked, eval_docs=eval_docs)
 
 
 @query("near_dedup_corpus", _near_dedup_corpus_sql(8, 2, 0.5))

@@ -23,6 +23,16 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.crossJoin.enabled": "true",
     "spark.ui.enabled": "false",
+    # long-lived sessions (the 90-query bench, the full test suite)
+    # accumulate shuffle files and broadcast blocks that the
+    # ContextCleaner only reclaims after a driver GC — which a large
+    # mostly-idle heap may not trigger for the whole run (measured:
+    # late bench queries inflate 3-4x in-session vs isolated). Force
+    # a periodic GC and keep the status-store footprint small.
+    "spark.cleaner.periodicGC.interval": "3min",
+    "spark.sql.ui.retainedExecutions": "10",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
     # ANSI off: the engine compiles R/dplyr-flavoured comparator
     # expressions where silent-null (not error) semantics on bad
     # casts/arithmetic match the reference's DuckDB-via-dbplyr

@@ -202,18 +202,25 @@ def write_sharded(
     max_records_per_file: int,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> None:
     """Size-bounded shard export: cap records per output file
     (``maxRecordsPerFile`` — the writer rolls files within each task).
     The contract trainers want for corpus snapshots: bounded shard
     size for shuffle-free loading, no global sort or repartition
-    needed to achieve it."""
-    (
-        df.write.mode(mode)
-        .option("maxRecordsPerFile", max_records_per_file)
-        .format(fmt)
-        .save(path)
+    needed to achieve it.
+
+    ``partition_by`` adds hive-style directory partitioning (e.g.
+    ``["split"]`` or ``["split", "lang"]`` after ``split_corpus``):
+    the trainer's train/val/test readers then scan disjoint
+    directories and partition pruning makes eval-set reads free.
+    """
+    w = df.write.mode(mode).option(
+        "maxRecordsPerFile", max_records_per_file
     )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).save(path)
 
 
 def zorder_key(

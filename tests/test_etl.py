@@ -159,6 +159,32 @@ def test_write_sharded_bounds_file_size(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1000
 
 
+def test_write_sharded_partitioned_by_split(spark, tmp_path):
+    """partition_by produces hive-style split directories whose
+    re-read round-trips every row with pruned per-split scans."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ppack_spark.sources.etl import write_sharded
+
+    df = (
+        spark.range(300)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "split",
+            F.when(F.col("doc_id") % 10 < 8, "train").otherwise("val"),
+        )
+    )
+    path = str(tmp_path / "bysplit")
+    write_sharded(df, path, max_records_per_file=50, partition_by=["split"])
+    assert glob.glob(path + "/split=train/*.parquet")
+    assert glob.glob(path + "/split=val/*.parquet")
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert back.filter(F.col("split") == "val").count() == 60
+
+
 def test_zorder_write_tightens_file_bounding_boxes(spark, tables, tmp_path):
     """Z-ordered parquet must give per-file min-max bounding boxes that
     are tight in BOTH dimensions — the property file skipping relies
