@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "lm_quality_score",
     "lm_bigram_score",
     "lm_interp_score",
+    "lm_ref_score",
     "lm_perplexity_buckets",
     "dsir_importance",
     "minhash_jaccard_est",

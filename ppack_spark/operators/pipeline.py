@@ -1327,6 +1327,7 @@ def unigram_logprob(
     n: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    model_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean n-gram log-probability under the corpus's
     own (add-``alpha`` smoothed) n-gram language model — the cheap
@@ -1336,6 +1337,15 @@ def unigram_logprob(
     default; ``n=2`` scores token bigrams (with multiplicity — NOT
     the distinct-shingle construction the dedup family uses), which
     tracks true LM perplexity much more closely.
+
+    ``model_df`` scores ``df`` under a model built from a DIFFERENT
+    corpus — the actual CCNet shape (web text ranked under a
+    Wikipedia-built LM, Wenzek et al. 2020 §3.3) and the cross-corpus
+    quality transfer a recipe pipeline needs ("score the new crawl
+    under last month's reference model"). Grams absent from the
+    reference take the add-α smoothing floor α/(T + αV) — exactly the
+    mass a zero-count gram gets, so the default self-scoring path is
+    the special case ``model_df = df``.
 
     Returns (id, n_tokens, mean_logprob). Two aggregations: corpus
     gram counts (partial agg on the gram), then an equi-join of the
@@ -1370,7 +1380,13 @@ def unigram_logprob(
             F.array(F.array_join(toks, " "))
         )
     tok = df.select(F.col(id_col), F.explode(gram_arr).alias("__t"))
-    counts = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__n"))
+    if model_df is None:
+        model_tok = tok
+    else:
+        model_tok = model_df.select(
+            F.col(id_col), F.explode(gram_arr).alias("__t")
+        )
+    counts = model_tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__n"))
     totals = counts.agg(
         F.sum("__n").alias("__tot"), F.count(F.lit(1)).alias("__vocab")
     )
@@ -1382,9 +1398,19 @@ def unigram_logprob(
         ).alias("__lp"),
     )
     probs = F.broadcast(probs) if n == 1 else probs
+    scored = tok.join(probs, "__t", "left")
+    if model_df is not None:
+        # grams unseen in the reference model take the smoothing
+        # floor α/(T + αV) — the add-α mass a zero-count gram gets
+        floor = F.log(
+            F.lit(float(alpha))
+            / (F.col("__tot") + F.lit(float(alpha)) * F.col("__vocab"))
+        )
+        scored = scored.crossJoin(F.broadcast(totals)).withColumn(
+            "__lp", F.coalesce(F.col("__lp"), floor)
+        )
     return (
-        tok.join(probs, "__t")
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.round(F.avg("__lp"), 6).alias("mean_logprob"),

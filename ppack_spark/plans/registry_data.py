@@ -2436,6 +2436,48 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lm_ref_score",
+    """
+    with tok as (
+        select doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) as t
+        from documents
+    ),
+    mtok as (
+        select doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) as t
+        from documents where doc_id % 2 = 0
+    ),
+    c as (select t, count(*) as n from mtok group by t),
+    tot as (select sum(n) as total_n, count(*) as vocab from c),
+    p as (
+        select t, ln((n + 1.0) / (total_n + 1.0 * vocab)) as lp
+        from c cross join tot
+    )
+    select tok.doc_id,
+           cast(count(*) as bigint) as n_tokens,
+           round(avg(coalesce(p.lp,
+                 ln(1.0 / (tot.total_n + 1.0 * tot.vocab)))), 6)
+             as mean_logprob
+    from tok
+    left join p using (t)
+    cross join tot
+    group by tok.doc_id
+    """,
+)
+def lm_ref_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus LM scoring (operators/pipeline.py:unigram_logprob
+    with model_df): every document scored under a unigram model built
+    from the even-id half of the corpus only — the CCNet reference-
+    model shape; out-of-reference grams take the add-α floor, replayed
+    term-for-term in the oracle."""
+    from ..operators.pipeline import unigram_logprob
+
+    d = t(spark, sf_dir, "documents")
+    return unigram_logprob(d, model_df=d.filter(F.col("doc_id") % 2 == 0))
+
+
+@query(
     "lm_perplexity_buckets",
     _LM_SCORE_SQL + """
     select s.doc_id, d.lang,

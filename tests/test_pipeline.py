@@ -1191,3 +1191,39 @@ def test_curriculum_order_stages_and_determinism(spark):
 
     with pytest.raises(ValueError):
         curriculum_order(df, "score", n_stages=0)
+
+
+def test_unigram_logprob_reference_model(spark):
+    """model_df scores the target under the REFERENCE distribution:
+    in-reference grams match self-scoring of the reference corpus,
+    out-of-reference grams take the add-alpha floor, and
+    model_df=df reproduces the self-scoring path exactly."""
+    import math
+
+    import pytest
+    from ppack_spark.operators.pipeline import unigram_logprob
+
+    ref_rows = [(1, "aa aa bb"), (2, "aa bb cc")]
+    df_rows = ref_rows + [(3, "zz zz")]  # zz unseen in the reference
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    df = spark.createDataFrame(df_rows, ["doc_id", "text"])
+
+    got = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in unigram_logprob(df, model_df=ref).collect()
+    }
+    # reference counts: aa=3, bb=2, cc=1; T=6, V=3 -> p(aa)=(3+1)/9
+    assert got[1] == pytest.approx(
+        (2 * math.log(4 / 9) + math.log(3 / 9)) / 3, abs=2e-6
+    )
+    # zz unseen -> floor alpha/(T+aV) = 1/9 for both tokens
+    assert got[3] == pytest.approx(math.log(1 / 9), abs=2e-6)
+
+    self_scored = {
+        r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(ref).collect()
+    }
+    same = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in unigram_logprob(ref, model_df=ref).collect()
+    }
+    assert same == self_scored
