@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "events_value_quantiles",
     "events_trailing_agg",
     "profile_columns",
+    "distinct_sketch_merge",
     "events_funnel",
     "events_cohort_retention",
     "blocking_multi_pass",

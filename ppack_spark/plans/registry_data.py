@@ -2435,6 +2435,29 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(t(spark, sf_dir, "documents"))
 
 
+@query("distinct_sketch_merge")
+def distinct_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL cardinality tracking (operators/pipeline.py:
+    distinct_count_sketches / merge_distinct_count_sketches): per-half
+    sketches of the documents table unioned into whole-corpus distinct
+    estimates without rescanning — approximate by design (DataSketches
+    HLL, ~1.6 % at lg_k=12), so no SQL oracle; accuracy vs exact
+    counts is gated in tests/test_pipeline.py."""
+    from ..operators.pipeline import (
+        distinct_count_sketches,
+        merge_distinct_count_sketches,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    a = distinct_count_sketches(d.filter(F.col("doc_id") % 2 == 0),
+                                ["doc_id", "lang", "source"])
+    b = distinct_count_sketches(d.filter(F.col("doc_id") % 2 == 1),
+                                ["doc_id", "lang", "source"])
+    return merge_distinct_count_sketches(a, b).select(
+        "column", F.round("estimate", 2).alias("estimate")
+    )
+
+
 @query(
     "lm_ref_score",
     """

