@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_recall_report",
     "threshold_topk",
     "eval_decontamination",
     "bloom_decontamination",

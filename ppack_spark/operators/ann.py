@@ -50,6 +50,7 @@ __all__ = [
     "cosine_topk_pq",
     "cosine_topk_ivfpq",
     "semantic_dedup_corpus",
+    "topk_recall",
 ]
 
 
@@ -732,3 +733,41 @@ def cosine_topk_ivfpq(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against an
+    exact baseline: |approx ∩ exact| / |exact| — the acceptance
+    metric every ANN deployment needs measured on ITS corpus and ITS
+    parameters before trading accuracy for speed (recall depends on
+    the data distribution, not just the algorithm; run it on a query
+    sample, not folklore). Composes any two result sets with
+    (query, neighbor) columns: ``cosine_topk`` vs ``cosine_topk_lsh``
+    / ``_ivf`` / ``_pq`` / ``_ivfpq``, or two parameterizations of
+    the same method. Queries with no approx hits score 0.
+
+    Returns (query_col, recall). Scale shape: a left-semi join on the
+    (query, neighbor) pair plus two query-keyed partial aggregations
+    — result-set-sized work, never touches the corpus."""
+    a = approx.select(F.col(query_col), F.col(neighbor_col))
+    e = exact.select(F.col(query_col), F.col(neighbor_col))
+    hits = (
+        a.join(e, [query_col, neighbor_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    base = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        base.join(hits, query_col, "left")
+        .select(
+            F.col(query_col),
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__n"), 6
+            ).alias("recall"),
+        )
+    )

@@ -945,6 +945,14 @@ def prepare_corpus(
     bearing dedup second, joins last) — so the whole chain stays one
     lazy plan and Catalyst pipelines the map stages into the scans.
     Returns the surviving rows of ``df`` with ``text_col`` cleaned.
+
+    On sharing token arrays across stages (measured, rejected): the
+    stages tokenize DIFFERENTLY by design — quality counts regex
+    classes over raw text, line dedup splits on newlines, the dedup
+    fingerprint lowercases and collapses whitespace — so there is no
+    common token column to cache; the real repeated-work cost here
+    was expression re-evaluation inside higher-order lambdas, fixed
+    at the construction level (see the gram/shingle builders).
     """
     return prepare_corpus_stages(
         df,

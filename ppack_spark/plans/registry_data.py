@@ -879,6 +879,50 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_recall_report",
+    f"""
+    with q as (select vec_id, embedding from embeddings where vec_id < 5),
+    c as (select vec_id, embedding from embeddings),
+    scored as (
+        select q.vec_id as query_id, c.vec_id as neighbor_id,
+               round({_cos_sql('q.embedding', 'c.embedding')}, 6) as cos_sim
+        from q cross join c
+        where q.vec_id <> c.vec_id
+    ),
+    ranked as (
+        select *, row_number() over (
+            partition by query_id order by cos_sim desc, neighbor_id
+        ) as rank
+        from scored
+    ),
+    ex as (select query_id, neighbor_id from ranked where rank <= 10),
+    ap as (select query_id, neighbor_id from ranked where rank <= 5)
+    select e.query_id,
+           round(cast(count(a.neighbor_id) as double) / count(*), 6)
+             as recall
+    from ex e
+    left join ap a using (query_id, neighbor_id)
+    group by e.query_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall measurement harness (operators/ann.py:topk_recall): the
+    recall join/aggregation itself is verified by comparing exact
+    top-5 against exact top-10 (recall exactly 0.5 per query, replayed
+    in SQL); tests/test_ann.py then applies the same operator to the
+    real LSH/IVF/PQ variants where the oracle can't follow."""
+    from ..operators.ann import cosine_topk, topk_recall
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(queries, e, k=10)
+    approx = cosine_topk(queries, e, k=5)
+    return topk_recall(approx, exact)
+
+
+@query(
     "embedding_near_dup",
     f"""
     with e as (select vec_id, label, embedding from embeddings)

@@ -258,3 +258,42 @@ def test_hyperplane_literals_match_md5_expression(spark, embeddings):
         .collect()[0]
     )
     assert row["symbolic"] == row["literal"]
+
+
+def test_topk_recall_measures_overlap(spark, tables):
+    """recall(identical)=1, recall(disjoint)=0, missing queries score
+    0; applied to the real LSH variant it reproduces the suite's
+    recall floor."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.ann import (
+        cosine_topk,
+        cosine_topk_lsh,
+        topk_recall,
+    )
+
+    ex = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], ["query_id", "neighbor_id"]
+    )
+    same = {r["query_id"]: r["recall"] for r in topk_recall(ex, ex).collect()}
+    assert same == {1: 1.0, 2: 1.0}
+    disjoint = ex.withColumn("neighbor_id", F.col("neighbor_id") + 100)
+    zero = {
+        r["query_id"]: r["recall"]
+        for r in topk_recall(disjoint, ex).collect()
+    }
+    assert zero == {1: 0.0, 2: 0.0}
+    # approx missing query 2 entirely -> recall 0 for it
+    partial = ex.filter(F.col("query_id") == 1)
+    got = {r["query_id"]: r["recall"] for r in topk_recall(partial, ex).collect()}
+    assert got == {1: 1.0, 2: 0.0}
+
+    e = tables["embeddings"].withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(queries, e, k=10)
+    approx = cosine_topk_lsh(queries, e, dims=64, k=10, n_planes=6, multi_probe=8)
+    recalls = [r["recall"] for r in topk_recall(approx, exact).collect()]
+    assert len(recalls) == 5
+    assert sum(recalls) / len(recalls) >= 0.8
