@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "media_metadata",
     "media_phash_near_dup",
+    "media_near_dedup",
     "ngram_jaccard_pairs",
     "tfidf_cosine_pairs",
     "embedding_cosine_topk",

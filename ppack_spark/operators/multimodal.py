@@ -43,6 +43,7 @@ __all__ = [
     "with_fake_media",
     "dhash_from_hex",
     "phash_near_dup_pairs",
+    "media_near_dedup",
     "extract_media_features",
     "decode_image_batch",
     "resize_gray",
@@ -161,6 +162,41 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_left", "id_right", "hamming")
     )
+
+
+def media_near_dedup(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    hex_col: str = "payload_hex",
+    block_col: str = "kind",
+    max_hamming: int = 6,
+    bits: int = _DHASH_BITS,
+    use_star: bool = False,
+) -> DataFrame:
+    """Media-column twin of the text ``near_dedup_corpus``: perceptual
+    near-duplicate pairs (:func:`phash_near_dup_pairs`) → connected
+    components → keep ONE canonical row (min id) per near-dup group,
+    singletons untouched — re-encoded copies, thumbnails, and
+    recompressions collapse to one stored asset.
+
+    Unlike MinHash banding, the Hamming predicate is already the
+    verification (no probabilistic candidate step to double-check), so
+    the chain is pairs → components → anti-join directly. Scale shape:
+    only (id, block, 64-bit phash) ever shuffles — payload bytes stay
+    at the scan until the final anti-join projects the survivors;
+    components iterate over id-pair edges with lineage cuts.
+    """
+    from .cluster import connected_components, connected_components_star
+
+    pairs = phash_near_dup_pairs(
+        media, id_col, hex_col, block_col, max_hamming, bits
+    ).select("id_left", "id_right")
+    kernel = connected_components_star if use_star else connected_components
+    comps = kernel(pairs)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return media.join(losers, id_col, "left_anti")
 
 
 # ----------------------------------------------------------------- UDF

@@ -774,6 +774,17 @@ _MEDIA_SQL = """
 """
 
 
+def _media_cte_body() -> str:
+    """_MEDIA_SQL's CTE list without its leading WITH, for embedding
+    under a WITH RECURSIVE prefix. Asserts the marker actually
+    matched so a reworded _MEDIA_SQL fails loudly here instead of
+    silently corrupting the derived oracle."""
+    body = _MEDIA_SQL.replace("with g as", " g as", 1)
+    assert body != _MEDIA_SQL, "_MEDIA_SQL no longer starts 'with g as'"
+    return body
+
+
+
 @query(
     "media_metadata",
     _MEDIA_SQL + """
@@ -828,6 +839,50 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(media).select(
         "id_left", "id_right", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+@query(
+    "media_near_dedup",
+    "with recursive" + _media_cte_body() + """,
+    pairs as (
+        select a.doc_id as id_left, b.doc_id as id_right
+        from hashed a
+        join hashed b on a.kind = b.kind and a.doc_id < b.doc_id
+        where bit_count(xor(a.phash, b.phash)) <= 6
+    ),
+    edges as (
+        select id_left as a, id_right as b from pairs
+        union
+        select id_right, id_left from pairs
+    ),
+    reach(src, dst) as (
+        select a, b from edges
+        union
+        select r.src, e.b from reach r join edges e on r.dst = e.a
+    ),
+    comp as (
+        select src as node, least(src, min(dst)) as component
+        from reach group by src
+    )
+    select m.doc_id, m.kind
+    from hashed m
+    left join (select node from comp where node <> component) l
+      on m.doc_id = l.node
+    where l.node is null
+    """,
+)
+def media_near_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dedup end-to-end (operators/multimodal.py:
+    media_near_dedup): Hamming(dHash) ≤ 6 pairs within kind blocks →
+    recursive closure → one canonical asset per near-dup group; the
+    planted duplicate groups collapse to their min id. Only 64-bit
+    hashes shuffle; the oracle replays pairs, closure, and anti-join."""
+    from ..operators.multimodal import media_near_dedup, with_fake_media
+
+    d = t(spark, sf_dir, "documents")
+    n = d.count()
+    media = with_fake_media(d.select("doc_id"), dup_groups=max(n // 5, 1))
+    return media_near_dedup(media).select("doc_id", "kind")
 
 
 # --------------------------------------------------------------------

@@ -130,3 +130,36 @@ def test_decode_image_batch_pil_branch(monkeypatch):
         assert img.dtype == np.uint8
         assert img.shape == (4, 4)  # decoder-reported, not meta, size
         assert int(img[0, 0]) == expect
+
+
+def test_media_near_dedup_collapses_groups(spark):
+    """Identical payloads collapse to the min-id asset per kind
+    block; distinct payloads survive; both component kernels agree."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.multimodal import (
+        media_near_dedup,
+        with_fake_media,
+    )
+
+    base = spark.range(30).withColumnRenamed("id", "doc_id")
+    media = with_fake_media(base, dup_groups=5)
+    kept = media_near_dedup(media)
+    kept_ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # duplicates share payload within (group, kind) blocks; each
+    # surviving (payload, kind) class keeps exactly its min id
+    classes = media.select(
+        "doc_id", "kind", F.md5("payload_hex").alias("h")
+    ).collect()
+    mins = {}
+    for r in classes:
+        key = (r["kind"], r["h"])
+        mins[key] = min(mins.get(key, r["doc_id"]), r["doc_id"])
+    assert kept_ids == sorted(mins.values())
+    star = sorted(
+        r["doc_id"]
+        for r in media_near_dedup(media, use_star=True)
+        .select("doc_id")
+        .collect()
+    )
+    assert star == kept_ids
