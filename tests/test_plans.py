@@ -317,3 +317,38 @@ def test_curriculum_order_no_global_window(spark, tables, queries):
         # every window operator's partition spec must be non-empty
         assert "partitionBy" not in head or "partitionBy()" not in head
         assert "windowspecdefinition(stage" in head or "stage" in head
+
+
+def test_registry_wide_plan_invariants(spark, tables, queries):
+    """Blanket physical-plan sweep over EVERY registered query: no
+    row-at-a-time Python UDF anywhere (the JW pandas UDF is the one
+    sanctioned Arrow-batched kernel, strictly post-blocking), and no
+    CartesianProduct (unhinted cross joins; broadcast single-row
+    crossJoins lower to BroadcastNestedLoopJoin, which stays legal
+    only for those tiny builds)."""
+    allowed_pandas_udf = {
+        # JW similarity: Arrow-batched, post-blocking by construction
+        "jw_comparator_buckets", "comparison_vectors",
+        "match_weight_scoring", "threshold_rank", "threshold_topk",
+        "posterior_probability", "calibration_curve", "calibration_glm",
+        "linkage_em_params", "linkage_em_end_to_end", "pattern_counts",
+        "u_prob_frequencies",
+        # PQ encode/ADC scan: Arrow-batched by design
+        "ann_pq_topk", "ann_ivfpq_topk",
+    }
+    failures = []
+    for name, fn in queries.items():
+        try:
+            plan = _plan(fn(spark, SF_DIR))
+        except Exception as exc:  # pragma: no cover - surfaced below
+            failures.append(f"{name}: plan build failed: {exc!r}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if "BatchEvalPython" in plan:  # row-at-a-time Python UDF
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        if ("ArrowEvalPython" in plan or "MapInPandas" in plan or
+                "FlatMapGroupsInPandas" in plan):
+            if name not in allowed_pandas_udf:
+                failures.append(f"{name}: unexpected pandas UDF")
+    assert not failures, "\n".join(failures)
