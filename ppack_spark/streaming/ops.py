@@ -41,6 +41,7 @@ __all__ = [
     "index_corpus_bands",
     "streaming_asof_enrich",
     "streaming_corpus_ingest",
+    "streaming_cardinality_track",
     "run_to_memory",
 ]
 
@@ -426,5 +427,51 @@ def streaming_corpus_ingest(
                 existing, batch_df, text_col=text_col, id_col=id_col
             )
         fresh.write.mode("append").parquet(corpus_path)
+
+    return stream.writeStream.foreachBatch(_process)
+
+
+def streaming_cardinality_track(
+    stream: DataFrame,
+    sketch_path: str,
+    cols: list[str],
+    lg_k: int = 12,
+):
+    """Continuous distinct-count tracking: each micro-batch is HLL-
+    sketched (``distinct_count_sketches``) and unioned into the
+    sketch table at ``sketch_path`` — "how many unique ids / domains
+    has the feed delivered so far" maintained incrementally, without
+    ever rescanning history. The streaming twin of the batch sketch
+    merge: state lives in STORAGE as one tiny (column, sketch) table
+    (KBs regardless of cardinality), so restarts recover from the
+    files and a replay of the same batches converges to the same
+    estimates within sketch error.
+
+    Returns the ``DataStreamWriter``; start with
+    ``.trigger(availableNow=True)`` / ``.start()`` as usual. Read the
+    running estimates any time with ``spark.read.parquet(sketch_path)``.
+    """
+    from ..operators.pipeline import (
+        distinct_count_sketches,
+        merge_distinct_count_sketches,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = distinct_count_sketches(batch_df, cols, lg_k)
+        try:
+            prev = spark.read.parquet(sketch_path)
+            have = prev.limit(1).count() > 0
+        except Exception:
+            have = False
+        merged = (
+            merge_distinct_count_sketches(prev, batch_sk) if have else batch_sk
+        )
+        # one row per tracked column — materialize before overwriting
+        # the very path the merge just read
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sketch_path)
 
     return stream.writeStream.foreachBatch(_process)

@@ -417,3 +417,38 @@ def test_streaming_corpus_ingest_matches_batch_merge(spark, tmp_path_factory):
     want = {(r["doc_id"], r["text"]) for r in acc.collect()}
     assert got == want
     assert {d for d, _ in got} == {1, 2, 11, 21}
+
+
+def test_streaming_cardinality_track(spark, tmp_path):
+    """Three micro-batches of documents maintain a storage-backed
+    sketch table whose estimates track the exact distinct counts of
+    everything seen so far, without rescanning history."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.streaming.ops import streaming_cardinality_track
+
+    src_dir = str(tmp_path / "feed")
+    sk_dir = str(tmp_path / "sketches")
+    rows = [(i, f"lang{i % 7}") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+    for part in range(3):
+        df.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = spark.readStream.schema("doc_id long, lang string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    q = streaming_cardinality_track(
+        stream, sk_dir, ["doc_id", "lang"]
+    ).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    got = {
+        r["column"]: r["estimate"]
+        for r in spark.read.parquet(sk_dir).collect()
+    }
+    assert got["doc_id"] == pytest.approx(900, rel=0.05)
+    assert got["lang"] == pytest.approx(7, rel=0.05)
