@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "events_range_join",
     "events_value_quantiles",
     "events_trailing_agg",
+    "events_anomaly_flags",
     "profile_columns",
     "distinct_sketch_merge",
     "events_funnel",

@@ -96,6 +96,7 @@ __all__ = [
     "quality_classifier_score",
     "QUALITY_CLASSIFIER_FEATURES",
     "trailing_window_agg",
+    "trailing_zscore_flags",
     "profile_columns",
     "distinct_count_sketches",
     "merge_distinct_count_sketches",
@@ -1916,6 +1917,54 @@ def trailing_window_agg(
             c = c.cast("long")
         out_cols.append(c.alias(f"{a}_{window_seconds}s"))
     return df.select("*", *out_cols)
+
+
+def trailing_zscore_flags(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: Column | str,
+    value_col: str,
+    window_seconds: int,
+    z_threshold: float = 3.0,
+    min_count: int = 5,
+) -> DataFrame:
+    """Flag events whose value sits more than ``z_threshold`` sample
+    standard deviations from the key's OWN trailing-window baseline —
+    the self-calibrating outlier detector (fraud spikes, sensor
+    glitches, bot bursts) that a fixed global threshold can't express
+    across heterogeneous keys. The baseline window is strictly
+    PRIOR: ``rangeBetween(-w, -1)`` excludes the current row and its
+    timestamp peers, so an outlier never dilutes the statistics it is
+    judged against. Rows with fewer than ``min_count`` prior events
+    or a degenerate (zero/NULL) stddev are never flagged — a cold
+    start is not an anomaly.
+
+    Returns the input plus (trailing_mean, trailing_std, n_prior,
+    zscore, is_anomaly). Same scale shape as
+    :func:`trailing_window_agg`: one shuffle on the key, one O(rows)
+    ordered frame walk per partition, no self-join.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts.cast("long"))
+        .rangeBetween(-int(window_seconds), -1)
+    )
+    mean = F.avg(F.col(value_col)).over(w)
+    std = F.stddev_samp(F.col(value_col)).over(w)
+    cnt = F.count(F.col(value_col)).over(w)
+    z = (F.col(value_col) - mean) / std
+    ok = (cnt >= min_count) & std.isNotNull() & (std > 0)
+    return df.select(
+        "*",
+        F.round(mean, 6).alias("trailing_mean"),
+        F.round(std, 6).alias("trailing_std"),
+        cnt.cast("long").alias("n_prior"),
+        F.round(F.when(ok, z), 6).alias("zscore"),
+        F.coalesce(
+            F.when(ok, F.abs(z) > F.lit(float(z_threshold))), F.lit(False)
+        ).alias("is_anomaly"),
+    )
 
 
 def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

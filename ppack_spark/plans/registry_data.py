@@ -3551,6 +3551,54 @@ def events_trailing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_anomaly_flags",
+    """
+    with base as (
+        select event_id, user_id, value,
+               avg(value) over w as m,
+               stddev_samp(value) over w as s,
+               count(*) over w as c
+        from events
+        window w as (
+            partition by user_id
+            order by cast(floor(epoch(ts)) as bigint)
+            range between 3600 preceding and 1 preceding
+        )
+    )
+    select event_id, user_id, value,
+           round(m, 6) as trailing_mean,
+           round(s, 6) as trailing_std,
+           cast(c as bigint) as n_prior,
+           round(case when c >= 5 and s is not null and s > 0
+                      then (value - m) / s end, 6) as zscore,
+           coalesce(case when c >= 5 and s is not null and s > 0
+                         then abs((value - m) / s) > 2.5 end,
+                    false) as is_anomaly
+    from base
+    """,
+)
+def events_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-calibrating event outlier flags (operators/pipeline.py:
+    trailing_zscore_flags): each event judged against its OWN user's
+    strictly-prior 1-hour baseline (range frame -3600..-1 excludes
+    the row and its timestamp peers, so outliers never dilute the
+    statistics they're judged by); cold starts (< 5 prior events,
+    degenerate stddev) never flag. One key shuffle, O(rows) frame
+    walk — the same plan shape as events_trailing_agg."""
+    from ..operators.pipeline import trailing_zscore_flags
+
+    ev = t(spark, sf_dir, "events")
+    out = trailing_zscore_flags(
+        ev, ["user_id"], _epoch_s(F.col("ts")), "value", 3600,
+        z_threshold=2.5, min_count=5,
+    )
+    return out.select(
+        "event_id", "user_id", "value", "trailing_mean",
+        "trailing_std", "n_prior", "zscore", "is_anomaly",
+    )
+
+
+@query(
     "profile_columns",
     """
     with s as (select * from events)

@@ -1264,3 +1264,30 @@ def test_distinct_count_sketches_accuracy_and_merge(spark, tables):
 
     with pytest.raises(ValueError):
         merge_distinct_count_sketches()
+
+
+def test_trailing_zscore_flags_planted_spike(spark):
+    """A planted spike after a stable baseline flags; the baseline
+    rows and cold-start rows never flag; the spike's own value is
+    excluded from the statistics it is judged against."""
+    from ppack_spark.operators.pipeline import trailing_zscore_flags
+
+    rows = [(i, 1, float(i * 10), 100.0 + (i % 2)) for i in range(10)]
+    rows.append((10, 1, 100.0, 9000.0))  # the spike
+    rows.append((11, 2, 0.0, 5.0))       # other key, cold start
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts_s", "value"]
+    )
+    out = {
+        r["event_id"]: r
+        for r in trailing_zscore_flags(
+            df, ["user_id"], "ts_s", "value", 1000, z_threshold=3.0
+        ).collect()
+    }
+    assert out[10]["is_anomaly"] is True
+    assert out[10]["n_prior"] == 10
+    # baseline mean excludes the spike itself
+    assert abs(out[10]["trailing_mean"] - 100.5) < 1e-6
+    for i in range(10):
+        assert out[i]["is_anomaly"] is False
+    assert out[11]["is_anomaly"] is False and out[11]["zscore"] is None
