@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "trainer_export_e2e",
     "near_dedup_corpus",
     "near_dedup_keep_best",
+    "dup_rate_report",
     "corpus_split_leakage_safe",
     "minhash_lsh_pairs_wide",
     "near_dedup_corpus_wide",

@@ -52,6 +52,7 @@ __all__ = [
     "simhash_df",
     "simhash_pairs",
     "near_dup_components",
+    "dup_rate_report",
     "near_dedup_corpus",
     "near_dedup_keep_best",
     "minhash_jaccard_estimate",
@@ -692,6 +693,79 @@ def near_dedup_keep_best(
         .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dup_rate_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Per-group duplication report: for each ``group_col`` value, the
+    document count, how many documents are exact duplicates of an
+    earlier copy (non-canonical members of a content-hash group), and
+    how many are verified near-duplicates of another document — the
+    "which sources are mostly mirrors?" diagnostic that decides
+    where dedup budget and crawler exclusions go (a source with a 60 %
+    dup rate is a syndication sink, not new data).
+
+    Returns (group, n_docs, n_exact_dup, n_near_dup, exact_dup_rate,
+    near_dup_rate). ``n_near_dup`` counts non-canonical members of
+    verified near-dup clusters (exact duplicates are near-duplicates
+    too, so n_near_dup ≥ n_exact_dup on any corpus where both exist).
+
+    Scale shape: exact side is one partial-aggregated groupBy on the
+    32-byte content hash; near side reuses the
+    :func:`near_dup_components` chain (signatures once, banded join,
+    verify); both reduce to id sets that join back group-keyed — the
+    report itself is group-count-sized.
+    """
+    h = content_hash(text_col)
+    hashed = df.select(F.col(id_col), F.col(group_col), h.alias("__h"))
+    first = hashed.groupBy("__h").agg(F.min(id_col).alias("__keep"))
+    exact_losers = (
+        hashed.join(first, "__h")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(id_col, group_col)
+    )
+    comps = near_dup_components(
+        df, text_col, id_col, num_hashes, band_size, k,
+        verify_threshold=verify_threshold,
+    )
+    near_losers = (
+        comps.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+        .join(df.select(id_col, group_col), id_col)
+    )
+    base = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    ec = exact_losers.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_dup")
+    )
+    nc = near_losers.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_dup")
+    )
+    return (
+        base.join(ec, group_col, "left")
+        .join(nc, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            F.coalesce("n_exact_dup", F.lit(0)).cast("long").alias("n_exact_dup"),
+            F.coalesce("n_near_dup", F.lit(0)).cast("long").alias("n_near_dup"),
+            F.round(
+                F.coalesce("n_exact_dup", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.coalesce("n_near_dup", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("near_dup_rate"),
+        )
+    )
 
 
 def minhash_jaccard_estimate(

@@ -2119,6 +2119,53 @@ def near_dedup_corpus_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dup_rate_report",
+    _near_dup_comp_sql(8, 2, 0.5) + """,
+    eh as (
+        select doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as h
+        from documents
+    ),
+    ew as (select h, min(doc_id) as keep from eh group by h),
+    el as (
+        select e.doc_id, e.source
+        from eh e join ew w on e.h = w.h and e.doc_id <> w.keep
+    ),
+    nl as (
+        select c.node as doc_id, d.source
+        from comp c join documents d on d.doc_id = c.node
+        where c.node <> c.component
+    ),
+    base as (
+        select source, cast(count(*) as bigint) as n_docs
+        from documents group by source
+    )
+    select b.source, b.n_docs,
+           cast(coalesce(e.n, 0) as bigint) as n_exact_dup,
+           cast(coalesce(n.n, 0) as bigint) as n_near_dup,
+           round(coalesce(e.n, 0) / b.n_docs, 6) as exact_dup_rate,
+           round(coalesce(n.n, 0) / b.n_docs, 6) as near_dup_rate
+    from base b
+    left join (select source, count(*) as n from el group by source) e
+      using (source)
+    left join (select source, count(*) as n from nl group by source) n
+      using (source)
+    """,
+)
+def dup_rate_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication diagnostic (operators/dedup.py:
+    dup_rate_report): document count, exact-duplicate count
+    (non-canonical content-hash members) and verified near-duplicate
+    count (non-canonical cluster members) per source, with rates —
+    the "which sources are syndication sinks?" report that directs
+    dedup budget. Exact side + the full verified-LSH component chain
+    both replayed in SQL."""
+    from ..operators.dedup import dup_rate_report
+
+    return dup_rate_report(t(spark, sf_dir, "documents"))
+
+
+@query(
     "near_dedup_keep_best",
     _near_dup_comp_sql(8, 2, 0.5) + """,
     members as (

@@ -442,3 +442,29 @@ def test_dedup_operators_are_idempotent(spark, tables):
         .collect()
     }
     assert kb2_ids == kb_ids
+
+
+def test_dup_rate_report_counts_planted_duplicates(spark):
+    """Exact and near duplicates are attributed to their own group;
+    clean groups report zero; near >= exact where both exist."""
+    from ppack_spark.operators.dedup import dup_rate_report
+
+    base = "the common core of this document is long enough to shingle"
+    rows = [
+        # source a: one exact pair (2 copies) + one near-dup of them
+        (1, "a", base + " with tail one"),
+        (2, "a", base + " with tail one"),
+        (3, "a", base + " with tail three"),
+        # source b: clean
+        (4, "b", "completely unrelated text body with distinct words"),
+        (5, "b", "another entirely different document about nothing"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["source"]: r for r in dup_rate_report(df).collect()}
+    a = got["a"]
+    assert a["n_docs"] == 3 and a["n_exact_dup"] == 1
+    assert a["n_near_dup"] == 2  # ids 2 and 3 fold into id 1's cluster
+    assert a["near_dup_rate"] > a["exact_dup_rate"] > 0
+    b = got["b"]
+    assert (b["n_exact_dup"], b["n_near_dup"]) == (0, 0)
+    assert b["exact_dup_rate"] == 0.0 and b["near_dup_rate"] == 0.0

@@ -452,3 +452,43 @@ def test_streaming_cardinality_track(spark, tmp_path):
     }
     assert got["doc_id"] == pytest.approx(900, rel=0.05)
     assert got["lang"] == pytest.approx(7, rel=0.05)
+
+
+def test_pure_map_samplers_are_stream_safe(spark, tmp_path):
+    """hash_sample and split_corpus are stateless scan predicates /
+    projections, so they apply to a STREAMING DataFrame unchanged and
+    select exactly the rows the batch operator selects — deterministic
+    membership means the stream and batch views of a corpus agree."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.pipeline import hash_sample, split_corpus
+
+    src_dir = str(tmp_path / "docs")
+    rows = [(i, f"document body number {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for part in range(3):
+        df.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    out = split_corpus(
+        hash_sample(stream, 0.5), {"train": 0.8, "val": 0.2}
+    )
+    q = out.writeStream.format("memory").queryName(
+        "stream_sampled"
+    ).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["split"])
+        for r in spark.table("stream_sampled").collect()
+    }
+    want = {
+        (r["doc_id"], r["split"])
+        for r in split_corpus(
+            hash_sample(df, 0.5), {"train": 0.8, "val": 0.2}
+        ).collect()
+    }
+    assert got == want and len(got) > 0
