@@ -99,6 +99,12 @@ def run_em(
     """
     names = [c for c in pattern_counts.columns if c != count_col]
     n = pattern_counts[count_col].to_numpy(dtype=float)
+    if len(n) == 0 or float(n.sum()) == 0.0 or total_pairs <= 0:
+        raise ValueError(
+            "run_em: no candidate pairs to fit on (empty pattern-counts "
+            "table or zero total_pairs) — blocking produced nothing; "
+            "check the blocking rules before estimating parameters"
+        )
 
     if levels is None:
         levels = {

@@ -199,6 +199,12 @@ def ivf_index(
     from pyspark.ml.functions import array_to_vector
 
     feat = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
+    if feat.limit(1).count() == 0:
+        raise ValueError(
+            "ivf_index: cannot train a coarse quantizer on an empty "
+            "corpus — the index-build contract requires data (score an "
+            "empty corpus with cosine_topk instead)"
+        )
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="__features", predictionCol="centroid"
     ).fit(feat)
@@ -435,6 +441,11 @@ def pq_train(
         .toPandas()[vec_col]
         .tolist()
     )
+    if not rows:
+        raise ValueError(
+            "pq_train: cannot train codebooks on an empty (or all-NULL) "
+            "corpus — the index-build contract requires data"
+        )
     X = np.asarray(rows, dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n, d = X.shape

@@ -3157,6 +3157,8 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").alias("mnu"), F.max("user_id").alias("mxu"),
         F.min("day").alias("mnd"), F.max("day").alias("mxd"),
     ).collect()[0]
+    if st["mnu"] is None:  # empty input: no bounds, no layout to build
+        return e.select("event_id", F.lit(None).cast("long").alias("z"))
     z = zorder_key(
         ["user_id", "day"],
         [(st["mnu"], st["mxu"]), (st["mnd"], st["mxd"])],
