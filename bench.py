@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "near_dedup_keep_best",
     "dup_rate_report",
     "corpus_split_leakage_safe",
+    "minhash_lsh_pairs_capped",
     "minhash_lsh_pairs_wide",
     "near_dedup_corpus_wide",
     "semantic_dedup",

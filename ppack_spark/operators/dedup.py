@@ -273,6 +273,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     k: int = 3,
     signatures: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing ≥1 band of their MinHash
     signature. Returns distinct ``(id_left, id_right)`` with
@@ -284,7 +285,18 @@ def minhash_lsh_pairs(
     (band_index, band_value) is exactly the LSH bucket; Catalyst
     executes it as a shuffle-hash join on the bucket id, so cost is
     O(Σ bucket²) not O(n²). Hot buckets (boilerplate docs) are the
-    skew risk — AQE skew-join splitting handles them.
+    skew risk — AQE skew-join splitting spreads the shuffle, but the
+    b² pair fan-out itself remains.
+
+    ``max_bucket_size`` caps that fan-out: buckets holding more than
+    this many documents are dropped BEFORE the join (one partial-agg
+    count over the band table, then a semi-filter). A bucket that hot
+    is boilerplate — near-identical headers/footers shared by
+    thousands of documents — and at 100 TB one such bucket alone can
+    emit billions of pairs; capping trades a documented sliver of
+    recall (members of a dropped bucket can still meet through any of
+    their other bands) for a hard bound on join fan-out. ``None``
+    (default) keeps exact LSH semantics.
 
     ``signatures``: optional precomputed ``(id, sig)`` table from
     :func:`minhash_signatures` (must have been built with the same
@@ -297,6 +309,19 @@ def minhash_lsh_pairs(
         else minhash_signatures(df, text_col, id_col, num_hashes, k)
     )
     bands = _lsh_bands(sig, id_col, num_hashes, band_size)
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(
+                f"max_bucket_size must be >= 2 (a pair needs two members), "
+                f"got {max_bucket_size}"
+            )
+        keep = (
+            bands.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select("band", "val")
+        )
+        bands = bands.join(keep, ["band", "val"], "left_semi")
     left = bands.select(F.col(id_col).alias("id_left"), "band", "val")
     right = bands.select(F.col(id_col).alias("id_right"), "band", "val")
     return (

@@ -1945,7 +1945,12 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5("text").alias("clean_md5"))
 
 
-def _lsh_core_sql(num_hashes: int, band_size: int, recursive: bool = False) -> str:
+def _lsh_core_sql(
+    num_hashes: int,
+    band_size: int,
+    recursive: bool = False,
+    max_bucket: int | None = None,
+) -> str:
     """DuckDB replay of the MinHash-LSH chain for ANY
     (num_hashes, band_size): shingles → single-digest double-hashed
     signature → bands → ordered candidate ``pairs`` CTE. Mirrors
@@ -1959,6 +1964,11 @@ def _lsh_core_sql(num_hashes: int, band_size: int, recursive: bool = False) -> s
         else _SHINGLE_SQL
     )
     band_list = ", ".join(str(b) for b in range(n_bands))
+    cap_clause = (
+        " semi join (select b, val from bands group by b, val"
+        f" having count(*) <= {max_bucket}) kb"
+        " on bands.b = kb.b and bands.val = kb.val"
+    ) if max_bucket is not None else ""
     return head + f"""
     , hp as (
         select doc_id,
@@ -1981,10 +1991,13 @@ def _lsh_core_sql(num_hashes: int, band_size: int, recursive: bool = False) -> s
                                '|') as val
         from sig cross join unnest([{band_list}]) as tb(b)
     ),
+    kbands as (
+        select bands.* from bands{cap_clause}
+    ),
     pairs as (
         select distinct a.doc_id as id_left, b.doc_id as id_right
-        from bands a
-        join bands b on a.b = b.b and a.val = b.val and a.doc_id < b.doc_id
+        from kbands a
+        join kbands b on a.b = b.b and a.val = b.val and a.doc_id < b.doc_id
     )
     """
 
@@ -2067,6 +2080,27 @@ def corpus_stage_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = d.select("doc_id", rewrap_lines("text", 8).alias("text"))
     eval_docs = chunked.filter(F.col("doc_id") % 101 == 3)
     return corpus_stage_report(chunked, eval_docs=eval_docs)
+
+
+@query(
+    "minhash_lsh_pairs_capped",
+    _lsh_core_sql(8, 2, max_bucket=25)
+    + "select id_left, id_right from pairs",
+)
+def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped LSH banding (operators/dedup.py:
+    minhash_lsh_pairs max_bucket_size): buckets holding more than 25
+    documents (boilerplate — at 100 TB one such bucket alone can emit
+    billions of pairs) are dropped before the candidate join, bounding
+    the b² fan-out; members of a dropped bucket still meet through any
+    of their other bands. The oracle replays the per-bucket count
+    filter."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        num_hashes=8, band_size=2, k=3, max_bucket_size=25,
+    )
 
 
 @query("near_dedup_corpus", _near_dedup_corpus_sql(8, 2, 0.5))

@@ -468,3 +468,34 @@ def test_dup_rate_report_counts_planted_duplicates(spark):
     b = got["b"]
     assert (b["n_exact_dup"], b["n_near_dup"]) == (0, 0)
     assert b["exact_dup_rate"] == 0.0 and b["near_dup_rate"] == 0.0
+
+
+def test_lsh_bucket_cap_bounds_hot_bucket_fanout(spark):
+    """A boilerplate bucket shared by many docs is dropped by the
+    cap, while genuine near-dup pairs that also meet in OTHER bands
+    survive; cap=None keeps exact LSH semantics; tiny caps raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.dedup import minhash_lsh_pairs
+
+    # 40 docs sharing identical text -> identical signatures: every
+    # band is a hot bucket of 40
+    hot = [(i, "identical boilerplate header shared by every mirror page")
+           for i in range(40)]
+    # plus one genuinely distinct near-dup pair
+    base = "the common core of this document is long enough to shingle"
+    pairs = [(100, base + " tail a"), (101, base + " tail b")]
+    df = spark.createDataFrame(hot + pairs, ["doc_id", "text"])
+
+    uncapped = minhash_lsh_pairs(df)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= (40 * 39) // 2  # hot-bucket quadratic fan-out
+
+    capped = minhash_lsh_pairs(df, max_bucket_size=10)
+    got = {(r["id_left"], r["id_right"]) for r in capped.collect()}
+    assert all(l >= 100 for l, _ in got)  # boilerplate pairs gone
+    assert (100, 101) in got              # real near-dups still meet
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(df, max_bucket_size=1)
