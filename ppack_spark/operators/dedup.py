@@ -546,6 +546,7 @@ def near_dup_components(
     use_star: bool = False,
     verify_threshold: float | None = 0.5,
     exact_verify: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate cluster membership as a ``(node, component)``
     table: MinHash-LSH candidate pairs → signature-agreement (and
@@ -567,6 +568,7 @@ def near_dup_components(
     pairs = minhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, band_size=band_size, k=k, signatures=sig,
+        max_bucket_size=max_bucket_size,
     )
     if verify_threshold is not None:
         est = minhash_jaccard_estimate(
@@ -614,6 +616,7 @@ def near_dedup_corpus(
     use_star: bool = False,
     verify_threshold: float | None = 0.5,
     exact_verify: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The fuzzy-dedup deliverable, composed end-to-end: MinHash-LSH
     candidate pairs → candidate VERIFICATION → connected components →
@@ -653,7 +656,7 @@ def near_dedup_corpus(
     """
     comps = near_dup_components(
         df, text_col, id_col, num_hashes, band_size, k,
-        use_star, verify_threshold, exact_verify,
+        use_star, verify_threshold, exact_verify, max_bucket_size,
     )
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
@@ -672,6 +675,7 @@ def near_dedup_keep_best(
     use_star: bool = False,
     verify_threshold: float | None = 0.5,
     exact_verify: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate dedup keeping the HIGHEST-``score_col`` member
     of each verified near-dup cluster (ties → min id) — the fuzzy
@@ -697,7 +701,7 @@ def near_dedup_keep_best(
         )
     comps = near_dup_components(
         df, text_col, id_col, num_hashes, band_size, k,
-        use_star, verify_threshold, exact_verify,
+        use_star, verify_threshold, exact_verify, max_bucket_size,
     )
     members = comps.join(
         df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),

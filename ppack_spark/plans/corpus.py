@@ -47,9 +47,10 @@ class CorpusSpec:
     quantile_trim: dict | None = None
     line_dedup: bool = True
     exact_dedup: bool = True
-    # e.g. {"num_hashes": 128, "band_size": 8, "verify_threshold": 0.6};
-    # add "score_col": "quality" to keep each cluster's BEST-scored
-    # member (near_dedup_keep_best) instead of the min-id one
+    # e.g. {"num_hashes": 128, "band_size": 8, "verify_threshold": 0.6,
+    # "max_bucket_size": 5000}; add "score_col": "quality" to keep each
+    # cluster's BEST-scored member (near_dedup_keep_best) instead of
+    # the min-id one
     near_dedup: dict | None = None
     decontaminate: bool = True  # applied when run() receives eval_docs
     # e.g. {"group_col": "lang", "alpha": 0.5, "target_total": 100_000}
