@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["spread", "salted_join"]
+__all__ = ["spread", "salted_join", "plan_cost_report"]
 
 
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
@@ -65,3 +65,36 @@ def salted_join(
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(s - 1).cast("long"))),
     )
     return l.join(r, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def plan_cost_report(df: DataFrame) -> dict:
+    """Static cost census of a DataFrame's physical plan — the
+    pre-flight check a pipeline author runs before submitting a
+    100 TB job: how many shuffles will this pay, is anything about to
+    cross-product, did the filters reach the scan?
+
+    Returns a dict of counts read from the executed-plan string:
+    ``n_shuffles`` (hash/range Exchanges — each is a full
+    rewrite of the data over the network), ``n_broadcasts``
+    (BroadcastExchange — driver-bounded build sides), ``n_sorts``,
+    ``n_scans``, ``has_cartesian`` / ``has_bnlj`` (cross-join blowups:
+    legal only for tiny broadcast builds), ``has_python_udf``
+    (row-at-a-time Python in the plan — the slow path), and
+    ``pushed_filters`` (whether any scan-level filter pushdown is
+    present). Inspection only — triggers planning, never execution
+    (which also means no WholeStageCodegen census: under AQE codegen
+    spans exist only in the executed final plan).
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "n_shuffles": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "n_broadcasts": plan.count("BroadcastExchange"),
+        "n_sorts": plan.count("Sort ["),
+        "n_scans": plan.count("Scan parquet") + plan.count("FileScan"),
+        "has_cartesian": "CartesianProduct" in plan,
+        "has_bnlj": "BroadcastNestedLoopJoin" in plan,
+        "has_python_udf": "BatchEvalPython" in plan,
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan,
+    }

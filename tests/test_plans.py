@@ -352,3 +352,22 @@ def test_registry_wide_plan_invariants(spark, tables, queries):
             if name not in allowed_pandas_udf:
                 failures.append(f"{name}: unexpected pandas UDF")
     assert not failures, "\n".join(failures)
+
+
+def test_plan_cost_report_census(spark, tables, queries):
+    """The pre-flight plan census reports the shapes the plan tests
+    assert individually: a zero-shuffle map pass shows 0 shuffles, a
+    broadcast-join sampler shows a broadcast and no cartesian, and the
+    linkage chain shows its shuffles without any Python UDF rows."""
+    from ppack_spark.operators.util import plan_cost_report
+
+    flags = plan_cost_report(queries["quality_filter_flags"](spark, SF_DIR))
+    assert flags["n_shuffles"] == 0 and not flags["has_cartesian"]
+
+    mix = plan_cost_report(queries["temperature_mix"](spark, SF_DIR))
+    assert mix["n_broadcasts"] >= 1 and not mix["has_cartesian"]
+
+    blocking = plan_cost_report(queries["blocking_multi_pass"](spark, SF_DIR))
+    assert blocking["n_shuffles"] >= 1
+    assert not blocking["has_python_udf"]
+    assert blocking["n_scans"] >= 1
