@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "blocking_salted_pass",
     "blocking_pass_counts",
     "blocking_estimate",
+    "two_dataset_linkage",
     "key_skew_report",
     "jw_comparator_buckets",
     "comparison_vectors",

@@ -842,6 +842,67 @@ def etl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "two_dataset_linkage",
+    """
+    with p as (
+        select c.c_custkey as c_custkey_left,
+               s.s_suppkey as supp_id_right,
+               abs(c.c_acctbal - s.s_acctbal) as d
+        from customer c
+        join supplier s on c.c_nationkey = s.s_nationkey
+    )
+    select c_custkey_left, supp_id_right,
+           case when d < 100 then 'close'
+                when d < 1000 then 'near'
+                else 'far' end as acctbal,
+           round(case when d < 100 then ln(0.7 / 0.05)
+                      when d < 1000 then ln(0.2 / 0.15)
+                      else ln(0.1 / 0.8) end, 6) as weight
+    from p
+    """,
+)
+def two_dataset_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A-B (link, not dedup) path end-to-end: customer × supplier
+    blocked on nationkey, pair rehydration across two schemas with
+    distinct id names (c_custkey vs s_suppkey — no ordered-pair
+    filter, which would silently drop cross-namespace matches),
+    bucket comparator over the suffixed columns, fixed-parameter FS
+    weight. Complements the self-link chain above: every linkage gate
+    so far is a dedup; the reference's primary use is linking TWO
+    datasets (linking.R:14 takes data_a/data_b), and the suffix/id
+    plumbing differs enough to deserve its own oracle row
+    (cluster-side A-B safety is tested via cluster_links in
+    tests/test_accuracy.py)."""
+    tb = load_tables(spark, sf_dir, ["customer", "supplier"])
+    cust = tb["customer"].select("c_custkey", "c_nationkey", "c_acctbal")
+    supp = tb["supplier"].select(
+        F.col("s_suppkey").alias("supp_id"),
+        F.col("s_nationkey").alias("c_nationkey"),
+        F.col("s_acctbal").alias("c_acctbal"),
+    )
+    ids = extract_blocks(
+        cust, supp, "c_custkey", "supp_id",
+        blocking_variables=["c_nationkey"],
+    )
+    pairs = compute_pairs_dataset(cust, supp, "c_custkey", "supp_id", ids)
+    bal = F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right"))
+    cmp = do_comparisons(
+        pairs,
+        {
+            "acctbal": bucket_comparator(
+                bal, [(bal < 100, "close"), (bal < 1000, "near")], "far"
+            )
+        },
+        keep=["c_custkey_left", "supp_id_right"],
+    )
+    m = {"acctbal": {"close": 0.7, "near": 0.2, "far": 0.1}}
+    u = {"acctbal": {"close": 0.05, "near": 0.15, "far": 0.8}}
+    return cmp.withColumn(
+        "weight", F.round(match_weight_column(m, u), 6)
+    )
+
+
+@query(
     "bucketed_join_revenue",
     """
     select c_mktsegment,
