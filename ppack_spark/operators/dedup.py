@@ -564,6 +564,12 @@ def near_dup_components(
     """
     from .cluster import connected_components, connected_components_star
 
+    if exact_verify and verify_threshold is None:
+        raise ValueError(
+            "exact_verify=True requires a verify_threshold: the exact-"
+            "Jaccard check needs the threshold to verify against (pass "
+            "the threshold, or drop exact_verify for raw-LSH clustering)"
+        )
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     pairs = minhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col,
@@ -617,6 +623,7 @@ def near_dedup_corpus(
     verify_threshold: float | None = 0.5,
     exact_verify: bool = False,
     max_bucket_size: int | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """The fuzzy-dedup deliverable, composed end-to-end: MinHash-LSH
     candidate pairs → candidate VERIFICATION → connected components →
@@ -654,9 +661,13 @@ def near_dedup_corpus(
     — losers are a fraction of the corpus, ids only, broadcast-size
     after AQE.
     """
-    comps = near_dup_components(
-        df, text_col, id_col, num_hashes, band_size, k,
-        use_star, verify_threshold, exact_verify, max_bucket_size,
+    comps = (
+        components
+        if components is not None
+        else near_dup_components(
+            df, text_col, id_col, num_hashes, band_size, k,
+            use_star, verify_threshold, exact_verify, max_bucket_size,
+        )
     )
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
@@ -676,6 +687,7 @@ def near_dedup_keep_best(
     verify_threshold: float | None = 0.5,
     exact_verify: bool = False,
     max_bucket_size: int | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate dedup keeping the HIGHEST-``score_col`` member
     of each verified near-dup cluster (ties → min id) — the fuzzy
@@ -699,9 +711,13 @@ def near_dedup_keep_best(
             f"near_dedup_keep_best needs a numeric id for the min-id "
             f"tiebreak; {id_col} is {id_type}"
         )
-    comps = near_dup_components(
-        df, text_col, id_col, num_hashes, band_size, k,
-        use_star, verify_threshold, exact_verify, max_bucket_size,
+    comps = (
+        components
+        if components is not None
+        else near_dup_components(
+            df, text_col, id_col, num_hashes, band_size, k,
+            use_star, verify_threshold, exact_verify, max_bucket_size,
+        )
     )
     members = comps.join(
         df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),

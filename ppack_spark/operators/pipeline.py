@@ -416,12 +416,21 @@ def curriculum_order(
             df.crossJoin(F.broadcast(cuts))
             .withColumn(
                 "stage",
-                F.size(
-                    F.filter(
-                        F.col("__cuts"),
-                        lambda c: F.col(score_col) <= c,
-                    )
-                ).cast("long"),
+                F.when(
+                    F.col(score_col).isNull(),
+                    # unscored documents go LAST, not first: a NULL
+                    # comparison drops out of the filter and would
+                    # otherwise count 0 cuts — landing unscored docs
+                    # in stage 0 ahead of the best-scored ones
+                    F.lit(n_stages - 1).cast("long"),
+                ).otherwise(
+                    F.size(
+                        F.filter(
+                            F.col("__cuts"),
+                            lambda c: F.col(score_col) <= c,
+                        )
+                    ).cast("long")
+                ),
             )
             .drop("__cuts")
         )
@@ -1173,6 +1182,7 @@ def split_corpus_leakage_safe(
     k: int = 3,
     verify_threshold: float | None = 0.5,
     salt: str = "split",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Train/val/test splitting that never puts two near-duplicate
     documents in different splits: the split hash is computed on each
@@ -1198,9 +1208,13 @@ def split_corpus_leakage_safe(
     """
     from .dedup import near_dup_components
 
-    comps = near_dup_components(
-        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
-        band_size=band_size, k=k, verify_threshold=verify_threshold,
+    comps = (
+        components
+        if components is not None
+        else near_dup_components(
+            df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+            band_size=band_size, k=k, verify_threshold=verify_threshold,
+        )
     )
     canon = comps.select(
         F.col("node").alias(id_col), F.col("component").alias("__canon")
@@ -1768,13 +1782,9 @@ def upsample_corpus(
     whole = F.floor(rate).cast("long")
     frac = rate - F.floor(rate)
     cut = (frac * F.lit(float(2**32))).cast("long")
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    # the shared salted-hash selector (_id_hash) keeps every sampler
+    # on the same uniform construction
+    hv = F.conv(_id_hash(id_col, 8, salt), 16, 10).cast("long")
     n_copies = (whole + F.when(hv < cut, 1).otherwise(0)).alias("__n")
     return (
         df.withColumn("__n", n_copies)

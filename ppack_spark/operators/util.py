@@ -91,10 +91,14 @@ def plan_cost_report(df: DataFrame) -> dict:
         + plan.count("Exchange rangepartitioning"),
         "n_broadcasts": plan.count("BroadcastExchange"),
         "n_sorts": plan.count("Sort ["),
-        "n_scans": plan.count("Scan parquet") + plan.count("FileScan"),
+        "n_scans": plan.count("FileScan")
+        or plan.count("Scan parquet"),  # FileScan lines also contain
+        # "Scan parquet" — counting both would double every scan
         "has_cartesian": "CartesianProduct" in plan,
         "has_bnlj": "BroadcastNestedLoopJoin" in plan,
         "has_python_udf": "BatchEvalPython" in plan,
-        "pushed_filters": "PushedFilters: [" in plan
-        and "PushedFilters: []" not in plan,
+        # true iff at least ONE scan has a non-empty pushdown (a plan
+        # can legitimately mix pushed and unpushed scans)
+        "pushed_filters": plan.count("PushedFilters: [")
+        > plan.count("PushedFilters: []"),
     }

@@ -120,16 +120,33 @@ class CorpusPipeline:
         )
         if s.quantile_trim is not None:
             out = quantile_filter(out, **s.quantile_trim)
+        # when BOTH near dedup and the leakage-safe split are on, the
+        # MinHash/LSH/verify/components chain — the dominant cost of
+        # either stage — is computed ONCE on the pre-dedup corpus and
+        # shared: dedup drops non-canonical members from it, and the
+        # split hashes each survivor's ORIGINAL cluster canonical id
+        # (strictly better than re-clustering the deduped corpus,
+        # where the clusters are gone: a future re-crawl of a dropped
+        # near-copy still lands in the same split)
+        shared_comps = None
         if s.near_dedup is not None:
-            if "score_col" in s.near_dedup:
-                nd = dict(s.near_dedup)
+            nd = dict(s.near_dedup)
+            score_col = nd.pop("score_col", None)
+            if s.split is not None and s.split.get("leakage_safe"):
+                from ..operators.dedup import near_dup_components
+
+                shared_comps = near_dup_components(
+                    out, text_col=s.text_col, id_col=s.id_col, **nd
+                )
+                nd["components"] = shared_comps
+            if score_col is not None:
                 out = near_dedup_keep_best(
-                    out, nd.pop("score_col"),
+                    out, score_col,
                     text_col=s.text_col, id_col=s.id_col, **nd,
                 )
             else:
                 out = near_dedup_corpus(
-                    out, text_col=s.text_col, id_col=s.id_col, **s.near_dedup
+                    out, text_col=s.text_col, id_col=s.id_col, **nd
                 )
         if s.mix is not None:
             out = temperature_mix(out, id_col=s.id_col, **s.mix)
@@ -142,6 +159,8 @@ class CorpusPipeline:
         if s.split is not None:
             if s.split.get("leakage_safe"):
                 sp = {k: v for k, v in s.split.items() if k != "leakage_safe"}
+                if shared_comps is not None:
+                    sp["components"] = shared_comps
                 out = split_corpus_leakage_safe(
                     out, text_col=s.text_col, id_col=s.id_col, **sp
                 )

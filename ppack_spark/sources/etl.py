@@ -312,6 +312,12 @@ def write_zordered(
         *[F.max(c).cast("long").alias(f"mx_{i}") for i, c in enumerate(cols)],
     ).collect()[0]
     bounds = [(stats[f"mn_{i}"], stats[f"mx_{i}"]) for i in range(len(cols))]
+    if any(b[0] is None or b[1] is None for b in bounds):
+        # empty input (or an all-NULL layout column): there are no
+        # bounds to grid, and nothing to lay out — write the frame
+        # as-is instead of dying inside the key builder
+        df.write.mode(mode).parquet(path)
+        return df.sparkSession.read.parquet(path)
     z = zorder_key(cols, bounds, bits)
     (
         df.withColumn("__z", z)

@@ -28,6 +28,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -373,6 +374,14 @@ def streaming_quota_sample(
     )
 
 
+def _is_missing_path(exc: Exception) -> bool:
+    """True iff an AnalysisException means the path simply does not
+    exist yet (the bootstrap case), as opposed to a transient storage
+    failure that must propagate."""
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
 def streaming_corpus_ingest(
     stream: DataFrame,
     corpus_path: str,
@@ -410,7 +419,13 @@ def streaming_corpus_ingest(
         try:
             existing = spark.read.parquet(corpus_path)
             have = existing.limit(1).count() > 0
-        except Exception:
+        except AnalysisException as exc:
+            # absent path = first batch; any OTHER failure must fail
+            # the batch — treating a transient corpus-read error as
+            # "no corpus yet" would skip dedup-against-existing and
+            # append duplicates permanently
+            if not _is_missing_path(exc):
+                raise
             have = False
         if not have:
             from ..operators.dedup import exact_dedup_keep_first
@@ -462,7 +477,13 @@ def streaming_cardinality_track(
         try:
             prev = spark.read.parquet(sketch_path)
             have = prev.limit(1).count() > 0
-        except Exception:
+        except AnalysisException as exc:
+            # ONLY a genuinely-absent path means "first batch" — a
+            # transient read failure must fail the batch, not silently
+            # overwrite months of accumulated sketch state with one
+            # batch's sketches
+            if not _is_missing_path(exc):
+                raise
             have = False
         merged = (
             merge_distinct_count_sketches(prev, batch_sk) if have else batch_sk

@@ -106,10 +106,18 @@ def test_round5_stages_equal_manual_chain(spark, docs):
     )
     got = CorpusPipeline(spec).run(scored)
 
+    from ppack_spark.operators.dedup import near_dup_components
+
     manual = prepare_corpus(scored)
     manual = quantile_filter(manual, "score", 0.01, 0.99)
+    # the facade computes the components chain ONCE on the pre-dedup
+    # corpus and shares it between dedup and the leakage-safe split
+    comps = near_dup_components(
+        manual, num_hashes=32, band_size=4, verify_threshold=0.6
+    )
     manual = near_dedup_keep_best(
-        manual, "score", num_hashes=32, band_size=4, verify_threshold=0.6
+        manual, "score", num_hashes=32, band_size=4,
+        verify_threshold=0.6, components=comps,
     )
     manual = budget_mix(
         manual, 3000.0, {"en": 0.6, "fr": 0.4}, group_col="lang"
@@ -117,6 +125,7 @@ def test_round5_stages_equal_manual_chain(spark, docs):
     manual = split_corpus_leakage_safe(
         manual, {"train": 0.8, "test": 0.2},
         num_hashes=32, band_size=4, verify_threshold=0.6,
+        components=comps,
     )
     slots = curriculum_order(manual, "score", n_stages=2, n_shards=4)
     manual = manual.join(slots, on="doc_id", how="inner")

@@ -261,3 +261,13 @@ def test_zorder_key_validation(spark, tables):
         zorder_key(["a", "b"], [(0, 10), (0, 10)], bits=32)
     with pytest.raises(ValueError):
         zorder_key(["a"], [(5, 4)])
+
+
+def test_write_zordered_empty_input_passthrough(spark, tmp_path):
+    """Zero rows (or no bounds) must write an empty-but-valid layout
+    instead of dying inside the key builder."""
+    from ppack_spark.sources.etl import write_zordered
+
+    df = spark.createDataFrame([], "a long, b long")
+    out = write_zordered(df, str(tmp_path / "z"), ["a", "b"])
+    assert out.count() == 0 and out.columns == ["a", "b"]

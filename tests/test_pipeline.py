@@ -1291,3 +1291,18 @@ def test_trailing_zscore_flags_planted_spike(spark):
     for i in range(10):
         assert out[i]["is_anomaly"] is False
     assert out[11]["is_anomaly"] is False and out[11]["zscore"] is None
+
+
+def test_curriculum_null_scores_go_last(spark):
+    """Unscored (NULL-score) documents must land in the LAST stage,
+    never in the easy-first band."""
+    from ppack_spark.operators.pipeline import curriculum_order
+
+    rows = [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    stage = {
+        r["doc_id"]: r["stage"]
+        for r in curriculum_order(df, "score", n_stages=3, n_shards=2).collect()
+    }
+    assert stage[3] == 0          # best score leads
+    assert stage[4] == 2          # unscored goes last
