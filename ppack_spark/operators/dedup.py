@@ -496,6 +496,110 @@ def simhash_df(
     return agg.select(F.col(id_col), *[F.col(c) for c in carry_cols], fp.alias("simhash"))
 
 
+def hamming_segment_pairs(
+    fp_df: DataFrame,
+    fp_col: str,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_col: str | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All pairs at Hamming distance ≤ ``max_hamming`` between
+    ``bits``-bit fingerprints, via pigeonhole segment blocking
+    (Manku, Jain & Das Sarma, WWW'07 §3) — the scale-correct
+    replacement for any per-block all-pairs Hamming join.
+
+    The fingerprint is split into ``max_hamming + 1`` contiguous bit
+    segments. A pair differing in ≤ ``max_hamming`` bits cannot differ
+    in every segment (pigeonhole), so candidates = the equi-self-join
+    on ``(segment_index, segment_value)`` — exact, not probabilistic —
+    followed by the exact-Hamming verify and a pair-distinct (a pair
+    that agrees on several segments is found several times).
+
+    Plan shape: one (d+1)-way explode of (id, fp) rows — fingerprints
+    only, payloads/text never enter — then a shuffle equi-join keyed
+    on the segment value. Bucket count per segment index is
+    2^(bits/(d+1)), so at 100 TB use 64-bit fingerprints (d=3 → 16-bit
+    segments → 65 536 buckets per index); a 32-bit fp with d=3 gives
+    only 256 buckets per index and buckets grow O(n). Degenerate
+    segments (e.g. the all-zero low byte of short documents) are the
+    Hamming twin of LSH hot buckets — ``max_bucket_size`` drops
+    oversize buckets exactly like :func:`minhash_lsh_pairs` does
+    (pairs may still surface via their other segments; only pairs
+    whose EVERY agreeing segment is hot are lost, and those are
+    reported, not silently truncated, by the cap being an explicit
+    parameter).
+
+    ``block_col`` additionally confines candidates to equal block
+    values (composes with segments in the same join key — the
+    reference-style source/kind block becomes a prefix of the shuffle
+    key, not a separate pass).
+
+    NULL fingerprints never pair: their segment values are NULL and
+    the equi-join drops them.
+    """
+    n_seg = max_hamming + 1
+    if n_seg > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_seg} segments but the "
+            f"fingerprint has only {bits} bits"
+        )
+    c = F.col(fp_col)
+    segs = []
+    for i in range(n_seg):
+        start = i * bits // n_seg
+        width = (i + 1) * bits // n_seg - start
+        mask = (1 << width) - 1
+        segs.append(
+            F.struct(
+                F.lit(i).alias("__seg"),
+                F.shiftrightunsigned(c, start)
+                .bitwiseAND(F.lit(mask).cast("long"))
+                .alias("__segval"),
+            )
+        )
+    blk = [F.col(block_col)] if block_col else []
+    exploded = fp_df.select(
+        F.col(id_col), *blk, c.alias("__fp"), F.explode(F.array(*segs)).alias("__s")
+    ).select(
+        F.col(id_col),
+        *blk,
+        F.col("__fp"),
+        F.col("__s.__seg").alias("__seg"),
+        F.col("__s.__segval").alias("__segval"),
+    )
+    keys = ([block_col] if block_col else []) + ["__seg", "__segval"]
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(
+                f"max_bucket_size must be >= 2 (a pair needs two members), "
+                f"got {max_bucket_size}"
+            )
+        keep = (
+            exploded.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .select(*keys)
+        )
+        exploded = exploded.join(keep, keys, "left_semi")
+    left = exploded.select(
+        *keys, F.col(id_col).alias("id_left"), F.col("__fp").alias("__fp_l")
+    )
+    right = exploded.select(
+        *keys, F.col(id_col).alias("id_right"), F.col("__fp").alias("__fp_r")
+    )
+    hamming = F.bit_count(F.col("__fp_l").bitwiseXOR(F.col("__fp_r")))
+    return (
+        left.join(right, on=keys, how="inner")
+        .filter(F.col("id_left") < F.col("id_right"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_left", "id_right", "hamming")
+        .distinct()
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -503,12 +607,16 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     block_col: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
 
-    Blocked variant joins within ``block_col``; at full scale the
-    standard trick is to join on rotated fingerprint prefixes — here
-    the block column plays that role for the fixtures.
+    Candidate generation is ALWAYS pigeonhole segment blocking
+    (:func:`hamming_segment_pairs`) — exact, so the result set is
+    identical to an all-pairs Hamming join but the plan is a segment
+    equi-join, never a cross join. ``block_col`` (the reference-style
+    source block) additionally confines pairs to equal block values;
+    it is an extra join key, not the thing saving the plan from O(n²).
     """
     s = simhash_df(
         spread(df),
@@ -516,23 +624,15 @@ def simhash_pairs(
         id_col=id_col,
         bits=bits,
         carry_cols=(block_col,) if block_col else (),
-    ).withColumnRenamed("simhash", "sh")
-    left = s.select(
-        *([F.col(block_col)] if block_col else []),
-        F.col(id_col).alias("id_left"), F.col("sh").alias("sh_l"),
     )
-    right = s.select(
-        *([F.col(block_col)] if block_col else []),
-        F.col(id_col).alias("id_right"), F.col("sh").alias("sh_r"),
-    )
-    joined = (
-        left.join(right, on=[block_col]) if block_col else left.crossJoin(right)
-    ).filter(F.col("id_left") < F.col("id_right"))
-    hamming = F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r")))
-    return (
-        joined.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_left", "id_right", "hamming")
+    return hamming_segment_pairs(
+        s,
+        fp_col="simhash",
+        id_col=id_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        block_col=block_col,
+        max_bucket_size=max_bucket_size,
     )
 
 

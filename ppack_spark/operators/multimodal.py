@@ -138,30 +138,33 @@ def phash_near_dup_pairs(
     media: DataFrame,
     id_col: str = "doc_id",
     hex_col: str = "payload_hex",
-    block_col: str = "kind",
+    block_col: str | None = "kind",
     max_hamming: int = 6,
     bits: int = _DHASH_BITS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate media pairs: Hamming(dhash) ≤ ``max_hamming``
-    within ``block_col`` blocks. Only (id, block, phash) enters the
-    join — payload bytes never shuffle."""
+    """Near-duplicate media pairs: Hamming(dhash) ≤ ``max_hamming``,
+    candidates by pigeonhole segment blocking
+    (:func:`~ppack_spark.operators.dedup.hamming_segment_pairs` —
+    exact, never all-pairs), additionally confined to ``block_col``
+    blocks when given. Only (id, block, phash) enters the join —
+    payload bytes never shuffle."""
+    from .dedup import hamming_segment_pairs
+
     s = media.select(
-        F.col(id_col), F.col(block_col), dhash_from_hex(hex_col, bits).alias("ph")
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        dhash_from_hex(hex_col, bits).alias("ph"),
     )
-    left = s.select(
-        F.col(block_col), F.col(id_col).alias("id_left"), F.col("ph").alias("ph_l")
-    )
-    right = s.select(
-        F.col(block_col), F.col(id_col).alias("id_right"), F.col("ph").alias("ph_r")
-    )
-    hamming = F.bit_count(F.col("ph_l").bitwiseXOR(F.col("ph_r")))
-    return (
-        left.join(right, on=[block_col])
-        .filter(F.col("id_left") < F.col("id_right"))
-        .withColumn("hamming", hamming.cast("long"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_left", "id_right", "hamming")
-    )
+    return hamming_segment_pairs(
+        s,
+        fp_col="ph",
+        id_col=id_col,
+        bits=bits,
+        max_hamming=max_hamming,
+        block_col=block_col,
+        max_bucket_size=max_bucket_size,
+    ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def media_near_dedup(

@@ -678,10 +678,15 @@ def budget_mix(
         pairs.append(F.lit(float(w) / total_w))
     wexpr = F.create_map(*pairs)[F.col(group_col)]
     # drop no-weight groups BEFORE least(): least() skips NULLs, so a
-    # NULL allocation would otherwise silently become rate 1.0
+    # NULL allocation would otherwise silently become rate 1.0. Same
+    # trap on the size side: a group whose size_col is all-NULL (or
+    # zero) sums to NULL/0 __t, the rate expression goes NULL/inf,
+    # and least() would keep the group WHOLE — drop it instead (the
+    # same fate as an unweighted group: no valid allocation, no rows).
     rates = (
         sizes.select(group_col, F.col("__t"), wexpr.alias("__w"))
         .filter(F.col("__w").isNotNull())
+        .filter(F.col("__t").isNotNull() & (F.col("__t") > 0))
         .select(
             group_col,
             F.least(

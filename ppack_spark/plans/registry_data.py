@@ -747,6 +747,66 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
 
 
+@query(
+    "simhash_near_dup_banded",
+    """
+    with toks as (
+        select distinct doc_id, tok
+        from (
+            select doc_id,
+                   unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) as tok
+            from documents
+        )
+    ),
+    hashed as (
+        select doc_id, cast(('0x' || substr(md5(tok), 1, 8)) as bigint) as hv
+        from toks
+    ),
+    votes as (
+        select doc_id, b,
+               sum(case when (hv >> b) & 1 = 1 then 1 else -1 end) as v
+        from hashed cross join unnest(generate_series(0, 31)) as tb(b)
+        group by doc_id, b
+    ),
+    fp as (
+        select doc_id,
+               cast(sum(case when v > 0 then (1::bigint << b) else 0 end)
+                    as bigint) as simhash
+        from votes
+        group by doc_id
+    ),
+    seg as (
+        select doc_id, simhash, s as seg_idx,
+               (simhash >> (s * 8)) & 255 as seg_val
+        from fp cross join unnest(generate_series(0, 3)) as ts(s)
+    )
+    select distinct a.doc_id as id_left, b.doc_id as id_right,
+           bit_count(xor(a.simhash, b.simhash)) as hamming
+    from seg a
+    join seg b on a.seg_idx = b.seg_idx and a.seg_val = b.seg_val
+              and a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide SimHash near-dup WITHOUT a block column: candidate
+    pairs by pigeonhole segment blocking (Manku et al. WWW'07 —
+    operators/dedup.py:hamming_segment_pairs). The 32-bit fingerprint
+    splits into max_hamming+1 = 4 byte segments; every pair at Hamming
+    ≤ 3 must agree on one of them, so candidates are an equi-join on
+    (segment_idx, segment_value) — no cross join anywhere — and the
+    oracle replays the segmentation, join, verify, and pair-distinct
+    stage for stage. At 100 TB widen to 64-bit fingerprints (16-bit
+    segments → 65 536 buckets per index) and cap degenerate segments
+    with max_bucket_size."""
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        bits=32,
+        max_hamming=3,
+        block_col=None,
+    ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
+
+
 # --------------------------------------------------------------------
 # multimodal — opaque binary payload columns (operators/multimodal.py)
 # --------------------------------------------------------------------
@@ -837,6 +897,45 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.count()
     media = with_fake_media(d.select("doc_id"), dup_groups=max(n // 5, 1))
     return phash_near_dup_pairs(media).select(
+        "id_left", "id_right", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@query(
+    "phash_near_dup_banded",
+    _MEDIA_SQL + """,
+    seg as (
+        select h.doc_id, h.phash, s.seg_idx,
+               (h.phash >> s.seg_start) & s.seg_mask as seg_val
+        from hashed h
+        cross join (values (0, 0, 15), (1, 4, 31), (2, 9, 15), (3, 13, 31),
+                           (4, 18, 15), (5, 22, 31), (6, 27, 31))
+             as s(seg_idx, seg_start, seg_mask)
+    )
+    select distinct a.doc_id as id_left, b.doc_id as id_right,
+           bit_count(xor(a.phash, b.phash)) as hamming
+    from seg a
+    join seg b on a.seg_idx = b.seg_idx and a.seg_val = b.seg_val
+              and a.doc_id < b.doc_id
+    where bit_count(xor(a.phash, b.phash)) <= 6
+    """,
+)
+def phash_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup across ALL kinds (no block column): dHash pairs
+    at Hamming ≤ 6 with candidates from pigeonhole segment blocking —
+    the 32-bit fingerprint splits into 7 segments (widths 4/5 by the
+    floor(i·bits/n) layout, exactly what hamming_segment_pairs emits),
+    and the oracle replays the same (seg_idx, seg_start, seg_mask)
+    table, equi-join, Hamming verify, and pair-distinct. Re-encoded
+    copies stored under different media kinds surface here at
+    hamming 0 — the cross-kind recall the kind-blocked gate above
+    gives up by design."""
+    from ..operators.multimodal import phash_near_dup_pairs, with_fake_media
+
+    d = t(spark, sf_dir, "documents")
+    n = d.count()
+    media = with_fake_media(d.select("doc_id"), dup_groups=max(n // 5, 1))
+    return phash_near_dup_pairs(media, block_col=None, max_hamming=6).select(
         "id_left", "id_right", F.col("hamming").cast("long").alias("hamming")
     )
 
@@ -1195,7 +1294,7 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     select doc_id, n_tokens, bucket,
            cast(floor((c - n_tokens) / 512) as bigint) as seq_id,
-           (c - n_tokens) % 512 as seq_offset
+           cast((c - n_tokens) % 512 as bigint) as seq_offset
     from cum
     """,
 )
@@ -3226,13 +3325,15 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         where c_name is not null and c_mktsegment is not null
         group by 1, 2
     )
-    select 0 as pass_idx,
-           coalesce((select sum(a0.na * b0.nb) from a0
-                     join b0 using (c_nationkey)), 0) as est_pairs
+    select cast(0 as bigint) as pass_idx,
+           cast(coalesce((select sum(a0.na * b0.nb) from a0
+                          join b0 using (c_nationkey)), 0) as bigint)
+               as est_pairs
     union all
-    select 1 as pass_idx,
-           coalesce((select sum(a1.na * b1.nb) from a1
-                     join b1 on a1.k0 = b1.k0 and a1.k1 = b1.k1), 0)
+    select cast(1 as bigint),
+           cast(coalesce((select sum(a1.na * b1.nb) from a1
+                          join b1 on a1.k0 = b1.k0 and a1.k1 = b1.k1), 0)
+                as bigint)
     """,
 )
 def blocking_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3344,8 +3445,8 @@ def key_skew_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pk2 as (
         select uid, n_tokens, bucket,
-               (cum - n_tokens) // 256 as seq_id,
-               (cum - n_tokens) % 256 as seq_offset
+               cast((cum - n_tokens) // 256 as bigint) as seq_id,
+               cast((cum - n_tokens) % 256 as bigint) as seq_offset
         from pk
     ),
     sh as (
@@ -3687,7 +3788,8 @@ def events_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     with s as (select * from events)
     select 'event_id' as column,
            count(event_id) as n_non_null,
-           sum(case when event_id is null then 1 else 0 end) as n_null,
+           cast(sum(case when event_id is null then 1 else 0 end) as bigint)
+               as n_null,
            count(distinct event_id) as n_distinct,
            cast(min(event_id) as varchar) as min_value,
            cast(max(event_id) as varchar) as max_value,
@@ -3697,7 +3799,7 @@ def events_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     union all
     select 'event_type',
            count(event_type),
-           sum(case when event_type is null then 1 else 0 end),
+           cast(sum(case when event_type is null then 1 else 0 end) as bigint),
            count(distinct event_type),
            cast(min(event_type) as varchar),
            cast(max(event_type) as varchar),
@@ -3706,7 +3808,7 @@ def events_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     union all
     select 'value',
            count(value),
-           sum(case when value is null then 1 else 0 end),
+           cast(sum(case when value is null then 1 else 0 end) as bigint),
            count(distinct value),
            cast(min(value) as varchar),
            cast(max(value) as varchar),

@@ -43,6 +43,7 @@ __all__ = [
     "streaming_asof_enrich",
     "streaming_corpus_ingest",
     "streaming_cardinality_track",
+    "read_cardinality_estimates",
     "run_to_memory",
 ]
 
@@ -453,46 +454,46 @@ def streaming_cardinality_track(
     lg_k: int = 12,
 ):
     """Continuous distinct-count tracking: each micro-batch is HLL-
-    sketched (``distinct_count_sketches``) and unioned into the
-    sketch table at ``sketch_path`` — "how many unique ids / domains
-    has the feed delivered so far" maintained incrementally, without
-    ever rescanning history. The streaming twin of the batch sketch
-    merge: state lives in STORAGE as one tiny (column, sketch) table
-    (KBs regardless of cardinality), so restarts recover from the
-    files and a replay of the same batches converges to the same
-    estimates within sketch error.
+    sketched (``distinct_count_sketches``) and APPENDED as one tiny
+    (batch_id, column, sketch) row-group at ``sketch_path`` — "how
+    many unique ids / domains has the feed delivered so far",
+    maintained incrementally without ever rescanning history. Read
+    the running estimates with :func:`read_cardinality_estimates`,
+    which unions the per-batch sketches on read (KB-sized inputs, so
+    the merge is free at any history length that matters).
+
+    Crash-safety is by construction, not by protocol: append goes
+    through Spark's commit protocol (task files land under
+    ``_temporary`` until committed — nothing existing is ever
+    deleted, unlike ``mode("overwrite")``, which removes the target
+    directory before writing and can strand a crash with zero state),
+    and HLL union is idempotent (register-wise max), so a replayed
+    micro-batch appends a duplicate sketch row that merges to the
+    exact same registers. Restart + replay therefore converges to the
+    same estimates with no read-modify-write in the hot path at all.
+    Compaction, if a deployment ever needs it, is an offline
+    re-sketch: write the merged table elsewhere and swap directories.
 
     Returns the ``DataStreamWriter``; start with
-    ``.trigger(availableNow=True)`` / ``.start()`` as usual. Read the
-    running estimates any time with ``spark.read.parquet(sketch_path)``.
+    ``.trigger(availableNow=True)`` / ``.start()`` as usual.
     """
-    from ..operators.pipeline import (
-        distinct_count_sketches,
-        merge_distinct_count_sketches,
-    )
+    from ..operators.pipeline import distinct_count_sketches
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         batch_sk = distinct_count_sketches(batch_df, cols, lg_k)
-        try:
-            prev = spark.read.parquet(sketch_path)
-            have = prev.limit(1).count() > 0
-        except AnalysisException as exc:
-            # ONLY a genuinely-absent path means "first batch" — a
-            # transient read failure must fail the batch, not silently
-            # overwrite months of accumulated sketch state with one
-            # batch's sketches
-            if not _is_missing_path(exc):
-                raise
-            have = False
-        merged = (
-            merge_distinct_count_sketches(prev, batch_sk) if have else batch_sk
-        )
-        # one row per tracked column — materialize before overwriting
-        # the very path the merge just read
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(sketch_path)
+        batch_sk.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).coalesce(1).write.mode("append").parquet(sketch_path)
 
     return stream.writeStream.foreachBatch(_process)
+
+
+def read_cardinality_estimates(spark, sketch_path: str) -> DataFrame:
+    """Running distinct-count estimates from a
+    :func:`streaming_cardinality_track` state directory: union the
+    per-batch HLL sketches (idempotent register-max merge, so
+    duplicate rows from replayed batches are harmless) into one
+    (column, sketch, estimate) row per tracked column."""
+    from ..operators.pipeline import merge_distinct_count_sketches
+
+    return merge_distinct_count_sketches(spark.read.parquet(sketch_path))

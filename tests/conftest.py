@@ -53,10 +53,17 @@ def assert_same(
     oracle_pdf: pd.DataFrame,
     round_floats: int | None = 9,
     check_dtype: bool = False,
+    check_kind: bool = True,
 ) -> None:
     """Order-insensitive frame comparison: sort columns by name, sort
     rows by every column, optionally round doubles (FIXTURES.md
-    determinism rules)."""
+    determinism rules).
+
+    check_kind asserts pandas dtype *kind* parity per column (int vs
+    float vs object) — the driver's value hash is dtype-sensitive, so
+    a DuckDB HUGEINT surfacing as float64 where Spark returns bigint
+    is a driver-red even when every value is equal (round-5 verdict:
+    profile_columns / sequence_packing / trainer_export_e2e)."""
     left = spark_df.toPandas()
     right = oracle_pdf.copy()
     assert sorted(left.columns) == sorted(right.columns), (
@@ -65,6 +72,15 @@ def assert_same(
     cols = sorted(left.columns)
     left = left[cols]
     right = right[cols]
+    if check_kind:
+        for c in cols:
+            lk, rk = left[c].dtype.kind, right[c].dtype.kind
+            # int-with-nulls becomes float64 on BOTH conversion paths,
+            # so a genuine kind split is an oracle-SQL dtype bug.
+            assert lk == rk, (
+                f"dtype kind mismatch on {c!r}: spark={left[c].dtype} "
+                f"oracle={right[c].dtype} — cast the oracle SQL column"
+            )
     if round_floats is not None:
         for c in cols:
             if left[c].dtype.kind == "f":

@@ -50,6 +50,83 @@ def test_simhash_carry_cols_with_nulls(spark):
     assert rows[2]["blk"] == "b" and rows[2]["simhash"] is None
 
 
+def test_hamming_segment_pairs_matches_brute_force(spark):
+    """Pigeonhole segment blocking is EXACT: over random 32-bit
+    fingerprints, the segment equi-join + verify returns precisely the
+    brute-force ≤d pair set — including the non-divisible layout
+    (d=4 → 5 segments of widths 6/7 over 32 bits)."""
+    import random
+
+    from ppack_spark.operators.dedup import hamming_segment_pairs
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(32) for _ in range(60)]
+    fps = list(base)
+    for i in range(60):  # plant near-dups at small Hamming distances
+        flip = base[i]
+        for _ in range(rng.randrange(0, 5)):
+            flip ^= 1 << rng.randrange(32)
+        fps.append(flip)
+    df = spark.createDataFrame(
+        [(i, fp) for i, fp in enumerate(fps)], "doc_id long, fp long"
+    )
+    for d in (3, 4):
+        want = {
+            (a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a in range(len(fps))
+            for b in range(a + 1, len(fps))
+            if bin(fps[a] ^ fps[b]).count("1") <= d
+        }
+        got = {
+            (r["id_left"], r["id_right"], r["hamming"])
+            for r in hamming_segment_pairs(
+                df, "fp", bits=32, max_hamming=d
+            ).collect()
+        }
+        assert got == want, f"d={d}"
+
+
+def test_hamming_segment_pairs_null_and_cap(spark):
+    """NULL fingerprints never pair; an oversize segment bucket is
+    dropped by max_bucket_size but pairs still surface via their
+    other (cold) segments."""
+    import pytest
+
+    from ppack_spark.operators.dedup import hamming_segment_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 0), (4, 0)], "doc_id long, fp long"
+    )
+    got = {
+        (r["id_left"], r["id_right"])
+        for r in hamming_segment_pairs(df, "fp", bits=32, max_hamming=3).collect()
+    }
+    assert got == {(3, 4)}
+
+    # all 21 docs share the all-zero low byte (hot segment 0, size 21,
+    # dropped by the cap); the other segments carry distinct values, so
+    # the planted hamming-1 pair (0, 100) keeps cold agreeing segments
+    # (seg2 value 0 and seg3 value 5, each a 2-member bucket) and
+    # survives. Pair (0, 2) sits at hamming 3 but agrees ONLY on the
+    # hot segment — the documented cap loss.
+    fps = [(i, ((i + 5) << 24) | (i << 16) | ((i * 2 + 1) << 8)) for i in range(20)]
+    fps.append((100, fps[0][1] ^ (1 << 9)))  # flips inside segment 1
+    cdf = spark.createDataFrame(fps, "doc_id long, fp long")
+    uncapped = hamming_segment_pairs(cdf, "fp", bits=32, max_hamming=3)
+    got_u = {(r["id_left"], r["id_right"]) for r in uncapped.collect()}
+    assert {(0, 100), (0, 2)} <= got_u
+    capped = hamming_segment_pairs(
+        cdf, "fp", bits=32, max_hamming=3, max_bucket_size=8
+    )
+    got = {(r["id_left"], r["id_right"]) for r in capped.collect()}
+    assert (0, 100) in got
+    assert (0, 2) not in got
+    with pytest.raises(ValueError):
+        hamming_segment_pairs(cdf, "fp", bits=32, max_hamming=3, max_bucket_size=1)
+    with pytest.raises(ValueError):
+        hamming_segment_pairs(cdf, "fp", bits=4, max_hamming=6)
+
+
 def test_near_dedup_corpus_keeps_canonical(spark):
     """Planted near-duplicate group collapses to its min-id member;
     singletons survive; both component kernels agree."""

@@ -1105,6 +1105,16 @@ def test_budget_mix_rates_and_validation(spark):
     with pytest.raises(ValueError):
         budget_mix(df, 100.0, {"en": -1.0})
 
+    # a weighted group whose size_col is all-NULL has no valid
+    # allocation: it must be DROPPED, not silently kept whole via
+    # least(1.0, NULL) -> 1.0 (advisor finding, round 5)
+    nrows = [(0, "en", "a b c", 3), (1, "xx", "d e f", None), (2, "xx", "g h", None)]
+    ndf = spark.createDataFrame(nrows, ["doc_id", "lang", "text", "n_tok"])
+    nout = budget_mix(
+        ndf, 100.0, {"en": 0.5, "xx": 0.5}, group_col="lang", size_col="n_tok"
+    )
+    assert {r["lang"] for r in nout.collect()} == {"en"}
+
 
 def test_quantile_filter_trims_outliers(spark):
     """Rows outside the corpus quantile band are dropped, bounds are

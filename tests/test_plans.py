@@ -249,6 +249,30 @@ def test_semantic_dedup_pairs_are_bucket_equi_join(spark, tables):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_hamming_pairs_are_segment_equi_join(spark, tables, queries):
+    """SimHash/phash near-dup candidates must come from the pigeonhole
+    segment blocking (Manku WWW'07): the self-join is EQUI on the
+    (__seg, __segval) columns — never a cross join, never a
+    block-sized nested-loop fan-in — for the unblocked banded gates
+    AND the source/kind-blocked variants (where the block column is
+    just a further join key)."""
+    for name in (
+        "simhash_near_dup_banded",
+        "phash_near_dup_banded",
+        "simhash_near_dup",
+        "media_phash_near_dup",
+    ):
+        plan = _plan(queries[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        joins = [
+            ln
+            for ln in plan.splitlines()
+            if "Join" in ln and "__segval" in ln and "__seg" in ln
+        ]
+        assert joins, f"{name}: no join keyed on (__seg, __segval)"
+
+
 def test_budget_mix_corpus_never_shuffles(spark, tables, queries):
     """Same contract as temperature_mix: the corpus reaches the
     accept filter via a broadcast of the tiny per-group rate table —

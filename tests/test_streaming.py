@@ -426,7 +426,10 @@ def test_streaming_cardinality_track(spark, tmp_path):
     import pytest
     from pyspark.sql import functions as F
 
-    from ppack_spark.streaming.ops import streaming_cardinality_track
+    from ppack_spark.streaming.ops import (
+        read_cardinality_estimates,
+        streaming_cardinality_track,
+    )
 
     src_dir = str(tmp_path / "feed")
     sk_dir = str(tmp_path / "sketches")
@@ -446,12 +449,25 @@ def test_streaming_cardinality_track(spark, tmp_path):
         "checkpointLocation", str(tmp_path / "ckpt")
     ).start()
     q.awaitTermination(120)
+    # state dir holds one appended sketch row-group per micro-batch;
+    # merge-on-read yields the running estimates
+    state = spark.read.parquet(sk_dir)
+    assert state.select("batch_id").distinct().count() == 3
     got = {
         r["column"]: r["estimate"]
-        for r in spark.read.parquet(sk_dir).collect()
+        for r in read_cardinality_estimates(spark, sk_dir).collect()
     }
     assert got["doc_id"] == pytest.approx(900, rel=0.05)
     assert got["lang"] == pytest.approx(7, rel=0.05)
+    # replay-idempotence: appending a duplicate of an existing batch
+    # sketch must not move the estimates (HLL union is register-max)
+    dup = state.filter(F.col("batch_id") == 0)
+    dup.write.mode("append").parquet(sk_dir)
+    got2 = {
+        r["column"]: r["estimate"]
+        for r in read_cardinality_estimates(spark, sk_dir).collect()
+    }
+    assert got2 == got
 
 
 def test_pure_map_samplers_are_stream_safe(spark, tmp_path):
