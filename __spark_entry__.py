@@ -111,8 +111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for non-SQL ops:
-    linkage_em_params — iterative EM; ann_lsh_topk — approximate)."""
+    """DuckDB-equivalent SQL per query. Omitted only for genuinely
+    non-SQL-replayable ops (linkage_em_end_to_end — iterative EM;
+    ann_pq_topk / ann_ivfpq_topk — k-means codebooks;
+    distinct_sketch_merge — opaque HLL binaries); those are
+    property/recall-gated in tests instead. ann_lsh_topk and
+    ann_ivf_topk ARE oracled: md5-derived hyperplanes and the
+    deterministic fixed-point quantizer replay in SQL."""
     from ppack_spark.plans import registry, registry_data  # noqa: F401
 
     return dict(registry.ORACLE)

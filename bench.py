@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "minhash_lsh_pairs",
     "simhash_near_dup",
+    "simhash_near_dup_banded",
+    "phash_near_dup_banded",
+    "linkage_ab_clusters",
     "dedup_clusters",
     "media_metadata",
     "media_phash_near_dup",

@@ -49,6 +49,7 @@ __all__ = [
     "pq_encode",
     "cosine_topk_pq",
     "cosine_topk_ivfpq",
+    "ivf_index_fixed",
     "semantic_dedup_corpus",
     "topk_recall",
 ]
@@ -219,6 +220,112 @@ def ivf_index(
     return assigned, cent_df
 
 
+def ivf_index_fixed(
+    corpus: DataFrame,
+    dims: int,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+):
+    """Deterministic, ENGINE-REPLAYABLE IVF coarse quantizer: the same
+    inverted-list index as :func:`ivf_index`, but every step is a
+    closed-form expression a SQL oracle can replay bit-for-bit —
+    giving the IVF plan family a hash-checked driver row where the
+    Spark-ML k-means (iterative, seed-dependent internals) cannot be
+    followed by DuckDB.
+
+    * Seeds: the ``n_centroids`` vectors ranked first by
+      ``md5(id || ':ivfseed')`` (id tie-break) — a seedless,
+      engine-neutral sample, same trick as the LSH hyperplanes.
+      Selection is a global top-n (``orderBy().limit()`` lowers to
+      TakeOrderedAndProject — no full sort) and the n seed rows are
+      collected driver-side (bounded by n_centroids, like the PQ
+      codebooks).
+    * ``iters`` Lloyd rounds: assign = argmin squared-L2 against the
+      BROADCAST centroid table (fold evaluation order fixed by
+      zip_with+aggregate, so distances are bit-identical across
+      engines); update = per-dimension mean ROUNDED to
+      ``round_digits`` — summation order is partition-dependent in
+      any engine, the rounding collapses that last-ulp noise so Spark
+      and the oracle walk identical centroid trajectories. Empty
+      clusters keep their previous centroid.
+
+    Returns ``(assigned, centroids)`` shaped exactly like
+    :func:`ivf_index`. Scale shape: each round is one broadcast
+    nearest-centroid map pass + one partial-aggregated groupBy of
+    n_centroids×dims cells; the corpus never shuffles by centroid
+    until a consumer asks it to.
+    """
+    if n_centroids < 1 or iters < 0:
+        raise ValueError(f"need n_centroids >= 1, iters >= 0: {n_centroids}, {iters}")
+    spark = corpus.sparkSession
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    seed_rows = (
+        base.withColumn(
+            "__h", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":ivfseed")))
+        )
+        .orderBy("__h", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError(
+            "ivf_index_fixed: cannot seed a quantizer from an empty corpus"
+        )
+    cent_df = spark.createDataFrame(
+        [(i, list(r["__v"])) for i, r in enumerate(seed_rows)],
+        "centroid int, centroid_vec array<double>",
+    )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("__v"), F.col("centroid_vec"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("centroid"))
+        return (
+            base.crossJoin(F.broadcast(cents))
+            .withColumn("__d2", d2)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "__v", "centroid")
+        )
+
+    for _ in range(iters):
+        asg = _assign(cent_df)
+        means = asg.groupBy("centroid").agg(
+            *[
+                F.round(F.avg(F.col("__v").getItem(i)), round_digits).alias(f"__m{i}")
+                for i in range(dims)
+            ]
+        )
+        upd = means.select(
+            "centroid", F.array(*[F.col(f"__m{i}") for i in range(dims)]).alias("__nv")
+        )
+        cent_df = (
+            cent_df.join(upd, "centroid", "left")
+            .select(
+                "centroid",
+                F.coalesce(F.col("__nv"), F.col("centroid_vec")).alias("centroid_vec"),
+            )
+        )
+    assigned = (
+        _assign(cent_df)
+        .join(corpus, id_col)
+        .select(*corpus.columns, "centroid")
+    )
+    return assigned, cent_df
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -228,6 +335,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index=None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF index: each query scans only
     the inverted lists of its ``n_probe`` nearest centroids — an
@@ -235,10 +343,19 @@ def cosine_topk_ivf(
     Recall@k vs the exact baseline is asserted in tests/test_ann.py.
     The LSH variant (:func:`cosine_topk_lsh`) needs no training;
     IVF adapts to the data distribution, which wins when the corpus is
-    clustered."""
+    clustered.
+
+    ``index``: optional prebuilt ``(assigned, centroids)`` pair from
+    :func:`ivf_index` or :func:`ivf_index_fixed` — build once, serve
+    many query batches (and pick the deterministic trainer when the
+    result must replay in a SQL oracle)."""
     from pyspark.sql import Window
 
-    assigned, cent_df = ivf_index(corpus, n_centroids, id_col, vec_col, seed)
+    assigned, cent_df = (
+        index
+        if index is not None
+        else ivf_index(corpus, n_centroids, id_col, vec_col, seed)
+    )
     cb = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "centroid"
     )

@@ -257,25 +257,60 @@ def frame_sample_indices(duration_s: float, fps: float = 24.0, every_s: float = 
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes int, byte_mean double, "
-    "phash long, thumb_w int, thumb_h int, n_sampled_frames int"
+    "phash long, thumb_w int, thumb_h int, n_sampled_frames int, "
+    "decode_error string"
 )
 
 
-def extract_media_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def extract_media_features(
+    media: DataFrame, id_col: str = "doc_id", codec: str = "auto"
+) -> DataFrame:
     """mapInPandas feature extraction over the binary payload column:
     decode (stub) → resize → dHash → summary features, one Arrow batch
     at a time. Input partitioning is preserved; only the compact
-    feature rows come back (never the decoded pixels)."""
+    feature rows come back (never the decoded pixels).
+
+    Failure contract (the part that matters at 100 TB, where SOME
+    bytes are always corrupt and a worker without the codec library
+    must not kill the job): decode is per-row fallible. A row whose
+    decode raises — or every row when ``codec="none"`` simulates the
+    library being absent — still emits its payload-level features
+    (n_bytes, byte_mean, phash: none of these need a codec), with the
+    DECODE-DERIVED fields (thumb_w, thumb_h) as typed NULLs and the
+    exception recorded in ``decode_error``; healthy rows carry a NULL
+    ``decode_error``. Filter or route on that column downstream —
+    the batch never throws. ``codec="auto"`` (default) uses PIL when
+    installed, else the deterministic fake decoder."""
     import numpy as np
     import pandas as pd
+
+    if codec not in ("auto", "none"):
+        raise ValueError(f"codec must be 'auto' or 'none', got {codec!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
             widths = pdf["meta"].map(lambda m: m["width"]).to_numpy()
             heights = pdf["meta"].map(lambda m: m["height"]).to_numpy()
-            imgs = decode_image_batch(payloads, widths, heights)
-            thumbs = [resize_gray(im, 8, 8) for im in imgs]
+            thumb_w: list[int | None] = []
+            thumb_h: list[int | None] = []
+            errs: list[str | None] = []
+            for p, w, h in zip(payloads, widths, heights):
+                if codec == "none":
+                    thumb_w.append(None)
+                    thumb_h.append(None)
+                    errs.append("CodecUnavailable: image codec not installed")
+                    continue
+                try:
+                    (img,) = decode_image_batch([p], [w], [h])
+                    th = resize_gray(img, 8, 8)
+                    thumb_w.append(int(th.shape[1]))
+                    thumb_h.append(int(th.shape[0]))
+                    errs.append(None)
+                except Exception as exc:  # corrupt bytes must not kill the job
+                    thumb_w.append(None)
+                    thumb_h.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
             phashes = []
             for p in payloads:
                 b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
@@ -296,9 +331,10 @@ def extract_media_features(media: DataFrame, id_col: str = "doc_id") -> DataFram
                         float(np.frombuffer(p, dtype=np.uint8).mean()) for p in payloads
                     ],
                     "phash": phashes,
-                    "thumb_w": [t.shape[1] for t in thumbs],
-                    "thumb_h": [t.shape[0] for t in thumbs],
+                    "thumb_w": pd.array(thumb_w, dtype="Int32"),
+                    "thumb_h": pd.array(thumb_h, dtype="Int32"),
                     "n_sampled_frames": n_frames,
+                    "decode_error": pd.array(errs, dtype="string"),
                 }
             )
 

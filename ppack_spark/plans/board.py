@@ -23,76 +23,80 @@ every registered query, board or not — is verified against the same
 oracle at the same scale by ``tests/test_registry_oracle.py``; board
 rotation only changes which 50 rows the driver snapshot shows.
 
-Round-5 rotation policy: keep a small linkage spine (the reference's
-core chain stays visibly green), and rotate in the gates that have
-never had a driver row — the corpus/LLM-pipeline operators added in
-rounds 4-5 plus the judge-requested ANN rows.  The union of the r4
-board (CORRECTNESS_r04.json, in-repo) and this board covers 95+ of
-the ~100 gates.
+Round-6 rotation policy (union-completion round): every gate that has
+NEVER had a driver row gets one — the 22 never-recorded gates the
+round-5 verdict enumerated — plus this round's new gates (the banded
+Hamming pair generators, the A-B cluster resolution, and the two ANN
+gates that just gained SQL oracles), the three oracle-dtype fixes
+that were driver-red in r5 (now hash-checkable again), a 6-gate
+linkage spine, and re-verification rows for the r4-era chain the
+bench flagged (posterior/threshold/calibration).  With this board the
+UNION of the r1–r6 snapshots covers every registered gate.  The full
+suite is still verified every round by tests/test_registry_oracle.py,
+and the complete all-gate artifact is published alongside the board
+(verify_all.py → CORRECTNESS_full.json) so off-board gates stay
+externally auditable.
 """
 
 from __future__ import annotations
 
 # The 50 queries the driver board records this round, in order.
 BOARD: list[str] = [
-    # -- linkage spine (reference core chain; driver-green r1-r4) --
+    # -- linkage spine (reference core chain; driver-green r1-r5) --
     "blocking_multi_pass",
     "comparison_vectors",
     "jw_comparator_buckets",
     "match_weight_scoring",
     "linkage_em_params",
     "threshold_topk",
-    # -- events / relational: first-ever driver rows --
-    "events_asof_forward",
-    "events_trailing_agg",
+    # -- r5 driver-red dtype fixes: prove them hash-green --
     "profile_columns",
-    "events_funnel",
-    "events_cohort_retention",
-    "salted_join_orders",
-    "key_skew_report",
-    # -- near-dup dedup family (incl. the verified-LSH fix and the
-    #    production 128-hash settings) --
-    "near_dedup_corpus",
-    "minhash_lsh_pairs_wide",
-    "near_dedup_corpus_wide",
-    "minhash_jaccard_est",
-    "minhash_lsh_pairs_ab",
-    "corpus_delta_merge_fuzzy",
-    "corpus_delta_merge",
-    "line_dedup_corpus",
-    "repeated_spans",
-    "remove_repeated_spans",
-    "dedup_keep_best",
-    "semantic_dedup",
-    # -- text quality / scoring --
-    "quality_filter_flags",
-    "pii_stats",
-    "script_fractions",
-    "repetition_signals",
-    "lm_quality_score",
-    "lm_bigram_score",
-    "lm_perplexity_buckets",
-    "dsir_importance",
-    "quality_classifier_score",
-    "top_term_coverage",
-    # -- selection / packing / training prep --
-    "sample_uniform_hash",
-    "sample_stratified_quota",
-    "temperature_mix",
-    "corpus_split",
-    "corpus_shuffle",
-    "corpus_upsample",
     "sequence_packing",
-    # -- decontamination / composed pipelines / IO --
-    "eval_decontamination",
-    "bloom_decontamination",
-    "corpus_pipeline_e2e",
     "trainer_export_e2e",
-    "jsonl_roundtrip",
-    # -- ANN rows (no-oracle by design; recall-gated in tests/test_ann.py) --
-    "ann_pq_topk",
+    # -- never-recorded gates (round-5 verdict list, all 22) --
+    "two_dataset_linkage",
+    "media_near_dedup",
+    "tfidf_cosine_pairs",
+    "lm_interp_score",
+    "lm_ref_score",
+    "stratified_topk",
+    "curriculum_order",
+    "budget_mix",
+    "corpus_split_leakage_safe",
+    "near_dedup_keep_best",
+    "minhash_lsh_pairs_capped",
+    "dup_rate_report",
+    "corpus_stage_report",
+    "corpus_data_card",
+    "doc_chunks",
+    "zorder_layout",
+    "blocking_estimate",
+    "quantile_length_filter",
+    "distinct_sketch_merge",
+    "orc_roundtrip",
+    "ann_recall_report",
+    "events_anomaly_flags",
+    # -- new round-6 gates --
+    "simhash_near_dup_banded",
+    "phash_near_dup_banded",
+    "linkage_ab_clusters",
     "ann_lsh_topk",
-    "ann_ivfpq_topk",
+    "ann_ivf_topk",
+    # -- re-verification: r4-era rows, incl. the bench-flagged chain --
+    "posterior_probability",
+    "threshold_rank",
+    "calibration_glm",
+    "calibration_curve",
+    "pairs_dataset",
+    "u_prob_frequencies",
+    "pattern_counts",
+    "etl_roundtrip",
+    "dedup_exact",
+    "dedup_clusters",
+    "simhash_near_dup",
+    "media_phash_near_dup",
+    "q1_pricing_summary",
+    "bucketed_join_revenue",
 ]
 
 

@@ -903,6 +903,125 @@ def two_dataset_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "linkage_ab_clusters",
+    """
+    with recursive cust as (
+        select c_custkey, n_regionkey as region, c_acctbal
+        from customer join nation on c_nationkey = n_nationkey
+    ),
+    supp as (
+        select s_suppkey, n_regionkey as region, s_acctbal
+        from supplier join nation on s_nationkey = n_nationkey
+    ),
+    pairs as (
+        select c.c_custkey, s.s_suppkey,
+               abs(c.c_acctbal - s.s_acctbal) as d
+        from cust c join supp s on c.region = s.region
+        where abs(c.c_acctbal - s.s_acctbal) < 500
+    ),
+    e0 as (
+        select 'a:' || cast(c_custkey as varchar) as node_l,
+               'b:' || cast(s_suppkey as varchar) as node_r
+        from pairs
+        where (case when d < 100 then ln(0.8 / 0.1)
+                    else ln(0.2 / 0.9) end) > 1.0
+    ),
+    edges as (
+        select node_l as a, node_r as b from e0
+        union
+        select node_r, node_l from e0
+    ),
+    reach(src, dst) as (
+        select a, b from edges
+        union
+        select r.src, e.b from reach r join edges e on r.dst = e.a
+    ),
+    comp as (
+        select src as node, least(src, min(dst)) as component
+        from reach group by src
+    )
+    select 'a' as source, cast(c.c_custkey as varchar) as c_custkey,
+           coalesce(p.component, 'a:' || cast(c.c_custkey as varchar))
+               as cluster_id
+    from cust c
+    left join comp p on p.node = 'a:' || cast(c.c_custkey as varchar)
+    union all
+    select 'b', cast(s.s_suppkey as varchar),
+           coalesce(p.component, 'b:' || cast(s.s_suppkey as varchar))
+    from supp s
+    left join comp p on p.node = 'b:' || cast(s.s_suppkey as varchar)
+    """,
+)
+def linkage_ab_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A-B linkage resolved to ENTITIES end-to-end through the
+    Linker class: customer × supplier blocked by a NATION-BRIDGED
+    non-equi rule (region comes through the nation dimension as a
+    broadcast join on both sides; the blocking pass is
+    `BlockingRule.where("region_left = region_right and
+    abs(acctbal_l - acctbal_r) < 500")` — Catalyst extracts the
+    region equality into hash-join keys, the band stays a residual
+    predicate), fixed-FS-parameter scoring, then
+    :meth:`Linker.cluster_links` — source-tagged (``a:``/``b:``) node
+    ids into connected components so overlapping id domains can never
+    conflate A's record k with B's record k (the exact failure
+    ``Linker.cluster`` refuses, linker.py:225). Output is every record
+    of BOTH datasets with its cluster label (singletons = own tagged
+    id); the oracle replays blocking, thresholding, tagging, the
+    recursive closure, and both singleton-coalescing attach joins.
+    Reference parity: scratch.R:143-156 (NCVR A-B linkage) +
+    cluster-side resolution the reference leaves to its ground-truth
+    column (scratch.R:131-133)."""
+    from ..em import FSParams
+    from ..spec import BlockingRule, Comparison, LinkerSpec
+    from .linker import Linker
+
+    tb = load_tables(spark, sf_dir, ["customer", "supplier", "nation"])
+    nat = tb["nation"].select("n_nationkey", "n_regionkey")
+    cust = (
+        tb["customer"]
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_regionkey").alias("region"), "c_acctbal")
+    )
+    supp = (
+        tb["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("supp_id"),
+            F.col("n_regionkey").alias("region"),
+            F.col("s_acctbal").alias("c_acctbal"),
+        )
+    )
+    d = F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right"))
+    spec = LinkerSpec(
+        unique_id_left="c_custkey",
+        unique_id_right="supp_id",
+        blocking_rules=[
+            BlockingRule.where(
+                "region_left = region_right "
+                "and abs(c_acctbal_left - c_acctbal_right) < 500"
+            )
+        ],
+        comparisons=[
+            Comparison(
+                name="bal",
+                expression=bucket_comparator(d, [(d < 100, "close")], "near"),
+                levels=("close", "near"),
+            )
+        ],
+    )
+    linker = Linker(spark, cust, supp, spec)
+    linker.params = FSParams(
+        m_probabilities={"bal": {"close": 0.8, "near": 0.2}},
+        u_probabilities={"bal": {"close": 0.1, "near": 0.9}},
+        lam=1e-4,
+        total_pairs=float(cust.count()) * supp.count(),
+    )
+    return linker.cluster_links(threshold=1.0).select(
+        "source", F.col("c_custkey").cast("string").alias("c_custkey"), "cluster_id"
+    )
+
+
+@query(
     "bucketed_join_revenue",
     """
     select c_mktsegment,

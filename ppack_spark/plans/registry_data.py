@@ -1098,19 +1098,119 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")  # no SQL oracle: k-means training is iterative;
-# recall@10 >= 0.8 vs the exact baseline is asserted in tests/test_ann.py
+def _ivf_assign_sql(cent: str, out: str) -> str:
+    """One Lloyd assignment CTE pair: argmin squared-L2 of every
+    vector against the ``cent`` centroid table (centroid-id
+    tie-break), emitted as CTE ``{out}``."""
+    l2 = (
+        "list_reduce(list_transform(generate_series(1, 64), i -> "
+        f"(e.embedding[i]::double - c.cvec[i]) * "
+        f"(e.embedding[i]::double - c.cvec[i])), (x, y) -> x + y)"
+    )
+    return f"""
+    {out} as (
+        select vec_id, centroid from (
+            select e.vec_id, c.centroid,
+                   row_number() over (
+                       partition by e.vec_id order by {l2} asc, c.centroid asc
+                   ) as rn
+            from e cross join {cent} c
+        ) where rn = 1
+    )"""
+
+
+def _ivf_update_sql(asg: str, prev: str, out: str) -> str:
+    """One Lloyd update CTE chain: per-dimension means of ``asg``'s
+    clusters rounded to 6 decimals (summation-order noise collapsed,
+    so both engines walk identical centroid trajectories); empty
+    clusters keep their ``prev`` centroid."""
+    return f"""
+    {out}_m as (
+        select a.centroid, ti.i,
+               round(avg(e2.embedding[ti.i]::double), 6) as m
+        from {asg} a join e e2 using (vec_id)
+        cross join unnest(generate_series(1, 64)) as ti(i)
+        group by a.centroid, ti.i
+    ),
+    {out}_u as (
+        select centroid, list(m order by i) as cvec
+        from {out}_m group by centroid
+    ),
+    {out} as (
+        select p.centroid, coalesce(u.cvec, p.cvec) as cvec
+        from {prev} p left join {out}_u u using (centroid)
+    )"""
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    with e as (select vec_id, embedding from embeddings),
+    c0 as (
+        select cast(rn - 1 as int) as centroid, cvec from (
+            select row_number() over (
+                       order by md5(cast(vec_id as varchar) || ':ivfseed'),
+                                vec_id
+                   ) as rn,
+                   list_transform(embedding, x -> x::double) as cvec
+            from e
+        ) where rn <= 8
+    ),{_ivf_assign_sql('c0', 'a1')},{_ivf_update_sql('a1', 'c0', 'c1')},
+    {_ivf_assign_sql('c1', 'a2')},{_ivf_update_sql('a2', 'c1', 'c2')},
+    {_ivf_assign_sql('c2', 'af')},
+    qc as (
+        select q.vec_id as query_id, c.centroid,
+               {_cos_sql('q.embedding', 'c.cvec')} as cd
+        from e q cross join c2 c
+        where q.vec_id < 5
+    ),
+    pr as (
+        select query_id, centroid from (
+            select *, row_number() over (
+                partition by query_id order by cd desc, centroid
+            ) as rn from qc
+        ) where rn <= 5
+    ),
+    scored as (
+        select p.query_id, af.vec_id as neighbor_id,
+               round({_cos_sql('qe.embedding', 'ce.embedding')}, 6) as cos_sim
+        from pr p
+        join af on p.centroid = af.centroid
+        join e qe on qe.vec_id = p.query_id
+        join e ce on ce.vec_id = af.vec_id
+        where p.query_id <> af.vec_id
+    )
+    select query_id, neighbor_id, cos_sim, rank from (
+        select *, row_number() over (
+            partition by query_id order by cos_sim desc, neighbor_id
+        ) as rank
+        from scored
+    ) where rank <= 10
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: k-means inverted lists, each query scans
-    its n_probe nearest centroids' lists (equi-join on centroid id).
-    Config matches the recall-gated one in tests/test_ann.py."""
-    from ..operators.ann import cosine_topk_ivf
+    """IVF approximate top-k: inverted lists from the DETERMINISTIC
+    quantizer (operators/ann.py:ivf_index_fixed — md5-ranked seeds,
+    2 Lloyd rounds with 6-decimal-rounded means), each query scanning
+    its n_probe=5 nearest centroids' lists via an equi-join on the
+    centroid id. The oracle replays the entire index build (seeding,
+    both assignment/update rounds, final lists) plus probe selection
+    and re-rank, so the approximate result is hash-checked — the
+    Spark-ML k-means trainer (ivf_index) remains the adaptive
+    alternative, recall-gated in tests/test_ann.py."""
+    from ..operators.ann import cosine_topk_ivf, ivf_index_fixed
 
     e = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = e.filter(F.col("vec_id") < 5)
-    return cosine_topk_ivf(queries, e, k=10, n_centroids=8, n_probe=5)
+    idx = ivf_index_fixed(e, dims=64, n_centroids=8, iters=2)
+    return cosine_topk_ivf(
+        queries, e, k=10, n_probe=5, index=idx
+    ).select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @query("ann_pq_topk")  # no SQL oracle: k-means codebooks are iterative;
@@ -1131,19 +1231,75 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pq(queries, e, k=10)
 
 
-@query("ann_lsh_topk")  # no SQL oracle: approximate by construction;
-# recall@10 >= 0.8 vs the exact baseline is asserted in tests/test_ann.py
+_PLANE_SQL = (
+    "(cast(('0x' || substr(md5(cast({b} as varchar) || ':' "
+    "|| cast(i - 1 as varchar)), 1, 8)) as bigint) / 2147483648.0 - 1.0)"
+)
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    with e as (select vec_id, embedding from embeddings),
+    dots as (
+        select vec_id, b,
+               list_reduce(list_transform(generate_series(1, 64), i ->
+                   embedding[i]::double * {_PLANE_SQL.format(b='b')}),
+                   (x, y) -> x + y) as dp
+        from e cross join unnest(generate_series(0, 3)) as tb(b)
+    ),
+    bk as (
+        select vec_id,
+               cast(sum(case when dp > 0 then (1::bigint << b) else 0 end)
+                    as bigint) as bucket
+        from dots group by vec_id
+    ),
+    qp as (
+        select vec_id as query_id, xor(bucket, m) as bucket
+        from bk cross join unnest([0, 1, 2, 4, 8, 3, 5, 9, 6, 10, 12]) as tm(m)
+        where vec_id < 5
+    ),
+    cand as (
+        select distinct q.query_id, c.vec_id as neighbor_id
+        from qp q join bk c on q.bucket = c.bucket
+        where q.query_id <> c.vec_id
+    ),
+    scored as (
+        select cand.query_id, cand.neighbor_id,
+               round({_cos_sql('qe.embedding', 'ce.embedding')}, 6) as cos_sim
+        from cand
+        join e qe on qe.vec_id = cand.query_id
+        join e ce on ce.vec_id = cand.neighbor_id
+    )
+    select query_id, neighbor_id, cos_sim, rank from (
+        select *, row_number() over (
+            partition by query_id order by cos_sim desc, neighbor_id
+        ) as rank
+        from scored
+    ) where rank <= 10
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-k — the 100 TB path
     where the corpus×corpus cross join is replaced by a bucket join.
-    Config matches the recall-gated one in tests/test_ann.py."""
+    Config matches the recall-gated one in tests/test_ann.py. The
+    hyperplanes are md5-derived literals (operators/ann.py:
+    _hyperplane), so the ORACLE replays the whole pipeline — sketch
+    bits, multi-probe mask fan-out (Hamming ≤ 2 over 4 planes),
+    bucket equi-join, candidate dedup, and the exact re-rank — making
+    the approximate result hash-checkable, not merely recall-gated."""
     from ..operators.ann import cosine_topk_lsh
 
     e = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = e.filter(F.col("vec_id") < 5)
-    return cosine_topk_lsh(queries, e, dims=64, k=10, n_planes=4, multi_probe=2)
+    return cosine_topk_lsh(
+        queries, e, dims=64, k=10, n_planes=4, multi_probe=2
+    ).select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 # --------------------------------------------------------------------
@@ -2839,6 +2995,14 @@ _LM_INTERP_SQL = """
 
 @query(
     "lm_interp_score",
+    # float-parity contract: (1-λ) = 0.30000000000000004 as a DOUBLE,
+    # not the decimal "0.3" — the Spark side computes F.lit(1.0 - 0.7)
+    # (operators/pipeline.py:interpolated_bigram_logprob), and the
+    # oracle must multiply by the bit-identical IEEE value or the
+    # 6-decimal rounding can land on opposite sides of a boundary.
+    # repr() round-trips the exact double into SQL text; if the Spark
+    # side ever takes λ as a parameter, format THIS string from the
+    # same Python float, never from a hand-typed decimal.
     _LM_INTERP_SQL.format(lam=repr(0.7), oml=repr(1.0 - 0.7)),
 )
 def lm_interp_score(spark: SparkSession, sf_dir: str) -> DataFrame:

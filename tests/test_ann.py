@@ -67,6 +67,31 @@ def test_ivf_recall_at_10(embeddings, exact_pairs):
     assert recall >= 0.8, f"IVF recall@10 = {recall:.3f}"
 
 
+def test_ivf_fixed_recall_and_determinism(embeddings, exact_pairs):
+    """The deterministic (oracle-replayable) quantizer must match the
+    Spark-ML-trained IVF's recall bar at the gate config, and building
+    the index twice must yield identical inverted lists (the property
+    the SQL oracle depends on)."""
+    from ppack_spark.operators.ann import cosine_topk_ivf, ivf_index_fixed
+
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    idx = ivf_index_fixed(embeddings, dims=64, n_centroids=8, iters=2)
+    rows = (
+        cosine_topk_ivf(q, embeddings, k=K, n_probe=5, index=idx)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    got = {(r[0], r[1]) for r in rows}
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"fixed-IVF recall@10 = {recall:.3f}"
+
+    a1, _ = ivf_index_fixed(embeddings, dims=64, n_centroids=8, iters=2)
+    a2, _ = ivf_index_fixed(embeddings, dims=64, n_centroids=8, iters=2)
+    l1 = {(r["vec_id"], r["centroid"]) for r in a1.collect()}
+    l2 = {(r["vec_id"], r["centroid"]) for r in a2.collect()}
+    assert l1 == l2
+
+
 def test_multi_probe_improves_recall(embeddings, exact_pairs):
     r0 = _recall(embeddings, exact_pairs, n_planes=4, multi_probe=0)
     r2 = _recall(embeddings, exact_pairs, n_planes=4, multi_probe=2)

@@ -70,6 +70,63 @@ def test_near_dup_contains_planted_groups(media):
     assert (pairs["hamming"] == 0).any(), "identical payloads must collide at hamming 0"
 
 
+def test_codec_absent_degrades_to_typed_nulls(media):
+    """The 100 TB failure contract: with the codec unavailable
+    (codec='none' simulates the missing library this container can't
+    install) the mapInPandas batch must NOT throw — every row still
+    delivers its payload-level features (n_bytes, byte_mean, phash
+    need no codec), the decode-derived fields come back as typed NULLs
+    (int columns, not strings or crashes), and decode_error says why.
+    Healthy rows under codec='auto' carry NULL decode_error."""
+    df, _ = media
+    feats = extract_media_features(df, codec="none")
+    pdf = feats.toPandas()
+    assert len(pdf) > 0
+    assert pdf["thumb_w"].isna().all() and pdf["thumb_h"].isna().all()
+    assert pdf["decode_error"].notna().all()
+    assert (pdf["decode_error"].str.startswith("CodecUnavailable")).all()
+    assert pdf["phash"].notna().all() and pdf["n_bytes"].notna().all()
+    # schema stays typed: thumb columns are ints even when all-NULL
+    sch = dict(feats.dtypes)
+    assert sch["thumb_w"] == "int" and sch["decode_error"] == "string"
+
+    ok = extract_media_features(df).toPandas()
+    assert ok["decode_error"].isna().all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        extract_media_features(df, codec="pil")
+
+
+def test_corrupt_row_isolated_not_fatal(media, monkeypatch):
+    """One poison payload must fail ONLY its own row: the other rows
+    in the same Arrow batch keep their thumbnails, and the poison row
+    surfaces its exception text in decode_error."""
+    import ppack_spark.operators.multimodal as mm
+
+    df, _ = media
+    real = mm.decode_image_batch
+    # poison one specific payload: the per-row decode (the operator
+    # calls the codec row-at-a-time precisely so one bad row can't
+    # take down its Arrow batch) fails only for it
+    target = bytes(df.select("payload").first()["payload"])
+
+    def poisoned_by_target(payloads, widths, heights):
+        if len(payloads) == 1 and bytes(payloads[0]) == target:
+            raise RuntimeError("synthetic corrupt payload")
+        return real(payloads, widths, heights)
+
+    monkeypatch.setattr(mm, "decode_image_batch", poisoned_by_target)
+    pdf = mm.extract_media_features(df).toPandas()
+    bad = pdf[pdf["decode_error"].notna()]
+    good = pdf[pdf["decode_error"].isna()]
+    assert len(bad) >= 1 and len(good) >= 1
+    assert bad["thumb_w"].isna().all()
+    assert (good["thumb_w"] == 8).all()
+    assert bad["decode_error"].str.contains("synthetic corrupt payload").all()
+
+
 def test_decode_stub_contract():
     payload = bytes(range(48))
     (img,) = decode_image_batch([payload], [70], [65])

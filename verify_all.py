@@ -1,0 +1,113 @@
+"""Publish the FULL correctness suite as an auditable artifact.
+
+The external driver's CORRECTNESS_r{N}.json records only the first 50
+``queries()`` entries (see ppack_spark/plans/board.py), so the board is
+a rotating window. This script replays the same Spark-vs-DuckDB compare
+over EVERY registered gate at the driver's scale (sf0.01) and writes
+``CORRECTNESS_full.json`` next to the round artifacts — the standing
+record for the ~70 gates currently off-board.
+
+Row format mirrors the driver's: rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err, with ``hash_match``
+computed as order-insensitive value equality after 6-decimal float
+rounding PLUS pandas dtype-kind parity (the driver's hash is
+dtype-sensitive — a DuckDB HUGEINT arriving as float64 where Spark
+returns bigint is a mismatch even when every value is equal).
+
+Usage: ``python verify_all.py [sf_dir] [out_path]``
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def compare(got: pd.DataFrame, want: pd.DataFrame) -> dict:
+    rows_match = len(got) == len(want)
+    schema_match = sorted(got.columns) == sorted(want.columns)
+    hash_match = False
+    if rows_match and schema_match:
+        cols = sorted(got.columns)
+        g, w = got[cols].copy(), want[cols].copy()
+        kinds_ok = all(g[c].dtype.kind == w[c].dtype.kind for c in cols)
+        for c in cols:
+            if g[c].dtype.kind == "f":
+                g[c] = g[c].round(6)
+            if w[c].dtype.kind == "f":
+                w[c] = w[c].round(6)
+        g = g.sort_values(cols, ignore_index=True)
+        w = w.sort_values(cols, ignore_index=True)
+        try:
+            pd.testing.assert_frame_equal(
+                g, w, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-12
+            )
+            hash_match = kinds_ok
+        except AssertionError:
+            hash_match = False
+    return {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": hash_match,
+        "spark_rows": len(got),
+        "oracle_rows": len(want),
+        "err": None,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_full.json"
+
+    import __spark_entry__ as entry
+    from ppack_spark.session import get_spark
+
+    spark = get_spark("verify_all")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, osql = entry.queries(), entry.oracle_sql()
+    results: dict[str, dict] = {}
+    for name, fn in qs.items():
+        try:
+            got = fn(spark, sf_dir).toPandas()
+            if name in osql:
+                want = con.execute(osql[name]).df()
+                results[name] = compare(got, want)
+            else:
+                results[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": len(got),
+                    "oracle_rows": None, "err": "no_oracle",
+                }
+        except Exception as exc:  # record, keep going — this is a census
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"{type(exc).__name__}: {exc}"[:300],
+            }
+        r = results[name]
+        status = "ok" if (r["hash_match"] or r["err"] == "no_oracle") else "FAIL"
+        print(f"{status:4s} {name}", flush=True)
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+    n_oracled = sum(1 for r in results.values() if r["err"] != "no_oracle")
+    n_green = sum(1 for r in results.values() if r["hash_match"])
+    print(f"\n{n_green}/{n_oracled} oracled gates hash-green, "
+          f"{len(results) - n_oracled} no-oracle; wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
