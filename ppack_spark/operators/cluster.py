@@ -11,7 +11,9 @@ Algorithm: iterative min-label propagation over the undirected edge
 set — each node repeatedly adopts the smallest component id among
 itself and its neighbours until a fixpoint. Convergence is
 O(component diameter) joins; every iteration is a shuffle on the node
-id and the lineage is cut with ``localCheckpoint`` so plans don't grow
+id and the lineage is cut with ``cut_lineage`` (localCheckpoint +
+flat-stats reset — see operators/util.py) so neither the plan tree nor
+Catalyst's sizeInBytes estimate grows
 unboundedly. Linkage/dedup components are near-cliques (diameter 2-3
 in practice), so the loop terminates in a handful of rounds; for
 adversarial long-chain graphs the alternating large-star/small-star
@@ -29,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .util import cut_lineage
 
 __all__ = [
     "connected_components",
@@ -57,7 +61,7 @@ def connected_components(
     e = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    e = e.localCheckpoint()
+    e = cut_lineage(e)
 
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
@@ -88,7 +92,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        new_labels = new_labels.localCheckpoint()
+        new_labels = cut_lineage(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")
@@ -176,23 +180,23 @@ def connected_components_star(
     ``(node, component)`` with component = min node id, only for nodes
     appearing in an edge; raises on non-convergence. Each round is two
     groupBy-min + self-join passes over the (shrinking) edge set, with
-    ``localCheckpoint`` lineage cuts."""
+    ``cut_lineage`` lineage cuts (localCheckpoint + flat-stats reset)."""
     nodes = (
         edges.select(F.col(id_left).alias("src"))
         .unionByName(edges.select(F.col(id_right).alias("src")))
         .distinct()
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     e = (
         edges.select(F.col(id_left).alias("src"), F.col(id_right).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     sig = _edge_signature(e)
     converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = cut_lineage(_small_star(_large_star(e)))
         new_sig = _edge_signature(e)
         if new_sig == sig:
             converged = True

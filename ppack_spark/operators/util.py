@@ -4,7 +4,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["spread", "salted_join", "plan_cost_report"]
+__all__ = ["spread", "salted_join", "plan_cost_report", "cut_lineage"]
+
+
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` + FLAT statistics — the lineage cut every
+    ITERATIVE loop must use instead of a bare ``localCheckpoint``.
+
+    ``localCheckpoint`` truncates the logical plan but stamps the new
+    ``LogicalRDD`` leaf with the ORIGIN plan's estimated statistics
+    (ExistingRDD.fromDataset → rewriteStatsAndConstraints). In a loop
+    that joins its own checkpointed output with itself — pointer-
+    doubling label propagation, star contraction — the join estimate
+    is the PRODUCT of its children, so the leaf's ``sizeInBytes``
+    SQUARES every round: measured digits 20 → 2514 in 7 rounds on a
+    chain graph, and a 54k-edge component graph wedged a bench run
+    with Catalyst burning 26+ CPU-minutes inside
+    ``BigInteger.multiply`` (SizeInBytesOnlyStatsPlanVisitor) while
+    planning round ~20. Re-wrapping the already-materialized RDD via
+    ``internalCreateDataFrame`` resets the leaf to the session default
+    size, breaking the recurrence; join-strategy quality is unharmed
+    because AQE re-plans each stage from ACTUAL runtime sizes.
+    """
+    cp = df.localCheckpoint()
+    jdf = cp._jdf
+    spark = cp.sparkSession
+    try:
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+    except Exception:
+        # private-API drift on a future Spark: the checkpoint itself
+        # (correctness) still stands, only the stats reset is lost
+        return cp
+    return DataFrame(jnew, spark)
 
 
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:

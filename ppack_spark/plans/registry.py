@@ -923,7 +923,7 @@ def two_dataset_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         select 'a:' || cast(c_custkey as varchar) as node_l,
                'b:' || cast(s_suppkey as varchar) as node_r
         from pairs
-        where (case when d < 100 then ln(0.8 / 0.1)
+        where (case when d < 10 then ln(0.8 / 0.1)
                     else ln(0.2 / 0.9) end) > 1.0
     ),
     edges as (
@@ -1004,7 +1004,7 @@ def linkage_ab_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comparisons=[
             Comparison(
                 name="bal",
-                expression=bucket_comparator(d, [(d < 100, "close")], "near"),
+                expression=bucket_comparator(d, [(d < 10, "close")], "near"),
                 levels=("close", "near"),
             )
         ],
@@ -1016,7 +1016,12 @@ def linkage_ab_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam=1e-4,
         total_pairs=float(cust.count()) * supp.count(),
     )
-    return linker.cluster_links(threshold=1.0).select(
+    # star, not label propagation: the acctbal-band graph chains
+    # customers through shared suppliers into ONE high-diameter
+    # component at sf0.1 (min-label + pointer doubling exhausted 30
+    # rounds with 282 labels still moving); large-star/small-star
+    # contracts it in O(log n) rounds regardless of diameter.
+    return linker.cluster_links(threshold=1.0, algorithm="star").select(
         "source", F.col("c_custkey").cast("string").alias("c_custkey"), "cluster_id"
     )
 

@@ -37,6 +37,42 @@ def test_long_chain_converges(spark):
     assert len(got) == n + 1
 
 
+def test_cut_lineage_keeps_stats_flat_across_self_join_rounds(spark):
+    """The iterative-loop lineage cut must reset Catalyst's size
+    estimate, not just the plan tree: a bare localCheckpoint stamps
+    the new leaf with the origin plan's stats, and a self-join loop
+    then SQUARES sizeInBytes every round (digits 20 → 2514 in 7 rounds
+    measured) until BigInteger.multiply inside the stats visitor burns
+    CPU-minutes per planning pass — a 54k-edge graph wedged the
+    round-6 bench for 26+ CPU-minutes this way. cut_lineage re-wraps
+    the checkpointed RDD with default leaf stats, so the digit count
+    must stay flat no matter how many rounds run."""
+    from ppack_spark.operators.util import cut_lineage
+
+    labels = cut_lineage(
+        spark.range(50).select(
+            F.col("id").alias("node"), F.col("id").alias("component")
+        )
+    )
+    for _ in range(6):
+        ptr = (
+            labels.alias("l")
+            .join(labels.alias("m"), F.col("l.component") == F.col("m.node"))
+            .select(
+                F.col("l.node").alias("node"),
+                F.col("m.component").alias("component"),
+            )
+        )
+        labels = cut_lineage(ptr)
+        digits = len(
+            str(labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        # bare localCheckpoint reaches 640+ digits by round 5; the cut
+        # must hold the leaf at the (constant) session default
+        assert digits < 60, f"stats sizeInBytes digits exploded: {digits}"
+    assert labels.count() == 50
+
+
 def test_star_variant_matches_label_propagation(spark):
     """large-star/small-star must produce the identical (node,
     component) mapping as min-label propagation on a mixed fixture."""
