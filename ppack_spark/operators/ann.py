@@ -300,6 +300,7 @@ def ivf_index_fixed(
             .select(id_col, "__v", "centroid")
         )
 
+    prev = {i: list(r["__v"]) for i, r in enumerate(seed_rows)}
     for _ in range(iters):
         asg = _assign(cent_df)
         means = asg.groupBy("centroid").agg(
@@ -308,15 +309,26 @@ def ivf_index_fixed(
                 for i in range(dims)
             ]
         )
-        upd = means.select(
-            "centroid", F.array(*[F.col(f"__m{i}") for i in range(dims)]).alias("__nv")
-        )
-        cent_df = (
-            cent_df.join(upd, "centroid", "left")
-            .select(
-                "centroid",
-                F.coalesce(F.col("__nv"), F.col("centroid_vec")).alias("centroid_vec"),
-            )
+        # materialize the n_centroids×dims table driver-side (tiny,
+        # like the seeds and the PQ codebooks): each round's centroids
+        # become plan LITERALS, so the returned index serves any
+        # number of query batches without ever re-running the Lloyd
+        # chain — without this, every consumer action re-trains from
+        # scratch because the lazy plan embeds the whole iteration.
+        got = {
+            r["centroid"]: [r[f"__m{i}"] for i in range(dims)]
+            for r in means.collect()
+        }
+        nxt = {}
+        for cid, vec in prev.items():
+            nv = got.get(cid)
+            if nv is None or any(v is None for v in nv):
+                nxt[cid] = vec  # empty cluster keeps its centroid
+            else:
+                nxt[cid] = [float(v) for v in nv]
+        prev = nxt
+        cent_df = spark.createDataFrame(
+            sorted(prev.items()), "centroid int, centroid_vec array<double>"
         )
     assigned = (
         _assign(cent_df)

@@ -550,14 +550,19 @@ def hamming_segment_pairs(
     for i in range(n_seg):
         start = i * bits // n_seg
         width = (i + 1) * bits // n_seg - start
-        mask = (1 << width) - 1
-        segs.append(
-            F.struct(
-                F.lit(i).alias("__seg"),
-                F.shiftrightunsigned(c, start)
-                .bitwiseAND(F.lit(mask).cast("long"))
-                .alias("__segval"),
+        if width >= 64:
+            # the whole-fingerprint segment (max_hamming=0 over 64-bit
+            # fps — exact-dup detection): the 2^64-1 mask overflows a
+            # signed long literal, and masking a full-width segment is
+            # a no-op anyway, so take the fingerprint as the value
+            segval = c
+        else:
+            mask = (1 << width) - 1
+            segval = F.shiftrightunsigned(c, start).bitwiseAND(
+                F.lit(mask).cast("long")
             )
+        segs.append(
+            F.struct(F.lit(i).alias("__seg"), segval.alias("__segval"))
         )
     blk = [F.col(block_col)] if block_col else []
     exploded = fp_df.select(

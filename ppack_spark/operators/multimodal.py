@@ -217,22 +217,41 @@ def decode_image_batch(payloads, widths, heights):
     """
     import numpy as np
 
-    try:  # pragma: no cover - container has no PIL
+    if _pil_image() is not None:  # pragma: no cover - container has no PIL
         import io
 
-        from PIL import Image
-
+        Image = _pil_image()
         return [
             np.asarray(Image.open(io.BytesIO(p)).convert("L"), dtype=np.uint8)
             for p in payloads
         ]
-    except ImportError:
-        out = []
-        for p, w, h in zip(payloads, widths, heights):
-            buf = np.frombuffer(p, dtype=np.uint8)
-            reps = int(np.ceil(w * h / len(buf)))
-            out.append(np.tile(buf, reps)[: w * h].reshape(h, w))
-        return out
+    out = []
+    for p, w, h in zip(payloads, widths, heights):
+        buf = np.frombuffer(p, dtype=np.uint8)
+        reps = int(np.ceil(w * h / len(buf)))
+        out.append(np.tile(buf, reps)[: w * h].reshape(h, w))
+    return out
+
+
+_PIL_MODULE: object = None
+_PIL_PROBED = False
+
+
+def _pil_image():
+    """Resolve PIL.Image ONCE per worker process. The per-row decode
+    loop in extract_media_features would otherwise re-attempt (and
+    re-fail) the import for every row of every Arrow batch in exactly
+    the codec-less deployment the fallback exists for."""
+    global _PIL_MODULE, _PIL_PROBED
+    if not _PIL_PROBED:
+        _PIL_PROBED = True
+        try:  # pragma: no cover - container has no PIL
+            from PIL import Image
+
+            _PIL_MODULE = Image
+        except ImportError:
+            _PIL_MODULE = None
+    return _PIL_MODULE
 
 
 def resize_gray(img, out_w: int, out_h: int):
@@ -313,7 +332,15 @@ def extract_media_features(
                     errs.append(f"{type(exc).__name__}: {exc}")
             phashes = []
             for p in payloads:
+                # total over ANY byte length: pad with zeros to the
+                # _DHASH_BITS+1 bytes the gradient needs (matches the
+                # dhash_from_hex expression twin, whose substr beyond
+                # the hex end compares empty strings → 0 bits); a
+                # truncated payload must degrade, not broadcast-error
+                # the whole Arrow batch
                 b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                if len(b) < _DHASH_BITS + 1:
+                    b = np.pad(b, (0, _DHASH_BITS + 1 - len(b)))
                 bits = (b[:_DHASH_BITS] > b[1 : _DHASH_BITS + 1]).astype(np.int64)
                 phashes.append(int((bits << np.arange(_DHASH_BITS)).sum()))
             n_frames = [
@@ -328,7 +355,8 @@ def extract_media_features(
                     "kind": pdf["kind"].to_numpy(),
                     "n_bytes": [len(p) for p in payloads],
                     "byte_mean": [
-                        float(np.frombuffer(p, dtype=np.uint8).mean()) for p in payloads
+                        float(np.frombuffer(p, dtype=np.uint8).mean()) if p else None
+                        for p in payloads
                     ],
                     "phash": phashes,
                     "thumb_w": pd.array(thumb_w, dtype="Int32"),

@@ -666,90 +666,11 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_left", "id_right", "jaccard")
 
 
-@query(
-    "simhash_fingerprints",
-    """
-    with toks as (
-        select distinct doc_id, tok
-        from (
-            select doc_id,
-                   unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) as tok
-            from documents
-        )
-    ),
-    hashed as (
-        select doc_id, cast(('0x' || substr(md5(tok), 1, 8)) as bigint) as hv
-        from toks
-    ),
-    votes as (
-        select doc_id, b,
-               sum(case when (hv >> b) & 1 = 1 then 1 else -1 end) as v
-        from hashed cross join unnest(generate_series(0, 31)) as tb(b)
-        group by doc_id, b
-    )
-    select doc_id,
-           cast(sum(case when v > 0 then (1::bigint << b) else 0 end) as bigint) as simhash
-    from votes
-    group by doc_id
-    """,
-)
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (bit-vote over md5 token hashes)."""
-    d = t(spark, sf_dir, "documents")
-    return simhash_df(d, text_col="text", id_col="doc_id", bits=32)
-
-
-@query(
-    "simhash_near_dup",
-    """
-    with toks as (
-        select distinct doc_id, tok
-        from (
-            select doc_id,
-                   unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) as tok
-            from documents
-        )
-    ),
-    hashed as (
-        select doc_id, cast(('0x' || substr(md5(tok), 1, 8)) as bigint) as hv
-        from toks
-    ),
-    votes as (
-        select doc_id, b,
-               sum(case when (hv >> b) & 1 = 1 then 1 else -1 end) as v
-        from hashed cross join unnest(generate_series(0, 31)) as tb(b)
-        group by doc_id, b
-    ),
-    fp as (
-        select doc_id,
-               sum(case when v > 0 then (1::bigint << b) else 0 end) as simhash
-        from votes
-        group by doc_id
-    ),
-    with_src as (
-        select f.doc_id, f.simhash, d.source
-        from fp f join documents d on f.doc_id = d.doc_id
-    )
-    select a.doc_id as id_left, b.doc_id as id_right,
-           bit_count(xor(a.simhash, b.simhash)) as hamming
-    from with_src a
-    join with_src b on a.source = b.source and a.doc_id < b.doc_id
-    where bit_count(xor(a.simhash, b.simhash)) <= 6
-    """,
-)
-def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming ≤ 6 within source blocks."""
-    return simhash_pairs(
-        t(spark, sf_dir, "documents"),
-        bits=32,
-        max_hamming=6,
-        block_col="source",
-    ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
-
-
-@query(
-    "simhash_near_dup_banded",
-    """
+# Shared SimHash fingerprint derivation (tokenize → md5 → bit votes →
+# packed 32-bit fp), used verbatim by ALL simhash oracles below so the
+# tokenization can never drift between gates (same pattern as
+# _MEDIA_SQL for the media gates).
+_SIMHASH_FP_SQL = """
     with toks as (
         select distinct doc_id, tok
         from (
@@ -774,7 +695,49 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     as bigint) as simhash
         from votes
         group by doc_id
-    ),
+    )
+"""
+
+
+@query(
+    "simhash_fingerprints",
+    _SIMHASH_FP_SQL + """
+    select doc_id, simhash from fp
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (bit-vote over md5 token hashes)."""
+    d = t(spark, sf_dir, "documents")
+    return simhash_df(d, text_col="text", id_col="doc_id", bits=32)
+
+
+@query(
+    "simhash_near_dup",
+    _SIMHASH_FP_SQL + """,
+    with_src as (
+        select f.doc_id, f.simhash, d.source
+        from fp f join documents d on f.doc_id = d.doc_id
+    )
+    select a.doc_id as id_left, b.doc_id as id_right,
+           bit_count(xor(a.simhash, b.simhash)) as hamming
+    from with_src a
+    join with_src b on a.source = b.source and a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming ≤ 6 within source blocks."""
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        bits=32,
+        max_hamming=6,
+        block_col="source",
+    ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
+
+
+@query(
+    "simhash_near_dup_banded",
+    _SIMHASH_FP_SQL + """,
     seg as (
         select doc_id, simhash, s as seg_idx,
                (simhash >> (s * 8)) & 255 as seg_val

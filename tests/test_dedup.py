@@ -127,6 +127,25 @@ def test_hamming_segment_pairs_null_and_cap(spark):
         hamming_segment_pairs(cdf, "fp", bits=4, max_hamming=6)
 
 
+def test_hamming_segment_pairs_full_width_64bit_segment(spark):
+    """max_hamming=0 over 64-bit fingerprints (exact-dup detection on
+    the scale-recommended fp width) yields ONE full-width segment —
+    the 2^64-1 mask is unrepresentable as a long literal, so the
+    segment value must be the fingerprint itself; negative longs (top
+    bit set) must group correctly."""
+    from ppack_spark.operators.dedup import hamming_segment_pairs
+
+    neg = -(1 << 62) | 12345  # top-bit-set fingerprint
+    df = spark.createDataFrame(
+        [(1, neg), (2, neg), (3, 7), (4, 7), (5, 9)], "doc_id long, fp long"
+    )
+    got = {
+        (r["id_left"], r["id_right"])
+        for r in hamming_segment_pairs(df, "fp", bits=64, max_hamming=0).collect()
+    }
+    assert got == {(1, 2), (3, 4)}
+
+
 def test_near_dedup_corpus_keeps_canonical(spark):
     """Planted near-duplicate group collapses to its min-id member;
     singletons survive; both component kernels agree."""

@@ -127,6 +127,47 @@ def test_corrupt_row_isolated_not_fatal(media, monkeypatch):
     assert bad["decode_error"].str.contains("synthetic corrupt payload").all()
 
 
+def test_truncated_and_empty_payloads_degrade_per_row(spark):
+    """Payload-level features must be TOTAL over any byte length: a
+    payload shorter than the dHash window pads with zeros (matching
+    the expression twin's out-of-range substr → 0-bit behavior) and an
+    empty payload yields NULL byte_mean + a decode_error — neither may
+    broadcast-error the whole Arrow batch."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.multimodal import extract_media_features
+
+    rows = [
+        (1, bytes(range(48)), 70, 65, 2.0),   # healthy
+        (2, bytes(range(5)), 70, 65, 2.0),    # shorter than dhash window
+        (3, b"", 70, 65, 2.0),                # empty
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, w int, h int, dur double"
+    ).select(
+        "doc_id",
+        "payload",
+        F.lit("image").alias("kind"),
+        F.struct(
+            F.col("w").alias("width"), F.col("h").alias("height"),
+            F.col("dur").alias("duration_s"),
+        ).alias("meta"),
+    )
+    pdf = extract_media_features(df).toPandas().set_index("media_id")
+    assert len(pdf) == 3
+    assert pdf.loc[1, "decode_error"] is None or pdf.loc[1, "decode_error"] != pdf.loc[1, "decode_error"]
+    assert pdf.loc[1, "phash"] is not None
+    # short payload: phash computed over zero-padded bytes, decode ok
+    assert pdf.loc[2, "phash"] is not None
+    # empty payload: fake decoder fails (no bytes to tile) -> row-level
+    # error, NULL thumbs, NULL byte_mean; phash of all-zero padding = 0
+    assert pdf.loc[3, "phash"] == 0
+    import math
+
+    assert math.isnan(pdf.loc[3, "byte_mean"]) or pdf.loc[3, "byte_mean"] is None
+    assert isinstance(pdf.loc[3, "decode_error"], str)
+
+
 def test_decode_stub_contract():
     payload = bytes(range(48))
     (img,) = decode_image_batch([payload], [70], [65])
@@ -177,6 +218,14 @@ def test_decode_image_batch_pil_branch(monkeypatch):
     fake_pil.Image = fake_image_mod
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    # the import probe is cached once per process (so codec-less rows
+    # don't re-walk import machinery); reset it so the injected module
+    # is picked up
+    import ppack_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "_PIL_PROBED", False)
+    monkeypatch.setattr(mm, "_PIL_MODULE", None)
 
     from ppack_spark.operators.multimodal import decode_image_batch
 
