@@ -184,6 +184,11 @@ def main() -> None:
             fn = queries.get(name)
             if fn is None or name in failed:
                 continue
+            # progress marker BEFORE the run: when a query wedges the
+            # session (round 6's localCheckpoint-stats spin cost 40
+            # minutes of thread-dump archaeology to attribute), the
+            # last stderr line names the culprit directly
+            print(f"bench: running {name}", file=sys.stderr, flush=True)
             try:
                 t0 = time.monotonic()
                 _force(fn(spark, sf_dir))

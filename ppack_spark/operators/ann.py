@@ -244,9 +244,10 @@ def ivf_index_fixed(
       collected driver-side (bounded by n_centroids, like the PQ
       codebooks).
     * ``iters`` Lloyd rounds: assign = argmin squared-L2 against the
-      BROADCAST centroid table (fold evaluation order fixed by
-      zip_with+aggregate, so distances are bit-identical across
-      engines); update = per-dimension mean ROUNDED to
+      centroids as plan LITERALS — a zero-shuffle codegen projection
+      (fold evaluation order fixed by zip_with+aggregate, so distances
+      are bit-identical across engines); update = per-dimension mean
+      ROUNDED to
       ``round_digits`` — summation order is partition-dependent in
       any engine, the rounding collapses that last-ulp noise so Spark
       and the oracle walk identical centroid trajectories. Empty
@@ -281,28 +282,30 @@ def ivf_index_fixed(
         "centroid int, centroid_vec array<double>",
     )
 
-    def _assign(cents: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
-
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col("__v"), F.col("centroid_vec"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("centroid"))
-        return (
-            base.crossJoin(F.broadcast(cents))
-            .withColumn("__d2", d2)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "__v", "centroid")
-        )
+    def _assign(cents: dict[int, list[float]]) -> DataFrame:
+        # centroids are driver-side literals, so nearest-centroid is a
+        # ZERO-SHUFFLE projection: one codegen'd squared-L2 fold per
+        # centroid, argmin via array_min over (distance, centroid)
+        # structs — struct ordering is lexicographic, exactly the
+        # (d2 asc, centroid asc) tie-break the SQL oracle's row_number
+        # replays. The earlier crossJoin + per-vector-id window paid a
+        # join AND a full shuffle per round.
+        structs = []
+        for cid, vec in sorted(cents.items()):
+            lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+            d2 = F.aggregate(
+                F.zip_with(F.col("__v"), lit_vec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d2.alias("d"), F.lit(cid).alias("c")))
+        return base.withColumn(
+            "centroid", F.array_min(F.array(*structs))["c"]
+        ).select(id_col, "__v", "centroid")
 
     prev = {i: list(r["__v"]) for i, r in enumerate(seed_rows)}
     for _ in range(iters):
-        asg = _assign(cent_df)
+        asg = _assign(prev)
         means = asg.groupBy("centroid").agg(
             *[
                 F.round(F.avg(F.col("__v").getItem(i)), round_digits).alias(f"__m{i}")
@@ -327,11 +330,11 @@ def ivf_index_fixed(
             else:
                 nxt[cid] = [float(v) for v in nv]
         prev = nxt
-        cent_df = spark.createDataFrame(
-            sorted(prev.items()), "centroid int, centroid_vec array<double>"
-        )
+    cent_df = spark.createDataFrame(
+        sorted(prev.items()), "centroid int, centroid_vec array<double>"
+    )
     assigned = (
-        _assign(cent_df)
+        _assign(prev)
         .join(corpus, id_col)
         .select(*corpus.columns, "centroid")
     )
