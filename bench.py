@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_near_dup",
     "simhash_near_dup_banded",
+    "simhash_near_dup_capped",
     "phash_near_dup_banded",
     "linkage_ab_clusters",
     "dedup_clusters",

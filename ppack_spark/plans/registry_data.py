@@ -735,6 +735,16 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _simhash_banded_gate(spark: SparkSession, sf_dir: str, cap=None) -> DataFrame:
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        bits=32,
+        max_hamming=3,
+        block_col=None,
+        max_bucket_size=cap,
+    ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
+
+
 @query(
     "simhash_near_dup_banded",
     _SIMHASH_FP_SQL + """,
@@ -762,12 +772,43 @@ def simhash_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage for stage. At 100 TB widen to 64-bit fingerprints (16-bit
     segments → 65 536 buckets per index) and cap degenerate segments
     with max_bucket_size."""
-    return simhash_pairs(
-        t(spark, sf_dir, "documents"),
-        bits=32,
-        max_hamming=3,
-        block_col=None,
-    ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
+    return _simhash_banded_gate(spark, sf_dir, cap=None)
+
+
+@query(
+    "simhash_near_dup_capped",
+    _SIMHASH_FP_SQL + """,
+    seg as (
+        select doc_id, simhash, s as seg_idx,
+               (simhash >> (s * 8)) & 255 as seg_val
+        from fp cross join unnest(generate_series(0, 3)) as ts(s)
+    ),
+    keep as (
+        select seg_idx, seg_val from seg
+        group by seg_idx, seg_val having count(*) <= 8
+    ),
+    segk as (
+        select seg.doc_id, seg.simhash, seg.seg_idx, seg.seg_val
+        from seg join keep using (seg_idx, seg_val)
+    )
+    select distinct a.doc_id as id_left, b.doc_id as id_right,
+           bit_count(xor(a.simhash, b.simhash)) as hamming
+    from segk a
+    join segk b on a.seg_idx = b.seg_idx and a.seg_val = b.seg_val
+               and a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segment-blocked Hamming path WITH the hot-bucket cap
+    (E107's `max_bucket_size`, the Hamming twin of the LSH cap E104):
+    segments holding more than 8 members are dropped BEFORE the
+    candidate self-join — the documented recall trade (a pair whose
+    every agreeing segment is hot is lost; pairs keep surfacing via
+    their other, cold segments). The oracle replays the per-bucket
+    count filter, so the cap's exact semantics — not just its
+    existence — are hash-checked."""
+    return _simhash_banded_gate(spark, sf_dir, cap=8)
 
 
 # --------------------------------------------------------------------
