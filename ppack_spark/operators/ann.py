@@ -579,6 +579,16 @@ def pq_train(
             "corpus — the index-build contract requires data"
         )
     X = np.asarray(rows, dtype=np.float64)
+    # canonical sample order: limit() returns rows in a PARTITIONING-
+    # dependent order, and the seeded rng picks indices into X — so
+    # without this sort the codebooks (and every downstream code/
+    # score) change when the corpus layout changes. Lexsorting the
+    # vectors pins the draw whenever the sample is the whole corpus
+    # (every gate/test); above sample_limit the sample SET is still
+    # layout-dependent, which is fine — codebooks only need to be
+    # statistically equivalent there, and that caveat is the
+    # documented price of bounded-sample training.
+    X = X[np.lexsort(X.T[::-1])]
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n, d = X.shape
     if d % m:
@@ -729,7 +739,19 @@ def cosine_topk_pq(
                 # never consume a slot
                 scores[ids[None, :] == qids[:, None]] = -np.inf
             top = min(shortlist, scores.shape[1])
-            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            # deterministic per-partition cut: (-score, id) lexsort —
+            # argpartition breaks score TIES by in-partition position,
+            # so shortlist membership (and with it the final top-k
+            # when a boundary candidate matters) would depend on the
+            # physical partitioning; the id tie-break matches the
+            # global merge window's ordering exactly, making the whole
+            # two-stage shortlist reproducible across layouts — and
+            # SQL-replayable, should the ADC chain ever gain an
+            # oracle. Per-query sorts are fine: queries are the small
+            # side by contract.
+            idx = np.stack(
+                [np.lexsort((ids, -scores[qi]))[:top] for qi in range(len(qids))]
+            )
             out = pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, top),

@@ -135,7 +135,33 @@ def test_pq_recall_at_10(embeddings, exact_pairs):
     assert recall >= 0.8, f"PQ recall@10 = {recall:.3f}"
 
 
-def test_pq_codes_shape_and_determinism(embeddings):
+def test_pq_result_invariant_under_partitioning(embeddings):
+    """The ADC shortlist cut must not depend on the physical layout:
+    duplicated vectors share pq codes, so their ADC scores TIE exactly
+    and a position-based cut (argpartition) would emit different
+    shortlist members per partitioning. With the (-score, id) lexsort
+    cut, the full (query, neighbor, rank) result is identical across
+    partition counts."""
+    from ppack_spark.operators.ann import cosine_topk_pq
+
+    n = embeddings.count()
+    # plant guaranteed ADC ties: every vector appears twice (new ids)
+    doubled = embeddings.select("vec_id", "embedding").unionByName(
+        embeddings.select(
+            (F.col("vec_id") + F.lit(n)).alias("vec_id"), "embedding"
+        )
+    )
+    q = embeddings.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+
+    def run(parts):
+        rows = (
+            cosine_topk_pq(q, doubled.repartition(parts), k=K)
+            .select("query_id", "neighbor_id", "rank")
+            .collect()
+        )
+        return {(r[0], r[1], r[2]) for r in rows}
+
+    assert run(3) == run(17)
     """Codes are m small ints per vector (the 8-byte index invariant)
     and encoding is deterministic across physical layouts."""
     from ppack_spark.operators.ann import pq_encode, pq_train
