@@ -10,28 +10,50 @@ execution, no driver-side collect of O(pairs) rows). The session comes
 from ppack_spark.session.get_spark — AQE on, 48g local heap, shuffle
 partitions sized to the core count.
 
-Every query runs ``$SPARK_GRAFT_BENCH_ITERS`` (default 3) iterations
-and reports the MIN — the first iteration pays one-off JVM/codegen/
-scan-cache warmup that is pure local-mode noise (run-to-run spread on
-the 26M-pair linkage chain was ~2× single-shot); the warm minimum is
-the number that extrapolates to cluster throughput.
+Methodology (round-7 revision — fixes the two false signals the
+round-5/6 verdicts traced to the harness itself):
 
-The printed line is deliberately COMPACT (2-decimal means, no spread
-map) and is the LAST thing written to stdout, after ``spark.stop()``
-— the round-4 line outgrew the driver's tail-capture window and was
-lost (`BENCH_r04.json parsed: null`). Full detail (3-decimal means,
-per-query warm spread, optional DuckDB oracle times) goes to
-``BENCH_local.json`` next to this file.
+* **min-of-N** — every query runs ``$SPARK_GRAFT_BENCH_ITERS``
+  (default 3) iterations and reports the MIN; iterations run as whole
+  passes over the group so a query's samples land minutes apart and a
+  host-noise window (measured calib swings of 1.0→3.0 within one
+  session on this infra) can't inflate all of them.
+* **fresh JVM per query group** — the list is split into groups of
+  ``$SPARK_GRAFT_BENCH_GROUP_SIZE`` (default 16) and each group runs
+  in its own subprocess/SparkSession. Round 6 measured in-session
+  aging inflating late queries 2-3x vs fresh-session runs of the
+  identical code (threshold_topk 10.9s in-session vs 4.6s fresh);
+  bounding a session to ~16 queries keeps every sample within the
+  same-code spread.
+* **quarantined stderr** — the driver's tail capture merges stdout
+  and stderr, so a JVM stack trace (task retry, benign) could bury
+  the metric line or mask a real failure. Child stderr is captured by
+  the parent: lines the harness itself emits (prefixed ``bench:``)
+  are forwarded, everything else goes to ``BENCH_stderr.log`` only.
+  The metric line is the LAST stdout write of the parent.
+
+Full detail (3-decimal mins, warm spread, per-group calibration) goes
+to ``BENCH_local.json`` next to this file; the printed line is compact
+(the round-4 line outgrew the driver's ~2000-char tail window and the
+round's numbers were lost).
+
+Cross-round comparison: divide by ``calib_s`` (single-core Python
+yardstick, median of per-group samples) before reading any number
+against another round — per-core host speed differs round to round.
+``tools/compare_bench.py`` does this.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 # The headline set: the full linkage pipeline (the reference's actual
 # workload), the relational surface, and the training-data-pipeline
@@ -144,9 +166,105 @@ BENCH_QUERIES = [
 ]
 
 
+def _calib() -> float:
+    """Single-core Python yardstick (~1s nominal); pins a sample of
+    wall-clock to hardware speed at that moment."""
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i * i
+    assert acc >= 0
+    return round(time.monotonic() - t0, 2)
+
+
 def _force(df) -> None:
     """Execute the whole plan without materializing rows on the driver."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _child_main(names: list[str], out_path: str) -> None:
+    """Run one query group in THIS process's own fresh SparkSession.
+
+    Emits ``bench:``-prefixed progress markers on stderr (the parent
+    forwards these; everything else a JVM writes stays quarantined)
+    and writes the group's result JSON to ``out_path``.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = max(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")), 1)
+
+    calib_samples = [_calib()]
+    from ppack_spark.session import get_spark
+
+    spark = get_spark("ppack_spark_bench")
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    failed: list[str] = []
+    for _ in range(iters):
+        for name in names:
+            fn = queries.get(name)
+            if fn is None or name in failed:
+                continue
+            # progress marker BEFORE the run: when a query wedges the
+            # session, the last forwarded stderr line names the culprit
+            print(f"bench: running {name}", file=sys.stderr, flush=True)
+            try:
+                t0 = time.monotonic()
+                _force(fn(spark, sf_dir))
+                samples[name].append(time.monotonic() - t0)
+            except Exception as exc:
+                print(f"bench: {name} failed: {exc!r}", file=sys.stderr, flush=True)
+                failed.append(name)
+    calib_samples.append(_calib())
+    spark.stop()
+    result = {
+        "samples": {n: [round(s, 3) for s in v] for n, v in samples.items()},
+        "failed": failed,
+        "calib": calib_samples,
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+def _run_group(names: list[str], out_path: str, log_fh) -> dict:
+    """Spawn a fresh interpreter+JVM for one group; quarantine stderr.
+
+    Harness-emitted lines (``bench:`` prefix) are forwarded to our
+    stderr so a wedge still names itself in the driver tail; raw JVM
+    output (log4j, stack traces from benign task retries) goes to
+    BENCH_stderr.log only.
+    """
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--group-child", out_path]
+        + names,
+        stderr=subprocess.PIPE,
+        stdout=log_fh,
+        cwd=REPO,
+        text=True,
+    )
+
+    def _pump() -> None:
+        for line in proc.stderr:
+            log_fh.write(line)
+            if line.startswith("bench:"):
+                print(line, end="", file=sys.stderr, flush=True)
+        log_fh.flush()
+
+    t = threading.Thread(target=_pump, daemon=True)
+    t.start()
+    proc.wait()
+    t.join(timeout=30)
+    try:
+        with open(out_path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        print(
+            f"bench: group crashed rc={proc.returncode} ({names[0]}..)",
+            file=sys.stderr,
+            flush=True,
+        )
+        return {"samples": {n: [] for n in names}, "failed": names, "calib": []}
 
 
 def main() -> None:
@@ -155,54 +273,52 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-
-    from ppack_spark.session import get_spark
-
-    spark = get_spark("ppack_spark_bench")
-
-    import __spark_entry__ as entry_mod
-
-    queries = entry_mod.queries()
     iters = max(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")), 1)
-    # iterations run as whole PASSES over the query list (pass 1 for
-    # every query, then pass 2, ...) rather than back-to-back per
-    # query: host-level noise (CPU steal, a neighbor VM) arrives in
-    # multi-minute windows, and back-to-back iterations let one
-    # window inflate all of a query's samples — interleaving spreads
-    # a query's samples ~minutes apart so the min survives.
-    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    group_size = max(int(os.environ.get("SPARK_GRAFT_BENCH_GROUP_SIZE", "16")), 1)
+
+    # debugging aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    bench_queries = (
+        [q for q in BENCH_QUERIES if q in set(only.split(","))]
+        if only
+        else BENCH_QUERIES
+    )
+    groups = [
+        bench_queries[i : i + group_size]
+        for i in range(0, len(bench_queries), group_size)
+    ]
+    samples: dict[str, list[float]] = {}
     failed: set[str] = set()
-    for _ in range(iters):
-        # reclaim shuffle/broadcast state between passes: the
-        # ContextCleaner acts on driver GC, and a large mostly-idle
-        # heap can go a whole pass without one (late queries were
-        # measured 3-4x slower in-session than isolated)
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
-        for name in BENCH_QUERIES:
-            fn = queries.get(name)
-            if fn is None or name in failed:
-                continue
-            # progress marker BEFORE the run: when a query wedges the
-            # session (round 6's localCheckpoint-stats spin cost 40
-            # minutes of thread-dump archaeology to attribute), the
-            # last stderr line names the culprit directly
-            print(f"bench: running {name}", file=sys.stderr, flush=True)
+    calib_samples: list[float] = []
+    log_path = os.path.join(REPO, "BENCH_stderr.log")
+    with open(log_path, "w") as log_fh:
+        for gi, names in enumerate(groups):
+            print(
+                f"bench: group {gi + 1}/{len(groups)} ({len(names)} queries, fresh JVM)",
+                file=sys.stderr,
+                flush=True,
+            )
+            log_fh.write(f"===== group {gi + 1}/{len(groups)}: {names}\n")
+            res = _run_group(names, os.path.join(REPO, f".bench_group_{gi}.json"), log_fh)
+            samples.update(res["samples"])
+            failed.update(res["failed"])
+            calib_samples.extend(res.get("calib", []))
             try:
-                t0 = time.monotonic()
-                _force(fn(spark, sf_dir))
-                samples[name].append(time.monotonic() - t0)
-            except Exception as exc:  # keep the bench line parseable
-                print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
-                failed.add(name)
+                os.remove(os.path.join(REPO, f".bench_group_{gi}.json"))
+            except OSError:
+                pass
+    # headline calib = median of per-group samples (host speed swings
+    # in multi-minute windows; one parent-side sample can land in a
+    # slow window and mislabel the whole run)
+    calib_sorted = sorted(calib_samples) or [_calib()]
+    calib_s = round(calib_sorted[len(calib_sorted) // 2], 2)
+
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name in failed:
             times[name] = -1.0
-        elif samples[name]:
+        elif samples.get(name):
             times[name] = round(min(samples[name]), 3)
             warm = sorted(samples[name])[:-1] or samples[name]
             spread[name] = round(max(warm) - min(warm), 3)
@@ -213,6 +329,8 @@ def main() -> None:
     oracle_times: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ORACLE"):
         import duckdb
+
+        import __spark_entry__ as entry_mod
 
         con = duckdb.connect()
         con.execute(f"set threads to {os.cpu_count()}")
@@ -239,17 +357,6 @@ def main() -> None:
             except Exception as exc:
                 print(f"bench: oracle {name} failed: {exc!r}", file=sys.stderr)
 
-    # single-core calibration constant: cross-round machine speed
-    # differs (round-5 host measured ~1.5-2x slower per core than
-    # round 4's); this pins each bench run to a hardware yardstick so
-    # round-over-round query times can be normalized instead of
-    # misread as code regressions.
-    t0 = time.monotonic()
-    acc = 0
-    for i in range(20_000_000):
-        acc += i * i
-    calib_s = round(time.monotonic() - t0, 2)
-
     total = round(sum(v for v in times.values() if v >= 0), 3)
     extra = {"oracle": oracle_times} if oracle_times else {}
     detail = {
@@ -259,17 +366,15 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "iters": iters,
+        "group_size": group_size,
         "calib_s": calib_s,
+        "calib_samples": calib_samples,
         "spread": spread,
         **extra,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
-        "w",
-    ) as f:
+    with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
         json.dump(detail, f, indent=1)
         f.write("\n")
-    spark.stop()
     sys.stderr.flush()
     # compact single line, emitted last — must fit the driver's
     # 2000-char stdout tail capture in ONE piece (the round-4 line
@@ -317,4 +422,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--group-child":
+        _child_main(sys.argv[3:], sys.argv[2])
+    else:
+        main()
