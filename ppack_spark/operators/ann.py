@@ -220,6 +220,45 @@ def ivf_index(
     return assigned, cent_df
 
 
+# Above this list count, ivf_index_fixed assigns vectors via a
+# broadcast join instead of the unrolled literal-argmin projection:
+# the literal expression tree is O(n_centroids * dims) nodes, and at
+# IVF-realistic k (4k-65k lists) Catalyst analysis + codegen on it
+# would dominate (or outright fail to compile to one method), while a
+# broadcast hash join + map-side-combined min_by aggregation is the
+# standard scale shape.
+LITERAL_ASSIGN_MAX_K = 256
+
+
+def _assign_broadcast(base: DataFrame, cents: dict[int, list[float]], id_col: str) -> DataFrame:
+    """Nearest-centroid assignment for large centroid sets: broadcast
+    the (k x dims) centroid table, score every (vector, centroid) pair
+    with the SAME zip_with+aggregate squared-L2 fold as the literal
+    path (identical fp evaluation order -> identical distances, so the
+    two paths and the SQL oracle agree bit-for-bit), then keep each
+    vector's lexicographic-min (d2, centroid) struct. The groupBy is
+    partially aggregated map-side, so the shuffle carries one row per
+    vector, not k."""
+    spark = base.sparkSession
+    cdf = spark.createDataFrame(
+        sorted((cid, [float(x) for x in vec]) for cid, vec in cents.items()),
+        "c int, cvec array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        base.join(F.broadcast(cdf))
+        .select(F.col(id_col), F.struct(d2.alias("d"), F.col("c")).alias("__dc"))
+        .groupBy(id_col)
+        .agg(F.min("__dc").alias("__best"))
+        .select(F.col(id_col), F.col("__best")["c"].alias("centroid"))
+    )
+    return base.join(best, id_col).select(id_col, "__v", "centroid")
+
+
 def ivf_index_fixed(
     corpus: DataFrame,
     dims: int,
@@ -257,11 +296,16 @@ def ivf_index_fixed(
     :func:`ivf_index`. Scale shape: each round is one broadcast
     nearest-centroid map pass + one partial-aggregated groupBy of
     n_centroids×dims cells; the corpus never shuffles by centroid
-    until a consumer asks it to.
+    until a consumer asks it to. Assignment routes by k: up to
+    ``LITERAL_ASSIGN_MAX_K`` lists it is the zero-shuffle literal
+    projection; above, the broadcast-join + map-side-combined min_by
+    path (same fold, bit-identical distances — agreement is
+    regression-tested across the threshold).
     """
     if n_centroids < 1 or iters < 0:
         raise ValueError(f"need n_centroids >= 1, iters >= 0: {n_centroids}, {iters}")
     spark = corpus.sparkSession
+    use_literal = n_centroids <= LITERAL_ASSIGN_MAX_K
     base = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -283,13 +327,20 @@ def ivf_index_fixed(
     )
 
     def _assign(cents: dict[int, list[float]]) -> DataFrame:
+        if not use_literal:
+            return _assign_broadcast(base, cents, id_col)
         # centroids are driver-side literals, so nearest-centroid is a
         # ZERO-SHUFFLE projection: one codegen'd squared-L2 fold per
         # centroid, argmin via array_min over (distance, centroid)
         # structs — struct ordering is lexicographic, exactly the
         # (d2 asc, centroid asc) tie-break the SQL oracle's row_number
         # replays. The earlier crossJoin + per-vector-id window paid a
-        # join AND a full shuffle per round.
+        # join AND a full shuffle per round. BOUNDED BY
+        # ``LITERAL_ASSIGN_MAX_K``: the unrolled expression is
+        # n_centroids fold chains of dims literals each, and past a
+        # few hundred lists Catalyst analysis/codegen on the
+        # O(k·dims) tree stops being free — IVF-realistic k (4k-65k
+        # lists) routes to the broadcast-join assignment instead.
         structs = []
         for cid, vec in sorted(cents.items()):
             lit_vec = F.array(*[F.lit(float(x)) for x in vec])

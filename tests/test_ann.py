@@ -348,3 +348,26 @@ def test_topk_recall_measures_overlap(spark, tables):
     recalls = [r["recall"] for r in topk_recall(approx, exact).collect()]
     assert len(recalls) == 5
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivf_fixed_assignment_paths_agree_across_threshold(embeddings, monkeypatch):
+    """A k > LITERAL_ASSIGN_MAX_K index must route through the
+    broadcast-join assignment and produce EXACTLY the assignments and
+    centroids the literal-projection path would have: both score with
+    the same zip_with+aggregate fold, so distances are bit-identical
+    and the (d2, centroid) tie-break picks identical winners."""
+    from ppack_spark.operators import ann
+
+    kw = dict(dims=64, n_centroids=280, iters=1, id_col="vec_id",
+              vec_col="embedding")
+    assert kw["n_centroids"] > ann.LITERAL_ASSIGN_MAX_K
+    a_bc, c_bc = ann.ivf_index_fixed(embeddings, **kw)
+    # plan proof this really was the join path: assignment contains a
+    # broadcast join, which the literal projection never builds
+    assert "Broadcast" in a_bc._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setattr(ann, "LITERAL_ASSIGN_MAX_K", 10_000)
+    a_lit, c_lit = ann.ivf_index_fixed(embeddings, **kw)
+    assert sorted(map(tuple, c_bc.collect())) == sorted(map(tuple, c_lit.collect()))
+    got_bc = {r["vec_id"]: r["centroid"] for r in a_bc.collect()}
+    got_lit = {r["vec_id"]: r["centroid"] for r in a_lit.collect()}
+    assert got_bc == got_lit
