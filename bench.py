@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "two_dataset_linkage",
     "key_skew_report",
     "jw_comparator_buckets",
+    "jw_approx_buckets",
     "comparison_vectors",
     "match_weight_scoring",
     "threshold_rank",

@@ -447,6 +447,88 @@ def levenshtein_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jw_approx_buckets",
+    """
+    with pairs as (
+        select l.p_partkey as id_l, r.p_partkey as id_r,
+               l.p_name as ln, r.p_name as rn
+        from part l join part r
+          on l.p_brand = r.p_brand and l.p_partkey < r.p_partkey
+    ),
+    m as (
+        select id_l, id_r, ln, rn,
+               cast(least(length(ln), length(rn)) as double)
+                 / greatest(length(ln), length(rn)) as ab,
+               case when substr(ln,1,4) = substr(rn,1,4) then 4
+                    when substr(ln,1,3) = substr(rn,1,3) then 3
+                    when substr(ln,1,2) = substr(rn,1,2) then 2
+                    when substr(ln,1,1) = substr(rn,1,1) then 1
+                    else 0 end as pl,
+               1.0 - levenshtein(ln, rn)
+                       / cast(greatest(length(ln), length(rn)) as double) as lev
+        from pairs
+    ),
+    f as (
+        select id_l, id_r, ln, rn,
+               (ln <> rn)
+               and ((2.0 + ab) / 3.0
+                    + 0.1 * pl * (1.0 - (2.0 + ab) / 3.0) > 0.85)
+               and (lev >= 0.4) as ok
+        from m
+    )
+    select id_l as p_partkey_left, id_r as p_partkey_right,
+           coalesce(ok, false) as prefilter_pass,
+           case when ln = rn and length(ln) > 0 then 'full agreement'
+                when ok and jaro_winkler_similarity(ln, rn) > 0.9
+                     then 'strong partial agreement'
+                when ok and jaro_winkler_similarity(ln, rn) > 0.85
+                     then 'weak partial agreement'
+                else 'no agreement' end as name_bucket
+    from f
+    """,
+)
+def jw_approx_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison.jw_approx (spec.py / similarity.py:jw_approx_comparator):
+    the JW bucket comparator behind the JVM prefilter — equal pairs
+    bucket without Python, pairs failing the sound length/prefix bound
+    or the conservative Levenshtein floor ship (NULL, NULL) through
+    Arrow and take the default bucket; only contenders reach the C
+    kernel. Gated on the brand-blocked part-name self-join (TPC-H part
+    names are permuted color words — the transposition-heavy case
+    where JW and Levenshtein diverge most, so the floor's
+    conservatism is actually exercised: ~75 % of these pairs skip the
+    kernel with zero bucket changes vs plain jw). The oracle replays
+    the prefilter arithmetic verbatim plus DuckDB's own
+    jaro_winkler_similarity."""
+    from ..similarity import jw_approx_comparator, jw_prefilter
+
+    part = t(spark, sf_dir, "part")
+    l = part.select(
+        F.col("p_partkey").alias("p_partkey_left"),
+        F.col("p_brand").alias("__b"),
+        F.col("p_name").alias("p_name_left"),
+    )
+    r = part.select(
+        F.col("p_partkey").alias("p_partkey_right"),
+        F.col("p_brand").alias("__b"),
+        F.col("p_name").alias("p_name_right"),
+    )
+    pairs = l.join(r, "__b").filter(
+        F.col("p_partkey_left") < F.col("p_partkey_right")
+    )
+    return pairs.select(
+        "p_partkey_left",
+        "p_partkey_right",
+        F.coalesce(
+            jw_prefilter("p_name_left", "p_name_right"), F.lit(False)
+        ).alias("prefilter_pass"),
+        jw_approx_comparator(
+            "p_name", "p_name_left", "p_name_right"
+        ).alias("name_bucket"),
+    )
+
+
 _SOUNDEX_FIXTURE = [
     # (pair_id, name_left, name_right, expected phonetic level)
     (0, "Robert", "Rupert", "agree"),

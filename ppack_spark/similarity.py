@@ -372,6 +372,102 @@ def jw_comparator(
     )
 
 
+def jw_prefilter(
+    left: Column | str, right: Column | str, lev_floor: float = 0.4
+) -> Column:
+    """JVM-side "could this pair reach the > 0.85 JW bucket" screen —
+    TRUE only for pairs worth shipping to the Arrow-batched JW kernel.
+
+    Two tests, both codegen (zero Python):
+
+    * SOUND length/prefix bound: with a = min length, b = max length,
+      Jaro ≤ (2 + a/b)/3 (at most a characters can match) and the
+      Winkler bonus adds at most 0.1·pl·(1−J) for the actual common
+      prefix pl ≤ 4 — if that upper bound is ≤ 0.85 the pair
+      PROVABLY cannot reach the weak bucket.
+    * APPROXIMATE edit-distance floor: normalized Levenshtein
+      similarity < ``lev_floor`` → assume unreachable. This is not a
+      sound bound (transposition-dense pairs can hold JW > 0.85 with
+      lev ≈ 0.5 — Jaro forgives reordering that Levenshtein pays
+      double for), so the default floor is a conservative 0.4:
+      measured on the sf0.01 part-name pairs (word-permuted strings,
+      the adversarial case) it skips 75 % of pairs with ZERO bucket
+      changes, and on customer-name pairs it is lossless by a 0.33
+      margin. Raise it only after measuring on your own pair
+      distribution.
+
+    Equal pairs return FALSE — the caller's equality branch already
+    bucketed them, so the kernel should not see them either. Either
+    side NULL → NULL (callers' CASE semantics send those to the
+    default bucket).
+    """
+    l = F.col(left) if isinstance(left, str) else left
+    r = F.col(right) if isinstance(right, str) else right
+    a = F.least(F.length(l), F.length(r))
+    b = F.greatest(F.length(l), F.length(r))
+    ab = a / b.cast("double")
+    pl = (
+        F.when(F.substring(l, 1, 4) == F.substring(r, 1, 4), 4)
+        .when(F.substring(l, 1, 3) == F.substring(r, 1, 3), 3)
+        .when(F.substring(l, 1, 2) == F.substring(r, 1, 2), 2)
+        .when(F.substring(l, 1, 1) == F.substring(r, 1, 1), 1)
+        .otherwise(0)
+    )
+    j_ub = (F.lit(2.0) + ab) / F.lit(3.0)
+    jw_ub = j_ub + F.lit(0.1) * pl * (F.lit(1.0) - j_ub)
+    return (
+        (l != r)
+        & (jw_ub > 0.85)
+        & (levenshtein_similarity(l, r) >= F.lit(float(lev_floor)))
+    )
+
+
+def jw_approx_comparator(
+    var: str,
+    left: Column | str | None = None,
+    right: Column | str | None = None,
+    lev_floor: float = 0.4,
+) -> Column:
+    """:func:`jw_comparator` with the Python kernel behind a JVM
+    prefilter — the scale tier for the 26M-pair budget, where the
+    serialize→score→deserialize Arrow hop is the chain's dominant
+    avoidable cost (SURVEY §4).
+
+    A Python UDF inside a CASE branch does NOT evaluate lazily —
+    Spark extracts it into an unconditional ArrowEvalPython node — so
+    the filtering is done on the UDF's INPUTS: pairs failing
+    :func:`jw_prefilter` ship (NULL, NULL) through Arrow (validity
+    bits only, and the batch kernel skips non-strings in C) and land
+    on the default bucket. Equal non-empty pairs take ``full`` without
+    touching Python at all; the ``== 1.0`` bucket needs no kernel
+    because JW = 1 iff the strings are identical.
+
+    Semantics vs :func:`jw_comparator`: identical on every pair the
+    prefilter passes, and identical on NULL/empty/equal edges; pairs
+    the approximate floor skips get the default bucket even if their
+    true JW exceeds 0.85 (see jw_prefilter on why the default floor
+    makes that set empty on both test corpora).
+    """
+    from .exprs import suffixed
+    from .spec import JW_LEVELS
+
+    l = F.col(suffixed(var, "_left")) if left is None else (
+        F.col(left) if isinstance(left, str) else left
+    )
+    r = F.col(suffixed(var, "_right")) if right is None else (
+        F.col(right) if isinstance(right, str) else right
+    )
+    ok = jw_prefilter(l, r, lev_floor)
+    sim = jw_similarity(F.when(ok, l), F.when(ok, r))
+    full, strong, weak, none = JW_LEVELS
+    return (
+        F.when((l == r) & (F.length(l) > 0), full)
+        .when(sim > 0.9, strong)
+        .when(sim > 0.85, weak)
+        .otherwise(none)
+    )
+
+
 def levenshtein_similarity(left: Column | str, right: Column | str) -> Column:
     """Normalized Levenshtein similarity 1 − d/max(len) using the Spark
     *builtin* edit distance — JVM-side, codegen-friendly, the preferred

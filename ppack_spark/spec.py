@@ -95,6 +95,29 @@ class Comparison:
         )
 
     @staticmethod
+    def jw_approx(
+        var: str,
+        left: str | None = None,
+        right: str | None = None,
+        lev_floor: float = 0.4,
+    ) -> "Comparison":
+        """:meth:`jw` behind a JVM prefilter (similarity.jw_prefilter):
+        equal pairs bucket without Python, pairs that provably or
+        probably cannot reach the 0.85 bucket ship NULLs through
+        Arrow, only contenders reach the C kernel — the scale tier
+        when the pair budget makes the Arrow hop the dominant cost.
+        Bucket-identical to :meth:`jw` except for pairs skipped by the
+        approximate Levenshtein floor (empty at the default floor on
+        both test corpora — see jw_prefilter)."""
+        from .similarity import jw_approx_comparator
+
+        return Comparison(
+            name=var,
+            expression=jw_approx_comparator(var, left, right, lev_floor),
+            levels=tuple(JW_LEVELS),
+        )
+
+    @staticmethod
     def levenshtein(var: str, left: str | None = None, right: str | None = None) -> "Comparison":
         """JW-bucket thresholds over normalized Levenshtein similarity —
         the JVM-builtin (codegen) fuzzy comparator, preferred at scale

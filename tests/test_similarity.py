@@ -217,3 +217,86 @@ def test_levenshtein_similarity(spark):
     assert rows[1]["s"] == pytest.approx(1.0)
     assert rows[2]["s"] == pytest.approx(1.0)
     assert rows[3]["s"] is None
+
+
+def test_jw_approx_matches_jw_where_prefilter_passes(spark):
+    """On the brand-blocked part-name pairs (transposition-heavy
+    permuted-word strings — the adversarial distribution for a
+    Levenshtein screen), the approx tier at the default floor must
+    produce bucket-identical output to plain jw: the 0.4 floor plus
+    the sound length/prefix bound skip ~75% of kernel calls without
+    changing a single bucket."""
+    from conftest import SF_DIR
+
+    from ppack_spark.similarity import jw_approx_comparator, jw_comparator
+    from pyspark.sql import functions as F
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    l = part.select(
+        F.col("p_partkey").alias("idl"),
+        F.col("p_brand").alias("b"),
+        F.col("p_name").alias("p_name_left"),
+    )
+    r = part.select(
+        F.col("p_partkey").alias("idr"),
+        F.col("p_brand").alias("b"),
+        F.col("p_name").alias("p_name_right"),
+    )
+    pairs = l.join(r, "b").filter(F.col("idl") < F.col("idr"))
+    diff = pairs.select(
+        jw_comparator("p_name", "p_name_left", "p_name_right").alias("exact"),
+        jw_approx_comparator("p_name", "p_name_left", "p_name_right").alias(
+            "approx"
+        ),
+    ).filter(F.col("exact") != F.col("approx"))
+    assert diff.count() == 0
+
+
+def test_jw_approx_documented_approximation_and_edges(spark):
+    """The one semantic difference vs jw, demonstrated: a pair built
+    to hold JW > 0.85 (all chars match within the Jaro window, common
+    prefix) while Levenshtein pays the reversal double (lev_sim 0.21
+    < the 0.4 floor) — approx assigns the default bucket where jw
+    scores it. Plus edge parity: NULLs, empties, and identical
+    strings bucket the same in both tiers."""
+    from ppack_spark.similarity import jw_approx_comparator, jw_comparator
+
+    rows = [
+        # the constructed approximation case: jw=0.9167, lev_sim=0.208
+        ("abcdefghijklmnopqrstuvwx", "abcdponmlkjihgfexwvutsrq"),
+        ("same", "same"),
+        ("", ""),
+        ("left", None),
+        (None, None),
+        ("Customer#000000017", "Customer#000000071"),
+    ]
+    df = spark.createDataFrame(rows, "l string, r string")
+    got = df.select(
+        jw_comparator("x", "l", "r").alias("exact"),
+        jw_approx_comparator("x", "l", "r").alias("approx"),
+    ).collect()
+    assert got[0]["exact"] == "strong partial agreement"
+    assert got[0]["approx"] == "no agreement"  # the documented skip
+    for i in range(1, len(rows)):
+        assert got[i]["exact"] == got[i]["approx"], rows[i]
+
+
+def test_jw_approx_plan_gates_udf_inputs(spark):
+    """A Python UDF in a CASE branch still evaluates unconditionally
+    (Spark extracts it into ArrowEvalPython), so the prefilter must
+    gate the UDF's INPUT expressions: the plan's ArrowEvalPython node
+    must receive CASE-guarded arguments, not the raw columns."""
+    from ppack_spark.similarity import jw_approx_comparator
+
+    df = spark.createDataFrame([("a", "b")], "l string, r string")
+    plan = (
+        df.select(jw_approx_comparator("x", "l", "r").alias("g"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    arrow_line = next(
+        line for line in plan.splitlines() if "ArrowEvalPython" in line
+    )
+    assert "CASE WHEN" in arrow_line, arrow_line
