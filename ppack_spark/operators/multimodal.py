@@ -206,30 +206,137 @@ def media_near_dedup(
 # Arrow-batched plumbing: decode / features / resize / frame sampling.
 
 
+def _rgb_to_gray(r, g, b):
+    """ITU-R 601-2 luma with integer truncation — the exact transform
+    PIL's ``convert("L")`` applies, so a PIL-decoded and a
+    stdlib-decoded image of the same pixels hash identically."""
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype("uint8")
+
+
+def decode_pnm(data: bytes):
+    """Stdlib-only binary PNM decoder: P5 (grayscale PGM) and P6 (RGB
+    PPM), 8-bit maxval — the real decode path this container CAN run
+    (no libjpeg needed; PNM is headers + raw raster). Raises
+    ValueError on malformed headers or truncated rasters; callers'
+    per-row failure contract turns that into ``decode_error``."""
+    import numpy as np
+
+    magic = data[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PNM payload: magic {magic!r}")
+    # header tokens: magic, width, height, maxval; '#' comments run to
+    # end-of-line; ONE whitespace byte then the raster
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated PNM header")
+        c = data[pos : pos + 1]
+        if c == b"#":
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end : end + 1].isspace():
+                end += 1
+            tokens.append(data[pos:end])
+            pos = end
+    pos += 1  # the single whitespace separating header from raster
+    try:
+        w, h, maxval = (int(tk) for tk in tokens)
+    except ValueError:
+        raise ValueError(f"bad PNM header tokens: {tokens!r}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNM dimensions {w}x{h}")
+    if not 0 < maxval < 256:
+        raise ValueError(f"only 8-bit PNM supported, maxval={maxval}")
+    ch = 1 if magic == b"P5" else 3
+    need = w * h * ch
+    raster = np.frombuffer(data, dtype=np.uint8, count=-1, offset=pos)
+    if len(raster) < need:
+        raise ValueError(f"truncated PNM raster: {len(raster)} < {need}")
+    px = raster[:need].reshape(h, w, ch)
+    if ch == 1:
+        return px[:, :, 0].copy()
+    return _rgb_to_gray(
+        px[:, :, 0].astype("int32"),
+        px[:, :, 1].astype("int32"),
+        px[:, :, 2].astype("int32"),
+    )
+
+
+def decode_bmp(data: bytes):
+    """Stdlib-only decoder for uncompressed 24/32-bit BMP (the format
+    Windows screenshots and many labeling tools emit). Handles
+    bottom-up and top-down rasters and 4-byte row padding; rejects
+    palettized/compressed variants with ValueError (→ decode_error)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    if bpp not in (24, 32):
+        raise ValueError(f"only 24/32-bit BMP supported, got {bpp}")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    nch = bpp // 8
+    stride = (w * nch + 3) // 4 * 4
+    need = stride * h
+    raster = np.frombuffer(data, dtype=np.uint8, count=-1, offset=pix_off)
+    if len(raster) < need:
+        raise ValueError(f"truncated BMP raster: {len(raster)} < {need}")
+    rows = raster[:need].reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    # BMP stores BGR(A)
+    return _rgb_to_gray(
+        rows[:, :, 2].astype("int32"),
+        rows[:, :, 1].astype("int32"),
+        rows[:, :, 0].astype("int32"),
+    )
+
+
 def decode_image_batch(payloads, widths, heights):
     """Decode a batch of image payloads to grayscale uint8 arrays.
 
-    Real codecs (PIL/libjpeg) are not in this container, so absent PIL
-    this is a DETERMINISTIC FAKE decoder — it tiles the payload bytes
-    to (height, width) — keeping shape/dtype contracts (and everything
-    downstream: resize, phash, features) real and testable. With PIL
-    installed the same entry point decodes actual image bytes.
+    Per-payload routing by magic bytes: binary PNM (P5/P6) and
+    uncompressed BMP decode for REAL via the stdlib decoders above —
+    exercised end-to-end in this container. Other formats (JPEG/PNG)
+    go to PIL when installed; without it they fall back to the
+    DETERMINISTIC FAKE decoder — tiling the payload bytes to
+    (height, width) — which keeps shape/dtype contracts (and
+    everything downstream: resize, phash, features) real and testable.
     """
     import numpy as np
 
-    if _pil_image() is not None:  # pragma: no cover - container has no PIL
-        import io
-
-        Image = _pil_image()
-        return [
-            np.asarray(Image.open(io.BytesIO(p)).convert("L"), dtype=np.uint8)
-            for p in payloads
-        ]
     out = []
     for p, w, h in zip(payloads, widths, heights):
-        buf = np.frombuffer(p, dtype=np.uint8)
-        reps = int(np.ceil(w * h / len(buf)))
-        out.append(np.tile(buf, reps)[: w * h].reshape(h, w))
+        head = bytes(p[:2])
+        if head in (b"P5", b"P6"):
+            out.append(decode_pnm(p))
+        elif head == b"BM":
+            out.append(decode_bmp(p))
+        elif _pil_image() is not None:  # pragma: no cover - no PIL here
+            import io
+
+            Image = _pil_image()
+            out.append(
+                np.asarray(Image.open(io.BytesIO(p)).convert("L"), dtype=np.uint8)
+            )
+        else:
+            buf = np.frombuffer(p, dtype=np.uint8)
+            reps = int(np.ceil(w * h / len(buf)))
+            out.append(np.tile(buf, reps)[: w * h].reshape(h, w))
     return out
 
 
