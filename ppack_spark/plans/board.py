@@ -23,80 +23,82 @@ every registered query, board or not — is verified against the same
 oracle at the same scale by ``tests/test_registry_oracle.py``; board
 rotation only changes which 50 rows the driver snapshot shows.
 
-Round-6 rotation policy (union-completion round): every gate that has
-NEVER had a driver row gets one — the 22 never-recorded gates the
-round-5 verdict enumerated — plus this round's new gates (the banded
-Hamming pair generators, the A-B cluster resolution, and the two ANN
-gates that just gained SQL oracles), the three oracle-dtype fixes
-that were driver-red in r5 (now hash-checkable again), a 6-gate
-linkage spine, and re-verification rows for the r4-era chain the
-bench flagged (posterior/threshold/calibration).  With this board the
-UNION of the r1–r6 snapshots covers every registered gate.  The full
-suite is still verified every round by tests/test_registry_oracle.py,
-and the complete all-gate artifact is published alongside the board
-(verify_all.py → CORRECTNESS_full.json) so off-board gates stay
-externally auditable.
+Round-7 rotation policy (staleness round, the round-6 verdict's ask):
+slots go first to gates with NO driver row yet (this round's new
+``jw_approx_buckets`` and late-round-6 ``simhash_near_dup_capped``),
+then to every gate whose code changed THIS round (the single-pass
+``corpus_stage_report``, the k-routed ``ann_ivf_topk``, the JW family
+around the new prefilter, the media gates around the stdlib
+decoders), the always-on linkage spine, and finally the gates whose
+last driver row is OLDEST (computed from the r1–r6 board artifacts:
+the r4-era relational/events/text rows, then r5-era corpus rows
+including bench-flagged ``eval_decontamination``).  All 50 entries
+are oracled gates, so a fully green run shows 50/50 (round 6 carried
+one deliberate ``no_oracle`` row).  The full suite is still verified
+every round by tests/test_registry_oracle.py, and the complete
+all-gate artifact is published alongside the board (verify_all.py →
+CORRECTNESS_full.json) so off-board gates stay externally auditable.
 """
 
 from __future__ import annotations
 
 # The 50 queries the driver board records this round, in order.
 BOARD: list[str] = [
-    # -- linkage spine (reference core chain; driver-green r1-r5) --
+    # -- never recorded on any board --
+    "jw_approx_buckets",
+    "simhash_near_dup_capped",
+    # -- code changed this round --
+    "corpus_stage_report",
+    "ann_ivf_topk",
+    "jw_comparator_buckets",
+    "levenshtein_comparator",
+    "media_metadata",
+    "media_phash_near_dup",
+    # -- linkage spine (reference core chain) --
     "blocking_multi_pass",
     "comparison_vectors",
-    "jw_comparator_buckets",
     "match_weight_scoring",
     "linkage_em_params",
     "threshold_topk",
-    # -- r5 driver-red dtype fixes: prove them hash-green --
-    "profile_columns",
-    "sequence_packing",
-    "trainer_export_e2e",
-    # -- never-recorded gates (round-5 verdict list, all 22) --
-    "two_dataset_linkage",
-    "media_near_dedup",
-    "tfidf_cosine_pairs",
-    "lm_interp_score",
-    "lm_ref_score",
-    "stratified_topk",
-    "curriculum_order",
-    "budget_mix",
-    "corpus_split_leakage_safe",
-    "near_dedup_keep_best",
-    "minhash_lsh_pairs_capped",
-    "dup_rate_report",
-    "corpus_stage_report",
-    "corpus_data_card",
-    "doc_chunks",
-    "zorder_layout",
-    "blocking_estimate",
-    "quantile_length_filter",
-    "distinct_sketch_merge",
-    "orc_roundtrip",
-    "ann_recall_report",
-    "events_anomaly_flags",
-    # -- new round-6 gates --
-    "simhash_near_dup_banded",
-    "phash_near_dup_banded",
-    "linkage_ab_clusters",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # -- re-verification: r4-era rows, incl. the bench-flagged chain --
-    "posterior_probability",
     "threshold_rank",
-    "calibration_glm",
-    "calibration_curve",
-    "pairs_dataset",
-    "u_prob_frequencies",
-    "pattern_counts",
-    "etl_roundtrip",
-    "dedup_exact",
-    "dedup_clusters",
-    "simhash_near_dup",
-    "media_phash_near_dup",
-    "q1_pricing_summary",
-    "bucketed_join_revenue",
+    # -- stalest rows: last driver row r4 --
+    "blocking_pass_counts",
+    "blocking_salted_pass",
+    "dedup_clusters_star",
+    "dedup_keep_first",
+    "doc_fingerprints",
+    "embedding_cosine_topk",
+    "embedding_near_dup",
+    "events_asof_join",
+    "events_json_extract",
+    "events_range_join",
+    "events_rollup",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_value_quantiles",
+    "events_window_agg",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "quality_scores",
+    "segment_revenue",
+    "simhash_fingerprints",
+    "soundex_comparator",
+    "suffix_projection",
+    "tfidf_top_terms",
+    "token_stats",
+    "top_orders_per_customer",
+    # -- stalest rows: last driver row r5 --
+    "bloom_decontamination",
+    "corpus_delta_merge",
+    "corpus_delta_merge_fuzzy",
+    "corpus_pipeline_e2e",
+    "corpus_shuffle",
+    "corpus_split",
+    "corpus_upsample",
+    "dedup_keep_best",
+    "dsir_importance",
+    "eval_decontamination",
 ]
 
 
