@@ -1,0 +1,245 @@
+"""Scale-proof harness: time the headline chains across scale factors
+and fit per-query scaling exponents.
+
+    python tools/scale_proof.py            # sf0.1 0.2 0.5 1 -> SCALE_r07.json
+
+Data above sf0.1 comes from tools/make_scale_data.py (self-similar key
+-shifted replication under the repo). Each scale runs in a FRESH
+subprocess/JVM (same isolation the bench uses); every query runs
+``iters`` interleaved passes and reports the min. The exponent is the
+least-squares slope of log(time) vs log(sf) over the scales the query
+ran at — ~1 means linear data scaling, ~2 means the operator's pair
+budget is quadratic in its block sizes (the linkage chain's
+nationkey blocking is quadratic BY CONTRACT — the reference blocks on
+nation and pays block^2 comparisons, scratch.R; the salted/capped
+variants are the engine's mitigations).
+
+Local-mode caveat baked into the readout: sub-second sf0.1 times are
+dominated by fixed per-query overhead (session, planning, task
+launch), which DEFLATES fitted exponents. The harness therefore also
+reports the exponent fitted over the top-2 scales only (`exp_hi`),
+where compute dominates overhead — that is the number to read for
+"would this survive another 10x".
+
+Quadratic-by-contract queries cap at the scale where their pair
+budget stays local-mode-feasible (QUAD_CAP); everything else runs to
+sf1.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCALES: list[tuple[float, str]] = [
+    (0.1, "/root/testdata/sf0.1"),
+    (0.2, os.path.join(REPO, "testdata_sf0.2")),
+    (0.5, os.path.join(REPO, "testdata_sf0.5")),
+    (1.0, os.path.join(REPO, "testdata_sf1")),
+]
+
+# headline set (round-6 verdict item 2) + this round's changed operators
+QUERIES = [
+    # linkage chain (quadratic-by-contract: nationkey blocks)
+    "blocking_multi_pass",
+    "comparison_vectors",
+    "match_weight_scoring",
+    "threshold_topk",
+    "jw_approx_buckets",       # brand blocks, also quadratic
+    # text dedup / corpus chains
+    "dedup_exact",
+    "line_dedup_corpus",
+    "minhash_lsh_pairs_wide",
+    "near_dedup_corpus_wide",
+    "simhash_near_dup_banded",
+    "bloom_decontamination",
+    "eval_decontamination",
+    "corpus_pipeline_e2e",
+    "corpus_stage_report",
+    "sequence_packing",
+    "corpus_split",
+    "dsir_importance",
+    "quality_filter_flags",
+    "media_near_dedup",
+    "semantic_dedup",
+    # ANN family
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    # relational / events
+    "q1_pricing_summary",
+    "top_orders_per_customer",
+    "salted_join_orders",
+    "events_window_agg",
+    "events_sessionize",
+]
+
+# pair budget is quadratic in block size: cap where local mode stays
+# feasible (sf0.5 nation blocks -> ~650M candidate pairs already)
+QUAD_CAP = {
+    "blocking_multi_pass": 0.5,
+    "comparison_vectors": 0.5,
+    "match_weight_scoring": 0.5,
+    "threshold_topk": 0.5,
+    "jw_approx_buckets": 0.5,
+}
+
+
+def _calib() -> float:
+    t0 = time.monotonic()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i * i
+    assert acc >= 0
+    return round(time.monotonic() - t0, 2)
+
+
+def _child(sf: float, sf_dir: str, out_path: str) -> None:
+    iters = max(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")), 1)
+    calibs = [_calib()]
+    from ppack_spark.session import get_spark
+
+    spark = get_spark("scale_proof")
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = [q for q in QUERIES if sf <= QUAD_CAP.get(q, 10.0)]
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    failed: list[str] = []
+    for _ in range(iters):
+        for name in names:
+            if name in failed:
+                continue
+            print(f"scale: sf{sf} {name}", file=sys.stderr, flush=True)
+            try:
+                t0 = time.monotonic()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples[name].append(time.monotonic() - t0)
+            except Exception as exc:
+                print(f"scale: {name} FAILED: {exc!r}", file=sys.stderr)
+                failed.append(name)
+        # the one cross-implementation comparison: the round-6 k-pass
+        # stage report vs this round's single-pass one, same inputs —
+        # the old version's union ran its count branches concurrently,
+        # so only a saturated cluster (the big scales here) shows the
+        # total-work difference as wall-clock
+        try:
+            t0 = time.monotonic()
+            _old_stage_report(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.setdefault("corpus_stage_report_OLD", []).append(
+                time.monotonic() - t0
+            )
+        except Exception as exc:
+            print(f"scale: old stage report FAILED: {exc!r}", file=sys.stderr)
+    calibs.append(_calib())
+    spark.stop()
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "samples": {n: [round(x, 3) for x in v] for n, v in samples.items()},
+                "failed": failed,
+                "calib": calibs,
+            },
+            f,
+        )
+
+
+def _old_stage_report(spark, sf_dir):
+    """The pre-round-7 corpus_stage_report: one count per stage prefix
+    (kept here as the scale-comparison baseline)."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.functions.text import rewrap_lines
+    from ppack_spark.operators.pipeline import prepare_corpus_stages
+    from ppack_spark.operators.util import spread
+
+    d = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    chunked = d.select("doc_id", rewrap_lines("text", 8).alias("text"))
+    eval_docs = chunked.filter(F.col("doc_id") % 101 == 3)
+    stages = prepare_corpus_stages(chunked, eval_docs=eval_docs)
+    parts = [
+        s.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs"),
+        )
+        for i, (name, s) in enumerate(stages)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _fit(xs: list[float], ys: list[float]) -> float | None:
+    if len(xs) < 2:
+        return None
+    lx = [math.log(x) for x in xs]
+    ly = [math.log(max(y, 1e-3)) for y in ys]
+    n = len(lx)
+    mx, my = sum(lx) / n, sum(ly) / n
+    den = sum((x - mx) ** 2 for x in lx)
+    if den == 0:
+        return None
+    return round(sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / den, 2)
+
+
+def main() -> None:
+    out_file = sys.argv[1] if len(sys.argv) > 1 else "SCALE_r07.json"
+    per_scale: dict[float, dict] = {}
+    for sf, sf_dir in SCALES:
+        if not os.path.isdir(sf_dir):
+            print(f"skip sf{sf}: {sf_dir} missing", file=sys.stderr)
+            continue
+        tmp = os.path.join(REPO, f".scale_{sf}.json")
+        print(f"=== sf{sf} ({sf_dir})", file=sys.stderr, flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(sf), sf_dir, tmp],
+            cwd=REPO,
+        )
+        if proc.returncode == 0 and os.path.exists(tmp):
+            with open(tmp) as f:
+                per_scale[sf] = json.load(f)
+            os.remove(tmp)
+    queries: dict[str, dict] = {}
+    all_names = sorted({n for d in per_scale.values() for n in d["samples"]})
+    for name in all_names:
+        times = {}
+        for sf, d in per_scale.items():
+            v = d["samples"].get(name)
+            if v:
+                times[sf] = round(min(v), 2)
+        sfs = sorted(times)
+        entry = {"times": {str(s): times[s] for s in sfs}}
+        entry["exponent"] = _fit(sfs, [times[s] for s in sfs])
+        entry["exp_hi"] = _fit(sfs[-2:], [times[s] for s in sfs[-2:]])
+        queries[name] = entry
+    result = {
+        "scales": {str(sf): {"calib": d["calib"], "failed": d["failed"]}
+                   for sf, d in per_scale.items()},
+        "queries": queries,
+    }
+    with open(os.path.join(REPO, out_file), "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    for name, e in sorted(queries.items(), key=lambda kv: -(kv[1]["exp_hi"] or 0)):
+        print(name, e["times"], "exp", e["exponent"], "exp_hi", e["exp_hi"])
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 4 and sys.argv[1] == "--child":
+        _child(float(sys.argv[2]), sys.argv[3], sys.argv[4])
+    else:
+        main()
