@@ -113,11 +113,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query. Omitted only for genuinely
     non-SQL-replayable ops (linkage_em_end_to_end — iterative EM;
-    ann_pq_topk / ann_ivfpq_topk — k-means codebooks;
     distinct_sketch_merge — opaque HLL binaries); those are
-    property/recall-gated in tests instead. ann_lsh_topk and
-    ann_ivf_topk ARE oracled: md5-derived hyperplanes and the
-    deterministic fixed-point quantizer replay in SQL."""
+    property-gated in tests instead. The whole ANN family IS oracled:
+    md5-derived LSH hyperplanes, the deterministic IVF quantizer, and
+    (since round 7) the full PQ / IVF+PQ chains — md5-seeded
+    rounded-Lloyd codebooks, literal argmin encoding, ADC lookup
+    scoring — replay in SQL, training included."""
     from ppack_spark.plans import registry, registry_data  # noqa: F401
 
     return dict(registry.ORACLE)

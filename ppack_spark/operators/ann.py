@@ -50,6 +50,9 @@ __all__ = [
     "cosine_topk_pq",
     "cosine_topk_ivfpq",
     "ivf_index_fixed",
+    "pq_train_fixed",
+    "cosine_topk_pq_fixed",
+    "cosine_topk_ivfpq_fixed",
     "semantic_dedup_corpus",
     "topk_recall",
 ]
@@ -949,6 +952,443 @@ def cosine_topk_ivfpq(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_train_fixed(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dims: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+):
+    """Deterministic, ENGINE-REPLAYABLE product-quantization codebooks
+    — :func:`pq_train` re-derived with the :func:`ivf_index_fixed`
+    recipe so a SQL oracle can replay the whole training bit-for-bit:
+
+    * subspace ``s`` seeds = the ``k`` vectors ranked first by
+      ``md5(id || ':pqseed:s')`` (id tie-break), sliced to the
+      subspace — seedless, engine-neutral;
+    * vectors L2-normalize via the left-to-right ``aggregate`` fold
+      (NOT numpy's pairwise summation — both engines fold
+      identically, so the normalized doubles are bit-equal);
+    * ``iters`` Lloyd rounds per subspace, all subspaces advancing in
+      ONE Spark job per round: assignment is the zero-shuffle literal
+      argmin projection (same ``(d2, c)`` struct-min tie-break the
+      oracle's row_number replays), update is a per-(subspace, code)
+      mean ROUNDED to ``round_digits`` (collapses summation-order
+      noise); empty codes keep their previous centroid.
+
+    Returns an ``(m, k, d/m)`` numpy array shaped exactly like
+    :func:`pq_train` (which remains the statistically-better trainer —
+    more iterations, unrounded means — and the recall-gated default).
+    The literal projection unrolls O(m·k·dsub) expression nodes, so
+    this trainer is bounded to ``m*k <= 4 * LITERAL_ASSIGN_MAX_K``;
+    realistic big-index training belongs to :func:`pq_train`.
+    """
+    import numpy as np
+
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    if m * k > 4 * LITERAL_ASSIGN_MAX_K:
+        raise ValueError(
+            f"pq_train_fixed literal projection bounded to m*k <= "
+            f"{4 * LITERAL_ASSIGN_MAX_K}, got {m * k}; use pq_train"
+        )
+    dsub = dims // m
+    base = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull() & (F.size("__v") == dims))
+    )
+    nrm = l2_norm(F.col("__v"))
+    base = base.select(
+        "__id",
+        F.transform(
+            F.col("__v"), lambda x: x / F.greatest(nrm, F.lit(1e-12))
+        ).alias("__nv"),
+    )
+
+    cents: dict[int, list[list[float]]] = {}
+    for s in range(m):
+        rows = (
+            base.withColumn(
+                "__h",
+                F.md5(
+                    F.concat(F.col("__id").cast("string"), F.lit(f":pqseed:{s}"))
+                ),
+            )
+            .orderBy("__h", "__id")
+            .limit(k)
+            .select("__nv")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(
+                "pq_train_fixed: cannot seed codebooks from an empty corpus"
+            )
+        seeds = [
+            [float(x) for x in r["__nv"][s * dsub : (s + 1) * dsub]] for r in rows
+        ]
+        # fewer vectors than codes: cycle (the fixed analogue of
+        # pq_train's replace=True draw)
+        cents[s] = [seeds[i % len(seeds)] for i in range(k)]
+
+    def _code_cols() -> list[Column]:
+        cols = []
+        for s in range(m):
+            sub = F.slice("__nv", s * dsub + 1, dsub)
+            structs = []
+            for ci, cvec in enumerate(cents[s]):
+                litv = F.array(*[F.lit(float(x)) for x in cvec])
+                d2 = F.aggregate(
+                    F.zip_with(sub, litv, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                structs.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
+            cols.append(F.array_min(F.array(*structs))["c"].alias(f"__c{s}"))
+        return cols
+
+    for _ in range(iters):
+        asg = base.select("__nv", *_code_cols())
+        exploded = asg.select(
+            "__nv",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"), F.col(f"__c{s}").alias("c")
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("sc"),
+        )
+        means = exploded.groupBy(
+            F.col("sc.s").alias("s"), F.col("sc.c").alias("c")
+        ).agg(
+            *[
+                F.round(F.avg(F.element_at("__nv", i + 1)), round_digits).alias(
+                    f"m{i}"
+                )
+                for i in range(dims)
+            ]
+        )
+        got = {
+            (r["s"], r["c"]): [r[f"m{i}"] for i in range(dims)]
+            for r in means.collect()
+        }
+        for s in range(m):
+            for ci in range(k):
+                nv = got.get((s, ci))
+                if nv is None:
+                    continue
+                sl = nv[s * dsub : (s + 1) * dsub]
+                if any(v is None for v in sl):
+                    continue
+                cents[s][ci] = [float(v) for v in sl]
+
+    return np.asarray([[cents[s][ci] for ci in range(k)] for s in range(m)])
+
+
+def cosine_topk_pq_fixed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 16,
+    shortlist_mult: int = 8,
+    dims: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """:func:`cosine_topk_pq` with every stage SQL-replayable — the
+    oracle-grade PQ query path. Same two-stage architecture (ADC scan
+    on m-byte codes → exact re-rank of the shortlist), but:
+
+    * codebooks from :func:`pq_train_fixed` (engine-replayable);
+    * encoding is the literal argmin projection (zero shuffle, no
+      numpy — the pandas-UDF :func:`pq_encode` computes distances via
+      BLAS matrix algebra whose summation order SQL cannot replay);
+    * per-query ADC lookup tables are computed driver-side in PURE
+      PYTHON left-to-right folds (bit-equal to the oracle's
+      ``list_reduce``), inlined as plan literals, and summed across
+      subspaces in subspace order;
+    * the shortlist cut is a rank over (adc desc, id) — the global
+      form of the (-score, id) lexsort the scan path uses.
+
+    Corpus cost is one codegen projection + one rank + the re-rank
+    join — fine at gate scale and structurally identical to the scan
+    path; for the 100 TB regime keep :func:`cosine_topk_pq` (codes
+    stay m BYTES, per-partition shortlists bound the window input).
+    """
+    import math
+
+    codebooks = pq_train_fixed(
+        corpus, m=m, k=n_centroids, dims=dims, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dsub = dims // m
+    cents = [[list(map(float, c)) for c in codebooks[s]] for s in range(m)]
+
+    base = (
+        corpus.select(
+            F.col(id_col).alias("__nid"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull() & (F.size("__v") == dims))
+    )
+    nrm = l2_norm(F.col("__v"))
+    base = base.select(
+        "__nid",
+        F.transform(
+            F.col("__v"), lambda x: x / F.greatest(nrm, F.lit(1e-12))
+        ).alias("__nv"),
+    )
+    code_cols = []
+    for s in range(m):
+        sub = F.slice("__nv", s * dsub + 1, dsub)
+        structs = []
+        for ci, cvec in enumerate(cents[s]):
+            litv = F.array(*[F.lit(x) for x in cvec])
+            d2 = F.aggregate(
+                F.zip_with(sub, litv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
+        code_cols.append(F.array_min(F.array(*structs))["c"].alias(f"__c{s}"))
+    codes = base.select("__nid", *code_cols)
+
+    # driver-side LUTs in pure-Python folds (left-to-right, like the
+    # oracle's list_reduce — NOT numpy dot products)
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return cosine_topk_pq(queries, corpus, k=k)  # empty: same schema
+    luts = []
+    for r in qrows:
+        v = [float(x) for x in r[vec_col]]
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        n = math.sqrt(acc)
+        n = n if n > 1e-12 else 1e-12
+        nv = [x / n for x in v]
+        lut_q = []
+        for s in range(m):
+            row = []
+            for cvec in cents[s]:
+                t = 0.0
+                for i in range(dsub):
+                    t += nv[s * dsub + i] * cvec[i]
+                row.append(t)
+            lut_q.append(row)
+        luts.append((r[id_col], lut_q))
+
+    score_structs = []
+    for qid, lut_q in luts:
+        terms = [
+            F.element_at(
+                F.array(*[F.lit(x) for x in lut_q[s]]), F.col(f"__c{s}") + 1
+            )
+            for s in range(m)
+        ]
+        score = terms[0]
+        for t in terms[1:]:
+            score = score + t
+        score_structs.append(
+            F.struct(F.lit(qid).alias("query_id"), score.alias("adc_score"))
+        )
+    long = codes.select(
+        "__nid", F.explode(F.array(*score_structs)).alias("qs")
+    ).select(F.col("qs.query_id"), "__nid", F.col("qs.adc_score"))
+    if exclude_self:
+        long = long.filter(F.col("query_id") != F.col("__nid"))
+
+    from pyspark.sql import Window
+
+    shortlist = shortlist_mult * k
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("__nid")
+    )
+    short = (
+        long.withColumn("__r", F.row_number().over(ws))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "__nid")
+    )
+    cvec = corpus.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__cv"))
+    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    rer = (
+        short.join(cvec, "__nid")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            F.col("__nid").alias("neighbor_id"),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return rer.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def cosine_topk_ivfpq_fixed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    pq_centroids: int = 16,
+    shortlist_mult: int = 8,
+    dims: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """:func:`cosine_topk_ivfpq` with every stage SQL-replayable — the
+    oracle-grade IVF+PQ path: coarse lists from
+    :func:`ivf_index_fixed`, codebooks from :func:`pq_train_fixed`,
+    literal argmin encoding, and ADC scoring via per-subspace
+    BROADCAST JOINS against the driver-computed lookup tables (pure
+    Python left-to-right folds), summed in subspace order. Candidates
+    are restricted to each query's ``n_probe`` probed lists before any
+    scoring. The production path stays :func:`cosine_topk_ivfpq`
+    (m-BYTE codes, pandas-UDF ADC); this variant's per-subspace join
+    columns cost m extra small joins — gate-scale economics.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    assigned, cent_df = ivf_index_fixed(
+        corpus, dims=dims, n_centroids=n_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codebooks = pq_train_fixed(
+        corpus, m=m, k=pq_centroids, dims=dims, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dsub = dims // m
+    cents = [[list(map(float, c)) for c in codebooks[s]] for s in range(m)]
+
+    base = (
+        corpus.select(
+            F.col(id_col).alias("__nid"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull() & (F.size("__v") == dims))
+    )
+    nrm = l2_norm(F.col("__v"))
+    base = base.select(
+        "__nid",
+        F.transform(
+            F.col("__v"), lambda x: x / F.greatest(nrm, F.lit(1e-12))
+        ).alias("__nv"),
+    )
+    code_cols = []
+    for s in range(m):
+        sub = F.slice("__nv", s * dsub + 1, dsub)
+        structs = []
+        for ci, cvec in enumerate(cents[s]):
+            litv = F.array(*[F.lit(x) for x in cvec])
+            d2 = F.aggregate(
+                F.zip_with(sub, litv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
+        code_cols.append(F.array_min(F.array(*structs))["c"].alias(f"__c{s}"))
+    codes = base.select("__nid", *code_cols).join(
+        assigned.select(F.col(id_col).alias("__nid"), "centroid"), "__nid"
+    )
+
+    # query -> n_probe nearest centroids (broadcast cross join on the
+    # tiny centroid table; same cosine fold the oracle replays)
+    qc = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("__cd", cosine(F.col("__qv"), F.col("centroid_vec")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__cd"), F.asc("centroid"))
+    probes = (
+        qc.withColumn("__cr", F.row_number().over(wq))
+        .filter(F.col("__cr") <= n_probe)
+        .select("query_id", "centroid")
+    )
+
+    qrows = queries.select(id_col, vec_col).collect()
+    lut_rows = {s: [] for s in range(m)}
+    for r in qrows:
+        v = [float(x) for x in r[vec_col]]
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        n = math.sqrt(acc)
+        n = n if n > 1e-12 else 1e-12
+        nv = [x / n for x in v]
+        for s in range(m):
+            for ci, cvec in enumerate(cents[s]):
+                t = 0.0
+                for i in range(dsub):
+                    t += nv[s * dsub + i] * cvec[i]
+                lut_rows[s].append((r[id_col], ci, t))
+
+    cand = probes.join(codes, "centroid").select("query_id", "__nid", *[
+        F.col(f"__c{s}") for s in range(m)
+    ])
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("__nid"))
+    for s in range(m):
+        lut_df = spark.createDataFrame(
+            lut_rows[s], f"query_id long, __c{s} int, __l{s} double"
+        )
+        cand = cand.join(F.broadcast(lut_df), ["query_id", f"__c{s}"])
+    score = F.col("__l0")
+    for s in range(1, m):
+        score = score + F.col(f"__l{s}")
+    long = cand.select("query_id", "__nid", score.alias("adc_score"))
+
+    shortlist = shortlist_mult * k
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("__nid")
+    )
+    short = (
+        long.withColumn("__r", F.row_number().over(ws))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "__nid")
+    )
+    cvec = corpus.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__cv"))
+    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    rer = (
+        short.join(cvec, "__nid")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            F.col("__nid").alias("neighbor_id"),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return rer.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def topk_recall(

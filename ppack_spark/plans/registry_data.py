@@ -1217,22 +1217,161 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_pq_topk")  # no SQL oracle: k-means codebooks are iterative;
-# recall@10 >= 0.8 vs the exact baseline is asserted in tests/test_ann.py
+def _pq_fixed_sql(
+    m: int = 8,
+    k: int = 16,
+    dims: int = 64,
+    iters: int = 2,
+    n_queries: int = 5,
+    shortlist: int = 120,
+    topk: int = 10,
+) -> str:
+    """Generate the full PQ-fixed oracle: normalization, per-subspace
+    md5 seeding, the rounded Lloyd rounds, literal-free encoding, ADC
+    lookup scoring summed IN SUBSPACE ORDER, shortlist cut, exact
+    re-rank — every fold a left-to-right ``list_reduce`` matching the
+    Spark ``aggregate``/pure-Python folds bit-for-bit (see
+    operators/ann.py:cosine_topk_pq_fixed)."""
+    return (
+        "with "
+        + ",".join(_pq_parts(m, k, dims, iters, n_queries))
+        + _pq_tail_sql(
+            m,
+            shortlist,
+            topk,
+            cand_join="",
+            self_filter="where query_id <> nid",
+        )
+    )
+
+
+def _pq_parts(m: int, k: int, dims: int, iters: int, n_queries: int) -> list[str]:
+    """The shared PQ CTE chain: normalized vectors, per-subspace
+    seeding + rounded Lloyd rounds + final codes + query LUTs."""
+    dsub = dims // m
+    parts = [
+        f"""
+    pe as (select vec_id, list_transform(embedding, x -> x::double) as v
+          from embeddings
+          where embedding is not null and len(embedding) = {dims}),
+    nv as (select vec_id,
+                  list_transform(v, x -> x / greatest(nrm, 1e-12)) as nv
+           from (select vec_id, v,
+                        sqrt(list_reduce(list_transform(v, x -> x * x),
+                                         (a, b) -> a + b)) as nrm
+                 from pe))"""
+    ]
+    for s in range(m):
+        off = s * dsub
+        d2 = (
+            f"list_reduce(list_transform(generate_series(1, {dsub}), i -> "
+            f"(n.nv[{off} + i] - c.cv[i]) * (n.nv[{off} + i] - c.cv[i])), "
+            "(x, y) -> x + y)"
+        )
+        parts.append(f"""
+    s{s}_c0 as (
+        select cast(rn - 1 as int) as c, nv[{off + 1}:{off + dsub}] as cv
+        from (select row_number() over (
+                  order by md5(cast(vec_id as varchar) || ':pqseed:{s}'),
+                           vec_id) as rn, nv
+              from nv)
+        where rn <= {k})""")
+        for it in range(1, iters + 1):
+            parts.append(f"""
+    s{s}_a{it} as (
+        select vec_id, c from (
+            select n.vec_id, c.c,
+                   row_number() over (
+                       partition by n.vec_id order by {d2} asc, c.c asc
+                   ) as rn
+            from nv n cross join s{s}_c{it - 1} c) where rn = 1),
+    s{s}_c{it}_m as (
+        select a.c, ti.i, round(avg(n2.nv[{off} + ti.i]), 6) as mval
+        from s{s}_a{it} a join nv n2 using (vec_id)
+        cross join unnest(generate_series(1, {dsub})) as ti(i)
+        group by a.c, ti.i),
+    s{s}_c{it}_u as (
+        select c, list(mval order by i) as cv from s{s}_c{it}_m group by c),
+    s{s}_c{it} as (
+        select p.c, coalesce(u.cv, p.cv) as cv
+        from s{s}_c{it - 1} p left join s{s}_c{it}_u u using (c))""")
+        parts.append(f"""
+    s{s}_cf as (
+        select vec_id, c from (
+            select n.vec_id, c.c,
+                   row_number() over (
+                       partition by n.vec_id order by {d2} asc, c.c asc
+                   ) as rn
+            from nv n cross join s{s}_c{iters} c) where rn = 1),
+    lut{s} as (
+        select q.vec_id as query_id, c.c,
+               list_reduce(list_transform(generate_series(1, {dsub}), i ->
+                   q.nv[{off} + i] * c.cv[i]), (x, y) -> x + y) as val
+        from nv q cross join s{s}_c{iters} c
+        where q.vec_id < {n_queries})""")
+    return parts
+
+
+def _pq_tail_sql(
+    m: int, shortlist: int, topk: int, cand_join: str, self_filter: str
+) -> str:
+    """ADC scoring (subspace-ORDERED fold), shortlist cut, exact
+    re-rank. ``cand_join`` optionally restricts each contribution to
+    an upstream candidate set (the IVF probe lists)."""
+    contrib = "\n        union all ".join(
+        f"select f.vec_id as nid, l.query_id, {s} as s, l.val "
+        f"from s{s}_cf f join lut{s} l on f.c = l.c{cand_join.format(s=s)}"
+        for s in range(m)
+    )
+    return f""",
+    contrib as (
+        {contrib}),
+    adc as (
+        select query_id, nid,
+               list_reduce(list(val order by s), (x, y) -> x + y) as adc_score
+        from contrib group by query_id, nid),
+    short as (
+        select query_id, nid from (
+            select *, row_number() over (
+                partition by query_id order by adc_score desc, nid asc
+            ) as rn
+            from adc {self_filter}) where rn <= {shortlist}),
+    scored as (
+        select s.query_id, s.nid as neighbor_id,
+               round({_cos_sql('qe.embedding', 'ce.embedding')}, 6) as cos_sim
+        from short s
+        join embeddings qe on qe.vec_id = s.query_id
+        join embeddings ce on ce.vec_id = s.nid)
+    select query_id, neighbor_id, cos_sim, rank from (
+        select *, row_number() over (
+            partition by query_id order by cos_sim desc, neighbor_id
+        ) as rank from scored) where rank <= {topk}
+    """
+
+
+@query("ann_pq_topk", _pq_fixed_sql())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization approximate top-k (operators/ann.py:
-    cosine_topk_pq): m-byte codes + per-query ADC lookup tables give a
-    corpus scan that never reads float vectors, then an exact re-rank
-    on the shortlist. The memory-scale ANN path: a 100 TB embedding
-    corpus compresses ~64x into cluster memory. Config matches the
-    recall-gated one in tests/test_ann.py."""
-    from ..operators.ann import cosine_topk_pq
+    """Product-quantization approximate top-k, ORACLE-GRADE since
+    round 7 (operators/ann.py:cosine_topk_pq_fixed): md5-seeded
+    rounded-Lloyd codebooks per subspace, literal argmin encoding,
+    pure-fold ADC lookup tables, deterministic shortlist, exact
+    re-rank — the DuckDB oracle replays the entire chain (training
+    included) bit-for-bit, converting the former no-oracle row into a
+    hash-checked one. The numpy/BLAS scan path (cosine_topk_pq, the
+    100 TB shape: m-BYTE codes, per-partition shortlists) remains the
+    production variant, recall-gated in tests/test_ann.py."""
+    from ..operators.ann import cosine_topk_pq_fixed
 
     e = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = e.filter(F.col("vec_id") < 5)
-    return cosine_topk_pq(queries, e, k=10)
+    return cosine_topk_pq_fixed(
+        queries, e, k=10, m=8, n_centroids=16, shortlist_mult=12
+    ).select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 _PLANE_SQL = (
@@ -2767,22 +2906,90 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivfpq_topk")  # no SQL oracle: two k-means trainings are
-# iterative; recall@10 >= 0.8 vs exact is asserted in tests/test_ann.py
+def _ivfpq_fixed_sql(
+    m: int = 8,
+    pq_k: int = 16,
+    dims: int = 64,
+    iters: int = 2,
+    n_queries: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 6,
+    shortlist: int = 120,
+    topk: int = 10,
+) -> str:
+    """IVF+PQ oracle: the ann_ivf_topk coarse-quantizer CTE chain
+    (md5 seeds, rounded Lloyd rounds, probe selection) composed with
+    the shared PQ parts; each ADC contribution joins through the
+    query's probed lists before scoring."""
+    ivf = f"""
+    e as (select vec_id, embedding from embeddings),
+    c0 as (
+        select cast(rn - 1 as int) as centroid, cvec from (
+            select row_number() over (
+                       order by md5(cast(vec_id as varchar) || ':ivfseed'),
+                                vec_id
+                   ) as rn,
+                   list_transform(embedding, x -> x::double) as cvec
+            from e
+        ) where rn <= {n_centroids}
+    ),{_ivf_assign_sql('c0', 'a1')},{_ivf_update_sql('a1', 'c0', 'c1')},
+    {_ivf_assign_sql('c1', 'a2')},{_ivf_update_sql('a2', 'c1', 'c2')},
+    {_ivf_assign_sql('c2', 'af')},
+    qc as (
+        select q.vec_id as query_id, c.centroid,
+               {_cos_sql('q.embedding', 'c.cvec')} as cd
+        from e q cross join c2 c
+        where q.vec_id < {n_queries}
+    ),
+    pr as (
+        select query_id, centroid from (
+            select *, row_number() over (
+                partition by query_id order by cd desc, centroid
+            ) as rn from qc
+        ) where rn <= {n_probe}
+    ),
+    cand as (
+        select p.query_id, af.vec_id as nid
+        from pr p join af on p.centroid = af.centroid
+        where p.query_id <> af.vec_id
+    )"""
+    cand_join = (
+        " join cand cd on cd.nid = f.vec_id and cd.query_id = l.query_id"
+    )
+    return (
+        "with "
+        + ivf
+        + ","
+        + ",".join(_pq_parts(m, pq_k, dims, iters, n_queries))
+        + _pq_tail_sql(
+            m, shortlist, topk, cand_join=cand_join, self_filter=""
+        )
+    )
+
+
+@query("ann_ivfpq_topk", _ivfpq_fixed_sql())
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ combined ANN (operators/ann.py:cosine_topk_ivfpq — the
-    FAISS-IVFPQ shape): n_probe inverted lists bound the scan, m-byte
-    PQ codes bound the bytes per candidate, exact re-rank on the
-    shortlist only. Config matches the recall-gated one in
-    tests/test_ann.py."""
-    from ..operators.ann import cosine_topk_ivfpq
+    """IVF+PQ combined ANN, ORACLE-GRADE since round 7
+    (operators/ann.py:cosine_topk_ivfpq_fixed — the FAISS-IVFPQ shape
+    with both trainings engine-replayable): the deterministic coarse
+    quantizer bounds each query to its n_probe lists, md5-seeded PQ
+    codebooks score candidates via pure-fold ADC lookup tables, exact
+    re-rank on the shortlist. The DuckDB oracle replays BOTH trainings
+    plus probe selection and scoring. The numpy scan path
+    (cosine_topk_ivfpq) remains the production variant, recall-gated
+    in tests/test_ann.py."""
+    from ..operators.ann import cosine_topk_ivfpq_fixed
 
     e = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = e.filter(F.col("vec_id") < 5)
-    return cosine_topk_ivfpq(
-        queries, e, k=10, n_centroids=8, n_probe=6, shortlist_mult=12
+    return cosine_topk_ivfpq_fixed(
+        queries, e, k=10, n_centroids=8, n_probe=6, m=8, pq_centroids=16,
+        shortlist_mult=12,
+    ).select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

@@ -371,3 +371,37 @@ def test_ivf_fixed_assignment_paths_agree_across_threshold(embeddings, monkeypat
     got_bc = {r["vec_id"]: r["centroid"] for r in a_bc.collect()}
     got_lit = {r["vec_id"]: r["centroid"] for r in a_lit.collect()}
     assert got_bc == got_lit
+
+
+def test_pq_fixed_and_ivfpq_fixed_recall(embeddings, exact_pairs):
+    """The oracle-grade fixed PQ paths must still be decent ANN, not
+    just replayable: recall@10 >= 0.8 vs exact at the gate configs
+    (the same bar the production scan paths are held to)."""
+    from ppack_spark.operators.ann import (
+        cosine_topk_ivfpq_fixed,
+        cosine_topk_pq_fixed,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    for fn, kw in [
+        (cosine_topk_pq_fixed, dict(k=K, m=8, n_centroids=16, shortlist_mult=12)),
+        (cosine_topk_ivfpq_fixed,
+         dict(k=K, n_centroids=8, n_probe=6, m=8, pq_centroids=16,
+              shortlist_mult=12)),
+    ]:
+        rows = fn(q, embeddings, **kw).select("query_id", "neighbor_id").collect()
+        got = {(r[0], r[1]) for r in rows}
+        recall = len(got & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.8, f"{fn.__name__} recall@10 = {recall:.3f}"
+
+
+def test_pq_fixed_trainer_bounds():
+    import numpy as np
+    import pytest
+
+    from ppack_spark.operators import ann
+
+    with pytest.raises(ValueError, match="not divisible"):
+        ann.pq_train_fixed(None, m=7, k=4, dims=64)
+    with pytest.raises(ValueError, match="literal projection bounded"):
+        ann.pq_train_fixed(None, m=8, k=1000, dims=64)
