@@ -111,8 +111,8 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
+    "ann_pq_topk_scan",
+    "ann_ivfpq_topk_scan",
     "ann_recall_report",
     "threshold_topk",
     "eval_decontamination",

@@ -1013,26 +1013,39 @@ def pq_train_fixed(
         ).alias("__nv"),
     )
 
+    # all m subspace seed draws in ONE windowed job (rank-pruned
+    # top-k per subspace hash ordering — identical selection to m
+    # separate orderBy().limit(k) passes, which cost m Spark jobs)
+    from pyspark.sql import Window
+
+    hashes = F.array(
+        *[
+            F.md5(F.concat(F.col("__id").cast("string"), F.lit(f":pqseed:{s}")))
+            for s in range(m)
+        ]
+    )
+    exploded = base.select(
+        "__id", "__nv", F.posexplode(hashes).alias("__s", "__h")
+    )
+    wseed = Window.partitionBy("__s").orderBy("__h", "__id")
+    seed_rows = (
+        exploded.withColumn("__r", F.row_number().over(wseed))
+        .filter(F.col("__r") <= k)
+        .select("__s", "__r", "__nv")
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError(
+            "pq_train_fixed: cannot seed codebooks from an empty corpus"
+        )
+    by_s: dict[int, list] = {}
+    for r in seed_rows:
+        by_s.setdefault(r["__s"], []).append((r["__r"], r["__nv"]))
     cents: dict[int, list[list[float]]] = {}
     for s in range(m):
-        rows = (
-            base.withColumn(
-                "__h",
-                F.md5(
-                    F.concat(F.col("__id").cast("string"), F.lit(f":pqseed:{s}"))
-                ),
-            )
-            .orderBy("__h", "__id")
-            .limit(k)
-            .select("__nv")
-            .collect()
-        )
-        if not rows:
-            raise ValueError(
-                "pq_train_fixed: cannot seed codebooks from an empty corpus"
-            )
+        ordered = [nv for _, nv in sorted(by_s[s])]
         seeds = [
-            [float(x) for x in r["__nv"][s * dsub : (s + 1) * dsub]] for r in rows
+            [float(x) for x in nv[s * dsub : (s + 1) * dsub]] for nv in ordered
         ]
         # fewer vectors than codes: cycle (the fixed analogue of
         # pq_train's replace=True draw)

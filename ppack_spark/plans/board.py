@@ -93,9 +93,9 @@ BOARD: list[str] = [
     "corpus_delta_merge",
     "corpus_delta_merge_fuzzy",
     "corpus_pipeline_e2e",
-    "corpus_shuffle",
+    "ann_pq_topk",
     "corpus_split",
-    "corpus_upsample",
+    "ann_ivfpq_topk",
     "dedup_keep_best",
     "dsir_importance",
     "eval_decontamination",

@@ -2906,6 +2906,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_pq_topk_scan")  # production ADC scan path: BLAS matrix
+# algebra whose summation order SQL cannot replay — recall@10 >= 0.8
+# vs exact is asserted in tests/test_ann.py; the oracle-grade twin is
+# ann_pq_topk
+def ann_pq_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k, production shape
+    (operators/ann.py:cosine_topk_pq): m-BYTE codes + per-query ADC
+    lookup tables scanned via mapInPandas with per-partition
+    shortlists — the 100 TB memory-scale path benchmarked here; the
+    hash-checked fixed-point twin (ann_pq_topk) carries the
+    correctness row."""
+    from ..operators.ann import cosine_topk_pq
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_pq(queries, e, k=10)
+
+
+@query("ann_ivfpq_topk_scan")  # production path twin of ann_ivfpq_topk
+# (see ann_pq_topk_scan); recall-gated in tests/test_ann.py
+def ann_ivfpq_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ combined ANN, production shape (operators/ann.py:
+    cosine_topk_ivfpq — FAISS-IVFPQ): n_probe inverted lists bound the
+    scan, m-byte PQ codes bound bytes per candidate, pandas-UDF ADC,
+    exact re-rank on the shortlist."""
+    from ..operators.ann import cosine_topk_ivfpq
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivfpq(
+        queries, e, k=10, n_centroids=8, n_probe=6, shortlist_mult=12
+    )
+
+
 def _ivfpq_fixed_sql(
     m: int = 8,
     pq_k: int = 16,

@@ -70,7 +70,11 @@ def main() -> None:
     import __spark_entry__ as entry
     from ppack_spark.session import get_spark
 
-    spark = get_spark("verify_all")
+    # sf0.1 replays collect ~26M-row pair tables through Arrow — the
+    # 1g maxResultSize default aborts the fetch mid-await (this is a
+    # verify-harness allowance, not an engine setting: the operators
+    # themselves never collect O(pairs) rows)
+    spark = get_spark("verify_all", {"spark.driver.maxResultSize": "16g"})
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
