@@ -72,8 +72,8 @@ QUERIES = [
     # ANN family
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
+    "ann_pq_topk_scan",
+    "ann_ivfpq_topk_scan",
     # relational / events
     "q1_pricing_summary",
     "top_orders_per_customer",
@@ -89,7 +89,7 @@ QUAD_CAP = {
     "comparison_vectors": 0.5,
     "match_weight_scoring": 0.5,
     "threshold_topk": 0.5,
-    "jw_approx_buckets": 0.5,
+    "jw_approx_buckets": 0.2,  # 200M brand-block pairs at sf0.5
 }
 
 
@@ -112,6 +112,17 @@ def _child(sf: float, sf_dir: str, out_path: str) -> None:
 
     qs = entry_mod.queries()
     names = [q for q in QUERIES if sf <= QUAD_CAP.get(q, 10.0)]
+    # chunked runs (harness wall-clock caps): SPARK_GRAFT_SCALE_PART=i/n
+    # takes the i-th of n contiguous slices; merged by the parent's
+    # incremental raw-sample merge
+    part = os.environ.get("SPARK_GRAFT_SCALE_PART")
+    if part:
+        i, n = (int(x) for x in part.split("/"))
+        names = [q for j, q in enumerate(names) if j % n == i]
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    if only:
+        names = [q for q in names if q in set(only.split(","))]
+        part = "1"  # name-filtered runs never re-time the OLD report
     samples: dict[str, list[float]] = {n: [] for n in names}
     failed: list[str] = []
     for _ in range(iters):
@@ -133,6 +144,8 @@ def _child(sf: float, sf_dir: str, out_path: str) -> None:
         # the old version's union ran its count branches concurrently,
         # so only a saturated cluster (the big scales here) shows the
         # total-work difference as wall-clock
+        if part and not part.startswith("0"):
+            continue
         try:
             t0 = time.monotonic()
             _old_stage_report(spark, sf_dir).write.format("noop").mode(
@@ -197,9 +210,25 @@ def _fit(xs: list[float], ys: list[float]) -> float | None:
 
 
 def main() -> None:
-    out_file = sys.argv[1] if len(sys.argv) > 1 else "SCALE_r07.json"
-    per_scale: dict[float, dict] = {}
+    """Args: [out_file] [--scales 0.1,0.5]. Results MERGE into
+    out_file's raw samples, so scales can run as separate invocations
+    (each scale is a fresh JVM either way) and a rerun of one scale
+    replaces only that scale's rows."""
+    args = [a for a in sys.argv[1:]]
+    only = None
+    if "--scales" in args:
+        i = args.index("--scales")
+        only = {float(x) for x in args[i + 1].split(",")}
+        del args[i : i + 2]
+    out_file = args[0] if args else "SCALE_r07.json"
+    out_path = os.path.join(REPO, out_file)
+    raw: dict[str, dict] = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            raw = json.load(f).get("raw", {})
     for sf, sf_dir in SCALES:
+        if only is not None and sf not in only:
+            continue
         if not os.path.isdir(sf_dir):
             print(f"skip sf{sf}: {sf_dir} missing", file=sys.stderr)
             continue
@@ -211,8 +240,27 @@ def main() -> None:
         )
         if proc.returncode == 0 and os.path.exists(tmp):
             with open(tmp) as f:
-                per_scale[sf] = json.load(f)
+                new = json.load(f)
+            old = raw.get(str(sf))
+            if old:  # chunked same-scale runs: merge sample maps
+                old["samples"].update(new["samples"])
+                old["failed"] = sorted(set(old["failed"]) | set(new["failed"]))
+                old["calib"] = old["calib"] + new["calib"]
+            else:
+                raw[str(sf)] = new
             os.remove(tmp)
+            _write(out_path, raw)
+    _write(out_path, raw)
+    with open(out_path) as f:
+        for name, e in sorted(
+            json.load(f)["queries"].items(),
+            key=lambda kv: -(kv[1]["exp_hi"] or 0),
+        ):
+            print(name, e["times"], "exp", e["exponent"], "exp_hi", e["exp_hi"])
+
+
+def _write(out_path: str, raw: dict[str, dict]) -> None:
+    per_scale = {float(sf): d for sf, d in raw.items()}
     queries: dict[str, dict] = {}
     all_names = sorted({n for d in per_scale.values() for n in d["samples"]})
     for name in all_names:
@@ -230,12 +278,11 @@ def main() -> None:
         "scales": {str(sf): {"calib": d["calib"], "failed": d["failed"]}
                    for sf, d in per_scale.items()},
         "queries": queries,
+        "raw": raw,
     }
-    with open(os.path.join(REPO, out_file), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")
-    for name, e in sorted(queries.items(), key=lambda kv: -(kv[1]["exp_hi"] or 0)):
-        print(name, e["times"], "exp", e["exponent"], "exp_hi", e["exp_hi"])
 
 
 if __name__ == "__main__":
