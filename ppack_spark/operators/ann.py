@@ -521,7 +521,7 @@ def semantic_dedup_corpus(
     eps: float = 0.95,
     clusters: DataFrame | None = None,
     cluster_col: str = "cluster",
-    use_star: bool = False,
+    use_star: bool = True,
     round_digits: int = 6,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop embedding-space near-
@@ -552,8 +552,10 @@ def semantic_dedup_corpus(
     Scale shape: the quadratic work is confined to within-bucket
     pairs (an equi-join on the bucket id, never a cross product); the
     component kernels iterate over candidate edges with
-    localCheckpoint lineage cuts (``use_star=True`` switches to the
-    O(log n)-round large-star/small-star kernel); the final anti-join
+    localCheckpoint lineage cuts (``use_star`` defaults True — the
+    O(log n)-round star kernel is diameter-proof, and semantic
+    near-dup chains can be long; ``use_star=False`` keeps min-label
+    propagation for known near-clique graphs); the final anti-join
     touches ids only. The embedding column itself never shuffles
     except bucket-locally.
     """

@@ -14,13 +14,18 @@ O(component diameter) joins; every iteration is a shuffle on the node
 id and the lineage is cut with ``cut_lineage`` (localCheckpoint +
 flat-stats reset — see operators/util.py) so neither the plan tree nor
 Catalyst's sizeInBytes estimate grows
-unboundedly. Linkage/dedup components are near-cliques (diameter 2-3
-in practice), so the loop terminates in a handful of rounds; for
-adversarial long-chain graphs the alternating large-star/small-star
-variant (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC 2014) converges in O(log n) rounds regardless of
-diameter — provided as :func:`connected_components_star` with the
-identical (node, component) contract, so callers can swap freely.
+unboundedly. Min-label propagation suits graphs KNOWN to be
+near-cliques (diameter 2-3 — e.g. exact-hash collision groups),
+terminating in a handful of rounds; but real near-dup graphs grow
+long transitive chains (copy-of-a-copy drift), where convergence is
+O(diameter) and the loop exhausts ``max_iter``. The alternating
+large-star/small-star variant (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC 2014) converges in O(log n) rounds
+regardless of diameter — provided as
+:func:`connected_components_star` with the identical
+(node, component) contract, and since round 7 it is the DEFAULT
+kernel for every production dedup chain (near_dedup_corpus,
+media_near_dedup, semantic_dedup_corpus, linkage clustering).
 
 Oracle: a DuckDB recursive CTE computes the reachability closure and
 takes min(reachable) per node — exponentially worse than the Spark
@@ -72,12 +77,16 @@ def connected_components(
             e.join(labels, e["dst"] == labels["node"])
             .select(e["src"].alias("node"), F.col("component"))
         )
-        # pointer doubling (comp[comp[v]]): labels always point at a
-        # node with a ≤ id in the same component, so chasing one hop of
-        # the label table compresses paths and drops convergence from
-        # O(diameter) to O(log diameter) rounds — measured 10 → 4
-        # rounds on the sf0.1 semantic-dedup chain graph. One extra
-        # equi-join of the (tiny, checkpointed) label table per round.
+        # pointer chasing (comp[comp[v]]): one extra equi-join of the
+        # (tiny, checkpointed) label table per round. Helps when label
+        # chains align with the min-id gradient (measured 10 → 4
+        # rounds on the sf0.1 semantic-dedup chain graph) but does NOT
+        # guarantee O(log d): where labels rest at local minima the
+        # chase gains little, and convergence trends back toward
+        # O(diameter). The round-7 scale proof hit this on a replicated
+        # media corpus — three ~2000-node chain-of-blob components of
+        # BFS diameter ~34 left 48 labels still moving at round 30.
+        # Production chains therefore default to the star kernel.
         ptr = (
             labels.alias("l")
             .join(labels.alias("m"), F.col("l.component") == F.col("m.node"))

@@ -174,7 +174,7 @@ def media_near_dedup(
     block_col: str = "kind",
     max_hamming: int = 6,
     bits: int = _DHASH_BITS,
-    use_star: bool = False,
+    use_star: bool = True,
 ) -> DataFrame:
     """Media-column twin of the text ``near_dedup_corpus``: perceptual
     near-duplicate pairs (:func:`phash_near_dup_pairs`) → connected
@@ -188,6 +188,13 @@ def media_near_dedup(
     only (id, block, 64-bit phash) ever shuffles — payload bytes stay
     at the scan until the final anti-join projects the survivors;
     components iterate over id-pair edges with lineage cuts.
+
+    ``use_star`` defaults True (O(log n) star kernel): re-encoded
+    media forms DEEP Hamming components (copy-of-a-copy drift — each
+    hop <= max_hamming but the ends far apart). The round-7 scale
+    proof caught min-label propagation failing to converge on exactly
+    this: a replicated corpus produced ~2000-node chain-of-blob
+    components of BFS diameter ~34, past the default round budget.
     """
     from .cluster import connected_components, connected_components_star
 

@@ -208,13 +208,15 @@ class Linker:
     # --- cluster resolution -------------------------------------------
     @staticmethod
     def _cc(algorithm: str):
-        """Pick the components kernel. ``label`` (default): min-label
-        propagation — O(diameter) rounds, cheapest per round; right for
-        linkage graphs, whose components are entity-sized and shallow.
-        ``star``: alternating large-star/small-star (Kiveris SoCC'14) —
-        O(log n) rounds independent of diameter; the swap-in when the
-        edge set is huge or adversarially chained (both kernels are
-        gated to the same recursive-CTE oracle: `dedup_clusters` /
+        """Pick the components kernel. ``star`` (default): alternating
+        large-star/small-star (Kiveris SoCC'14) — O(log n) rounds
+        independent of diameter, the safe choice when the accepted-pair
+        graph's shape is unknown (a low threshold chains entities; the
+        round-6 A-B gate and the round-7 scale proof both hit
+        diameter blowups). ``label``: min-label propagation —
+        O(diameter) rounds, one join fewer per round; for graphs known
+        to be entity-sized near-cliques (both kernels are gated to the
+        same recursive-CTE oracle: `dedup_clusters` /
         `dedup_clusters_star`)."""
         from ..operators.cluster import connected_components, connected_components_star
 
@@ -222,7 +224,7 @@ class Linker:
             raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
         return connected_components if algorithm == "label" else connected_components_star
 
-    def cluster(self, threshold: float = 5.0, algorithm: str = "label") -> DataFrame:
+    def cluster(self, threshold: float = 5.0, algorithm: str = "star") -> DataFrame:
         """Resolve pairs with weight > ``threshold`` into entity
         clusters (connected components; the post-linkage step the
         reference leaves to its ground-truth ``cluster`` column,
@@ -251,7 +253,7 @@ class Linker:
         components = self._cc(algorithm)(edges, id_l, id_r)
         return attach_cluster_ids(self.data_a, components, self.spec.unique_id_left)
 
-    def cluster_links(self, threshold: float = 5.0, algorithm: str = "label") -> DataFrame:
+    def cluster_links(self, threshold: float = 5.0, algorithm: str = "star") -> DataFrame:
         """Two-dataset-safe cluster resolution. Node ids are prefixed
         with a source-dataset tag (``a:``/``b:``, the splink
         disambiguation) before connected components, so overlapping id

@@ -107,6 +107,57 @@ def test_star_variant_random_graph_parity(spark):
     )
 
 
+def test_chain_of_blobs_star_within_log_rounds(spark):
+    """The round-7 scale-proof topology, minimized: replicated dup
+    groups welded into chain-of-blob components (the sf0.2 media graph
+    had three ~2000-node components of BFS diameter ~34, on which
+    min-label propagation left 48 labels moving at round 30). 40
+    4-cliques chained by bridges, ids scattered: the star kernel must
+    resolve it within its logarithmic round budget and agree with
+    (slow, high-budget) label propagation."""
+    k, c = 4, 40  # clique size, clique count → diameter ~2c
+    perm = {i: (i * 73) % (k * c) for i in range(k * c)}  # id scatter
+    edges = []
+    for b in range(c):
+        ids = [perm[b * k + j] for j in range(k)]
+        edges += [(a, bb) for a in ids for bb in ids if a < bb]
+        if b:
+            edges.append((perm[(b - 1) * k], perm[b * k]))  # bridge
+    df = spark.createDataFrame(edges, "id_left long, id_right long")
+    star = _components_dict(connected_components_star(df, max_iter=15))
+    assert set(star.values()) == {0}
+    assert len(star) == k * c
+    assert star == _components_dict(connected_components(df, max_iter=200))
+
+
+def test_production_dedup_chains_default_to_star_kernel():
+    """Every production dedup/cluster entry point must default to the
+    diameter-proof star kernel — min-label propagation is opt-in for
+    callers who KNOW their graph is a near-clique. Regression pin for
+    the round-7 sf0.2 media-chain non-convergence."""
+    import inspect
+
+    from ppack_spark.operators.ann import semantic_dedup_corpus
+    from ppack_spark.operators.dedup import (
+        near_dedup_corpus,
+        near_dedup_keep_best,
+        near_dup_components,
+    )
+    from ppack_spark.operators.multimodal import media_near_dedup
+    from ppack_spark.plans.linker import Linker
+
+    for fn in (
+        near_dup_components,
+        near_dedup_corpus,
+        near_dedup_keep_best,
+        media_near_dedup,
+        semantic_dedup_corpus,
+    ):
+        assert inspect.signature(fn).parameters["use_star"].default is True, fn
+    for fn in (Linker.cluster, Linker.cluster_links):
+        assert inspect.signature(fn).parameters["algorithm"].default == "star", fn
+
+
 def test_non_convergence_raises(spark):
     """Exhausting max_iter before the fixpoint must raise — silent
     partial propagation hands out wrong (split) component ids."""

@@ -15,11 +15,15 @@ dtype-sensitive — a DuckDB HUGEINT arriving as float64 where Spark
 returns bigint is a mismatch even when every value is equal).
 
 Usage: ``python verify_all.py [sf_dir] [out_path]``
+(``SPARK_GRAFT_VERIFY_ONLY=a,b,c`` restricts to named gates for
+targeted re-verification; such runs print but do NOT overwrite the
+full-census artifact unless an explicit out_path is given.)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import duckdb
@@ -83,6 +87,12 @@ def main() -> None:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, osql = entry.queries(), entry.oracle_sql()
+    only = os.environ.get("SPARK_GRAFT_VERIFY_ONLY")
+    if only:
+        wanted = set(only.split(","))
+        qs = {n: f for n, f in qs.items() if n in wanted}
+        if len(sys.argv) <= 2:
+            out_path = "CORRECTNESS_partial.json"
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         try:
