@@ -18,6 +18,18 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE can only COALESCE down from the initial reducer count, never
+    # split up — so the initial count must be sized for the LARGEST
+    # shuffle in the workload, not the average one. At 32 reducers the
+    # linkage chain's pair-distinct (hundreds of millions of rows at
+    # mid scale) sort-spills every task: the round-7 scale proof
+    # measured it 3x worse than its quadratic pair budget predicts,
+    # and 256 initial reducers bought 2.2x back (133 s -> 60 s at
+    # sf0.5) while AQE coalesces small shuffles to the same effective
+    # partitioning as before (bench delta at sf0.1: nil). On a real
+    # cluster this would be sized ~2-3x total cores; the principle —
+    # initial reducers follow the biggest shuffle — is the same.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
