@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "phash_near_dup_banded",
     "linkage_ab_clusters",
     "dedup_clusters",
+    "dedup_clusters_adaptive",
     "media_metadata",
     "media_phash_near_dup",
     "media_near_dedup",
@@ -254,7 +255,21 @@ def _run_group(names: list[str], out_path: str, log_fh) -> dict:
 
     t = threading.Thread(target=_pump, daemon=True)
     t.start()
-    proc.wait()
+    # A wedged query in the child JVM must not hang the whole bench:
+    # kill the group on expiry and record its queries as failed so the
+    # run still emits its tail metric line.
+    group_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_GROUP_TIMEOUT", "900"))
+    try:
+        proc.wait(timeout=group_timeout)
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: group TIMEOUT after {group_timeout:.0f}s "
+            f"({names[0]}..) — killing child",
+            file=sys.stderr,
+            flush=True,
+        )
+        proc.kill()
+        proc.wait()
     t.join(timeout=30)
     try:
         with open(out_path) as f:

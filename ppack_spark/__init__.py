@@ -34,7 +34,12 @@ from .exprs import (
     with_suffix,
 )
 from .operators.asof import asof_join
-from .operators.cluster import attach_cluster_ids, connected_components
+from .operators.cluster import (
+    attach_cluster_ids,
+    connected_components,
+    connected_components_adaptive,
+    connected_components_star,
+)
 from .operators.rangejoin import range_join_bucketed
 from .pairs import compute_pairs_dataset, sample_pair_ids, sample_pair_ids_inplan
 from .patterns import (
@@ -68,6 +73,8 @@ __all__ = [
     "estimate_blocking_counts",
     "key_skew_report",
     "connected_components",
+    "connected_components_adaptive",
+    "connected_components_star",
     "collect_probabilities",
     "compute_pairs_dataset",
     "dict_lookup_case_when",

@@ -521,7 +521,7 @@ def semantic_dedup_corpus(
     eps: float = 0.95,
     clusters: DataFrame | None = None,
     cluster_col: str = "cluster",
-    use_star: bool = True,
+    use_star: bool | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop embedding-space near-
@@ -552,14 +552,15 @@ def semantic_dedup_corpus(
     Scale shape: the quadratic work is confined to within-bucket
     pairs (an equi-join on the bucket id, never a cross product); the
     component kernels iterate over candidate edges with
-    localCheckpoint lineage cuts (``use_star`` defaults True — the
-    O(log n)-round star kernel is diameter-proof, and semantic
-    near-dup chains can be long; ``use_star=False`` keeps min-label
-    propagation for known near-clique graphs); the final anti-join
+    localCheckpoint lineage cuts (``use_star`` defaults ``None`` =
+    the adaptive kernel — cheap min-label rounds, then the
+    diameter-proof O(log n) star kernel on the label-contracted graph
+    only if needed, since semantic near-dup chains can be long;
+    ``True`` forces star, ``False`` pure min-label); the final anti-join
     touches ids only. The embedding column itself never shuffles
     except bucket-locally.
     """
-    from .cluster import connected_components, connected_components_star
+    from .cluster import components_kernel
 
     if clusters is None:
         bk = hyperplane_lsh_buckets(df, dims, n_planes, id_col, vec_col).select(
@@ -592,8 +593,7 @@ def semantic_dedup_corpus(
         # keeps the edge list minimal
         .dropDuplicates(["id_left", "id_right"])
     )
-    kernel = connected_components_star if use_star else connected_components
-    comps = kernel(pairs)
+    comps = components_kernel(use_star)(pairs)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -1146,6 +1146,23 @@ def cosine_topk_pq_fixed(
     """
     import math
 
+    # Collect queries BEFORE training: an empty query set should not pay
+    # for (or double-train) codebooks just to return an empty result.
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, StructField, StructType,
+        )
+
+        qid_type = queries.schema[id_col].dataType
+        empty_schema = StructType([
+            StructField("query_id", qid_type),
+            StructField("neighbor_id", qid_type),
+            StructField("cos_sim", DoubleType()),
+            StructField("rank", IntegerType()),
+        ])
+        return queries.sparkSession.createDataFrame([], empty_schema)
+
     codebooks = pq_train_fixed(
         corpus, m=m, k=n_centroids, dims=dims, iters=iters,
         id_col=id_col, vec_col=vec_col,
@@ -1183,10 +1200,8 @@ def cosine_topk_pq_fixed(
     codes = base.select("__nid", *code_cols)
 
     # driver-side LUTs in pure-Python folds (left-to-right, like the
-    # oracle's list_reduce — NOT numpy dot products)
-    qrows = queries.select(id_col, vec_col).collect()
-    if not qrows:
-        return cosine_topk_pq(queries, corpus, k=k)  # empty: same schema
+    # oracle's list_reduce — NOT numpy dot products); qrows collected
+    # above, before codebook training
     luts = []
     for r in qrows:
         v = [float(x) for x in r[vec_col]]
@@ -1368,10 +1383,16 @@ def cosine_topk_ivfpq_fixed(
     ])
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("__nid"))
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    qid_type = queries.schema[id_col].dataType
     for s in range(m):
-        lut_df = spark.createDataFrame(
-            lut_rows[s], f"query_id long, __c{s} int, __l{s} double"
-        )
+        lut_schema = StructType([
+            StructField("query_id", qid_type),
+            StructField(f"__c{s}", IntegerType()),
+            StructField(f"__l{s}", DoubleType()),
+        ])
+        lut_df = spark.createDataFrame(lut_rows[s], lut_schema)
         cand = cand.join(F.broadcast(lut_df), ["query_id", f"__c{s}"])
     score = F.col("__l0")
     for s in range(1, m):

@@ -42,8 +42,53 @@ from .util import cut_lineage
 __all__ = [
     "connected_components",
     "connected_components_star",
+    "connected_components_adaptive",
+    "components_kernel",
     "attach_cluster_ids",
 ]
+
+
+def components_kernel(use_star: bool | None):
+    """Shared kernel selector for the dedup/linkage chains' tri-state
+    ``use_star`` flag: ``None`` (the default everywhere) →
+    :func:`connected_components_adaptive`; ``True`` → always star;
+    ``False`` → min-label propagation only."""
+    if use_star is None:
+        return connected_components_adaptive
+    return connected_components_star if use_star else connected_components
+
+
+def _label_round(e: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
+    """One min-label propagation round (neighbour min + pointer chase
+    comp[comp[v]]), returning (new_labels, changed-count). Shared by
+    :func:`connected_components` and the adaptive kernel's cheap
+    prefix rounds. ``new_labels`` is lineage-cut."""
+    nbr = (
+        e.join(labels, e["dst"] == labels["node"])
+        .select(e["src"].alias("node"), F.col("component"))
+    )
+    ptr = (
+        labels.alias("l")
+        .join(labels.alias("m"), F.col("l.component") == F.col("m.node"))
+        .select(
+            F.col("l.node").alias("node"),
+            F.col("m.component").alias("component"),
+        )
+    )
+    new_labels = (
+        labels.unionByName(nbr)
+        .unionByName(ptr)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    new_labels = cut_lineage(new_labels)
+    changed = (
+        new_labels.alias("n")
+        .join(labels.alias("o"), on="node")
+        .filter(F.col("n.component") < F.col("o.component"))
+        .count()
+    )
+    return new_labels, changed
 
 
 def connected_components(
@@ -72,43 +117,20 @@ def connected_components(
         "node", F.col("node").alias("component")
     )
     changed = -1
+    # pointer chasing (comp[comp[v]], inside _label_round): one extra
+    # equi-join of the (tiny, checkpointed) label table per round.
+    # Helps when label chains align with the min-id gradient (measured
+    # 10 → 4 rounds on the sf0.1 semantic-dedup chain graph) but does
+    # NOT guarantee O(log d): where labels rest at local minima the
+    # chase gains little, and convergence trends back toward
+    # O(diameter). The round-7 scale proof hit this on a replicated
+    # media corpus — three ~2000-node chain-of-blob components of
+    # BFS diameter ~34 left 48 labels still moving at round 30.
+    # Production chains therefore default to the ADAPTIVE kernel
+    # (:func:`connected_components_adaptive`), which pays these cheap
+    # rounds only while they converge and escalates to star otherwise.
     for _ in range(max_iter):
-        nbr = (
-            e.join(labels, e["dst"] == labels["node"])
-            .select(e["src"].alias("node"), F.col("component"))
-        )
-        # pointer chasing (comp[comp[v]]): one extra equi-join of the
-        # (tiny, checkpointed) label table per round. Helps when label
-        # chains align with the min-id gradient (measured 10 → 4
-        # rounds on the sf0.1 semantic-dedup chain graph) but does NOT
-        # guarantee O(log d): where labels rest at local minima the
-        # chase gains little, and convergence trends back toward
-        # O(diameter). The round-7 scale proof hit this on a replicated
-        # media corpus — three ~2000-node chain-of-blob components of
-        # BFS diameter ~34 left 48 labels still moving at round 30.
-        # Production chains therefore default to the star kernel.
-        ptr = (
-            labels.alias("l")
-            .join(labels.alias("m"), F.col("l.component") == F.col("m.node"))
-            .select(
-                F.col("l.node").alias("node"),
-                F.col("m.component").alias("component"),
-            )
-        )
-        new_labels = (
-            labels.unionByName(nbr)
-            .unionByName(ptr)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        new_labels = cut_lineage(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        labels, changed = _label_round(e, labels)
         if changed == 0:
             break
     if changed != 0:
@@ -224,6 +246,92 @@ def connected_components_star(
         .select(
             F.col("src").alias("node"),
             F.coalesce(F.col("component"), F.col("src")).alias("component"),
+        )
+    )
+
+
+def connected_components_adaptive(
+    edges: DataFrame,
+    id_left: str = "id_left",
+    id_right: str = "id_right",
+    label_rounds: int = 3,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Hybrid components kernel: a few min-label rounds first, star
+    only on demand.
+
+    Real dedup graphs are overwhelmingly entity-sized near-cliques
+    (diameter 2–3) where min-label propagation converges in 2–3 of its
+    cheap rounds — always paying the star kernel's two groupBy-min +
+    self-join passes per round there cost the round-7 bench ~1.8–2.0×
+    across the near-dedup family. But adversarial chain components
+    (copy-of-a-copy drift; the round-7 scale proof's diameter-34 media
+    chains) make pure min-label O(diameter). This kernel takes both
+    ends of the trade:
+
+    1. run ``label_rounds`` rounds of min-label propagation (the
+       common case converges here and never touches star);
+    2. if labels still move, CONTRACT the graph through the partial
+       labels — map each edge ``(u, v)`` to ``(label[u], label[v])``,
+       drop self-loops, distinct — and finish with the O(log n)
+       :func:`connected_components_star` on the contracted edge set,
+       which is smaller by the factor the label rounds already
+       collapsed (near-clique regions shrink to single nodes, so only
+       the chain skeleton pays star rounds).
+
+    Correctness of the composition: labels are minima over observed
+    member ids, so every partial label IS a node id inside its
+    component, and the component's global min node m always keeps
+    ``label[m] = m`` (labels start at the own id, only decrease, and
+    never go below the component min). The contracted graph therefore
+    has the same component structure over a subset of node ids that
+    includes each component's min, star returns that min, and
+    ``final[node] = star_component[label[node]]`` (coalesced to the
+    label itself where its group was already fully collapsed) is the
+    exact (node, min-member-id) contract of the other two kernels —
+    gated against the same recursive-CTE oracle.
+    """
+    e = edges.select(
+        F.col(id_left).alias("src"), F.col(id_right).alias("dst")
+    )
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    e = cut_lineage(e)
+
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    changed = -1
+    for _ in range(max(label_rounds, 1)):
+        labels, changed = _label_round(e, labels)
+        if changed == 0:
+            return labels
+
+    lab_src = labels.select(
+        F.col("node").alias("src"), F.col("component").alias("__ls")
+    )
+    lab_dst = labels.select(
+        F.col("node").alias("dst"), F.col("component").alias("__ld")
+    )
+    contracted = (
+        e.join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .select(F.col("__ls").alias("src"), F.col("__ld").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(cut_lineage)
+    )
+    meta = connected_components_star(
+        contracted, "src", "dst", max_iter=max_iter
+    ).select(
+        F.col("node").alias("__lbl"), F.col("component").alias("__meta")
+    )
+    return (
+        labels.join(meta, labels["component"] == meta["__lbl"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("__meta"), F.col("component")).alias("component"),
         )
     )
 

@@ -465,13 +465,33 @@ def simhash_df(
     # materialize the token hash in its own projection so md5 is
     # evaluated once per token row, not re-derived inside each of the
     # ``bits`` aggregate expressions (CSE across agg buffers is not
-    # guaranteed).
+    # guaranteed). Up to 32 bits the hash is the first 8 hex chars of
+    # md5; 64-bit fingerprints (the 100 TB config — 16-bit pigeonhole
+    # segments → 65 536 buckets per index) take 16 hex chars as two
+    # 32-bit halves recombined with a bit shift, because conv()'s
+    # unsigned decimal string for values ≥ 2^63 cannot survive a
+    # signed-long cast under ANSI mode (shiftleft is a pure bit op —
+    # it wraps into the sign bit instead of overflowing).
+    if bits <= 32:
+        hv = (
+            F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10)
+            .cast("long")
+        )
+    elif bits <= 64:
+        hi = F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5(F.col("_tok")), 9, 8), 16, 10).cast("long")
+        hv = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        raise ValueError(f"simhash_df supports at most 64 bits, got {bits}")
+
+    def _bitmask(b: int) -> int:
+        # bit 63 as a SIGNED long literal (1 << 63 overflows)
+        return -(1 << 63) if b == 63 else (1 << b)
+
     hashed = toks.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("_hv"),
+        hv.alias("_hv"),
     )
     votes = [
         F.sum(
@@ -479,7 +499,7 @@ def simhash_df(
             # fall into otherwise(-1) — keep it NULL so the group sum
             # is NULL and the fingerprint surfaces as NULL below
             F.when(F.col("_hv").isNull(), F.lit(None))
-            .when(F.col("_hv").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1)
+            .when(F.col("_hv").bitwiseAND(F.lit(_bitmask(b)).cast("long")) != 0, 1)
             .otherwise(-1)
         ).alias(f"_v{b}")
         for b in range(bits)
@@ -487,9 +507,9 @@ def simhash_df(
     agg = hashed.groupBy(id_col, *carry_cols).agg(*votes)
     fp: Column = F.lit(0).cast("long")
     for b in range(bits):
-        fp = fp + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        fp = fp + F.when(
+            F.col(f"_v{b}") > 0, F.lit(_bitmask(b)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     # all votes are NULL together exactly when the doc had NULL text
     # (sum over the single NULL-hash row): surface that as NULL simhash
     fp = F.when(F.col("_v0").isNull(), F.lit(None).cast("long")).otherwise(fp)
@@ -648,7 +668,7 @@ def near_dup_components(
     num_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
-    use_star: bool = True,
+    use_star: bool | None = None,
     verify_threshold: float | None = 0.5,
     exact_verify: bool = False,
     max_bucket_size: int | None = None,
@@ -667,7 +687,7 @@ def near_dup_components(
     the verify stage are written once. See :func:`near_dedup_corpus`
     for the parameter semantics and the 100 TB scale shape.
     """
-    from .cluster import connected_components, connected_components_star
+    from .cluster import components_kernel
 
     if exact_verify and verify_threshold is None:
         raise ValueError(
@@ -713,8 +733,7 @@ def near_dup_components(
                 )
                 .select("id_left", "id_right")
             )
-    kernel = connected_components_star if use_star else connected_components
-    return kernel(pairs)
+    return components_kernel(use_star)(pairs)
 
 
 def near_dedup_corpus(
@@ -724,7 +743,7 @@ def near_dedup_corpus(
     num_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
-    use_star: bool = True,
+    use_star: bool | None = None,
     verify_threshold: float | None = 0.5,
     exact_verify: bool = False,
     max_bucket_size: int | None = None,
@@ -752,16 +771,22 @@ def near_dedup_corpus(
     ``merge_corpus_delta_fuzzy``), for when the estimator's ±1/√h
     noise matters more than a second pass over candidate documents.
 
-    ``use_star`` (default True) resolves components with the
-    O(log n)-round large-star/small-star kernel. This is the
-    production default because near-dup graphs routinely contain long
-    transitive chains (forum mirrors, templated pages, scraped
-    syndication networks) whose diameter exceeds what min-label
-    propagation converges on — the round-7 scale proof hit exactly
-    that on a replicated corpus (media chain, 48 labels still moving
-    after 30 rounds). ``use_star=False`` keeps min-label propagation
-    for graphs the caller KNOWS are near-cliques (diameter 2-3),
-    where it saves one self-join per round.
+    ``use_star`` (default ``None`` = adaptive) resolves components
+    with :func:`~ppack_spark.operators.cluster.
+    connected_components_adaptive`: a few cheap min-label rounds —
+    which already finish the entity-sized near-cliques that dominate
+    real corpora — then, only if labels still move, the graph is
+    contracted through the partial labels and the O(log n)
+    large-star/small-star kernel finishes the (far smaller) chain
+    skeleton. Near-dup graphs routinely contain long transitive
+    chains (forum mirrors, templated pages, scraped syndication
+    networks) whose diameter exceeds what min-label propagation
+    converges on — the round-7 scale proof hit exactly that on a
+    replicated corpus (media chain, 48 labels still moving after 30
+    rounds) — while always paying the star kernel cost the round-7
+    bench ~2× across this family. ``use_star=True`` forces star from
+    round one; ``use_star=False`` keeps pure min-label for graphs the
+    caller KNOWS are near-cliques (diameter 2-3).
 
     Scale shape: signatures are computed ONCE (:func:`minhash_signatures`)
     and feed both the banded candidate equi-join and the estimate
@@ -794,7 +819,7 @@ def near_dedup_keep_best(
     num_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
-    use_star: bool = True,
+    use_star: bool | None = None,
     verify_threshold: float | None = 0.5,
     exact_verify: bool = False,
     max_bucket_size: int | None = None,

@@ -174,7 +174,7 @@ def media_near_dedup(
     block_col: str = "kind",
     max_hamming: int = 6,
     bits: int = _DHASH_BITS,
-    use_star: bool = True,
+    use_star: bool | None = None,
 ) -> DataFrame:
     """Media-column twin of the text ``near_dedup_corpus``: perceptual
     near-duplicate pairs (:func:`phash_near_dup_pairs`) → connected
@@ -189,20 +189,23 @@ def media_near_dedup(
     at the scan until the final anti-join projects the survivors;
     components iterate over id-pair edges with lineage cuts.
 
-    ``use_star`` defaults True (O(log n) star kernel): re-encoded
-    media forms DEEP Hamming components (copy-of-a-copy drift — each
-    hop <= max_hamming but the ends far apart). The round-7 scale
-    proof caught min-label propagation failing to converge on exactly
-    this: a replicated corpus produced ~2000-node chain-of-blob
-    components of BFS diameter ~34, past the default round budget.
+    ``use_star`` defaults ``None`` = the adaptive kernel (cheap
+    min-label rounds first, star escalation on the contracted graph
+    only if labels still move). Re-encoded media forms DEEP Hamming
+    components (copy-of-a-copy drift — each hop <= max_hamming but
+    the ends far apart): the round-7 scale proof caught pure
+    min-label failing to converge on exactly this (a replicated
+    corpus produced ~2000-node chain-of-blob components of BFS
+    diameter ~34, past the default round budget), which the adaptive
+    kernel's star escalation handles. ``use_star=True`` forces star
+    from round one; ``False`` keeps pure min-label.
     """
-    from .cluster import connected_components, connected_components_star
+    from .cluster import components_kernel
 
     pairs = phash_near_dup_pairs(
         media, id_col, hex_col, block_col, max_hamming, bits
     ).select("id_left", "id_right")
-    kernel = connected_components_star if use_star else connected_components
-    comps = kernel(pairs)
+    comps = components_kernel(use_star)(pairs)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

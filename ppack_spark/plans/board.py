@@ -23,37 +23,54 @@ every registered query, board or not — is verified against the same
 oracle at the same scale by ``tests/test_registry_oracle.py``; board
 rotation only changes which 50 rows the driver snapshot shows.
 
-Round-7 rotation policy (staleness round, the round-6 verdict's ask):
-slots go first to gates with NO driver row yet (this round's new
-``jw_approx_buckets`` and late-round-6 ``simhash_near_dup_capped``),
-then to every gate whose code changed THIS round (the single-pass
-``corpus_stage_report``, the k-routed ``ann_ivf_topk``, the JW family
-around the new prefilter, the media gates around the stdlib
-decoders), the always-on linkage spine, and finally the gates whose
-last driver row is OLDEST (computed from the r1–r6 board artifacts:
-the r4-era relational/events/text rows, then r5-era corpus rows
-including bench-flagged ``eval_decontamination``).  All 50 entries
-are oracled gates, so a fully green run shows 50/50 (round 6 carried
-one deliberate ``no_oracle`` row).  The full suite is still verified
-every round by tests/test_registry_oracle.py, and the complete
-all-gate artifact is published alongside the board (verify_all.py →
-CORRECTNESS_full.json) so off-board gates stay externally auditable.
+Round-8 rotation policy: slots go first to gates with NO driver row
+yet (the scaled linkage chain + its estimator, the adaptive cluster
+kernel, the 64-bit SimHash config, and the two no-oracle-by-design
+ANN production twins ``ann_pq_topk_scan``/``ann_ivfpq_topk_scan`` —
+boarding them records their rows-only check externally for the first
+time; they are the only non-oracled rows, so a fully green run shows
+48/48 oracled + 2 rows-only).  Next, the round-7 verdict's item 7:
+the star-affected gates whose post-d7ca6f9 state was only confirmed
+by the judge's private replay — now ALSO re-defaulted to the adaptive
+kernel this round, so the external record covers the current code
+either way.  Then the ADVICE-touched ANN fixed gates, the always-on
+linkage spine, the JW family (flagship default swapped to the
+prefilter tier this round), and finally the stalest rows (last driver
+row r5).  ``linkage_em_end_to_end`` (last row r4) stays off-board as
+a deliberate no-oracle carry — property-tested in tests/test_em.py.
+The full suite is still verified every round by
+tests/test_registry_oracle.py, and the complete all-gate artifact is
+published alongside the board (verify_all.py → CORRECTNESS_full.json)
+so off-board gates stay externally auditable.
 """
 
 from __future__ import annotations
 
 # The 50 queries the driver board records this round, in order.
 BOARD: list[str] = [
-    # -- never recorded on any board --
-    "jw_approx_buckets",
-    "simhash_near_dup_capped",
-    # -- code changed this round --
-    "corpus_stage_report",
-    "ann_ivf_topk",
-    "jw_comparator_buckets",
-    "levenshtein_comparator",
-    "media_metadata",
-    "media_phash_near_dup",
+    # -- never recorded on any board (new this round) --
+    "dedup_clusters_adaptive",
+    "simhash_near_dup_wide64",
+    "blocking_multi_pass_scaled",
+    "comparison_vectors_scaled",
+    "match_weight_scoring_scaled",
+    "blocking_estimate_scaled",
+    "ann_pq_topk_scan",
+    "ann_ivfpq_topk_scan",
+    # -- star-affected gates (r7 verdict item 7), now adaptive-default --
+    "near_dedup_corpus",
+    "near_dedup_corpus_wide",
+    "near_dedup_keep_best",
+    "semantic_dedup",
+    "media_near_dedup",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "linkage_ab_clusters",
+    "dup_rate_report",
+    "corpus_split_leakage_safe",
+    # -- ADVICE-touched ANN fixed gates --
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
     # -- linkage spine (reference core chain) --
     "blocking_multi_pass",
     "comparison_vectors",
@@ -61,44 +78,32 @@ BOARD: list[str] = [
     "linkage_em_params",
     "threshold_topk",
     "threshold_rank",
-    # -- stalest rows: last driver row r4 --
-    "blocking_pass_counts",
-    "blocking_salted_pass",
-    "dedup_clusters_star",
-    "dedup_keep_first",
-    "doc_fingerprints",
-    "embedding_cosine_topk",
-    "embedding_near_dup",
-    "events_asof_join",
-    "events_json_extract",
-    "events_range_join",
-    "events_rollup",
-    "events_sessionize",
-    "events_sliding_window",
-    "events_value_quantiles",
-    "events_window_agg",
-    "lang_id",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "quality_scores",
-    "segment_revenue",
-    "simhash_fingerprints",
-    "soundex_comparator",
-    "suffix_projection",
-    "tfidf_top_terms",
-    "token_stats",
-    "top_orders_per_customer",
+    # -- JW family (flagship default swap this round) --
+    "jw_approx_buckets",
+    "jw_comparator_buckets",
     # -- stalest rows: last driver row r5 --
-    "bloom_decontamination",
-    "corpus_delta_merge",
-    "corpus_delta_merge_fuzzy",
-    "corpus_pipeline_e2e",
-    "ann_pq_topk",
-    "corpus_split",
-    "ann_ivfpq_topk",
-    "dedup_keep_best",
-    "dsir_importance",
-    "eval_decontamination",
+    "sample_uniform_hash",
+    "sample_stratified_quota",
+    "pii_stats",
+    "line_dedup_corpus",
+    "repetition_signals",
+    "temperature_mix",
+    "jsonl_roundtrip",
+    "repeated_spans",
+    "remove_repeated_spans",
+    "quality_filter_flags",
+    "minhash_lsh_pairs_wide",
+    "minhash_lsh_pairs_ab",
+    "events_funnel",
+    "events_cohort_retention",
+    "top_term_coverage",
+    "lm_quality_score",
+    "lm_perplexity_buckets",
+    "minhash_jaccard_est",
+    "lm_bigram_score",
+    "corpus_shuffle",
+    "corpus_upsample",
+    "key_skew_report",
 ]
 
 

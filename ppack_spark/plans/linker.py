@@ -208,23 +208,37 @@ class Linker:
     # --- cluster resolution -------------------------------------------
     @staticmethod
     def _cc(algorithm: str):
-        """Pick the components kernel. ``star`` (default): alternating
-        large-star/small-star (Kiveris SoCC'14) — O(log n) rounds
-        independent of diameter, the safe choice when the accepted-pair
-        graph's shape is unknown (a low threshold chains entities; the
-        round-6 A-B gate and the round-7 scale proof both hit
-        diameter blowups). ``label``: min-label propagation —
-        O(diameter) rounds, one join fewer per round; for graphs known
-        to be entity-sized near-cliques (both kernels are gated to the
-        same recursive-CTE oracle: `dedup_clusters` /
-        `dedup_clusters_star`)."""
-        from ..operators.cluster import connected_components, connected_components_star
+        """Pick the components kernel. ``adaptive`` (default): a few
+        min-label rounds (which already finish entity-sized
+        near-clique graphs), then star on the label-contracted graph
+        only if labels still move — the both-ends-of-the-trade default
+        since round 8. ``star``: alternating large-star/small-star
+        (Kiveris SoCC'14) from round one — O(log n) rounds independent
+        of diameter (a low threshold chains entities; the round-6 A-B
+        gate and the round-7 scale proof both hit diameter blowups).
+        ``label``: pure min-label propagation — O(diameter) rounds,
+        cheapest per round, for graphs known to be entity-sized
+        near-cliques. All three kernels are gated to the same
+        recursive-CTE oracle: `dedup_clusters` / `dedup_clusters_star`
+        / `dedup_clusters_adaptive`."""
+        from ..operators.cluster import (
+            connected_components,
+            connected_components_adaptive,
+            connected_components_star,
+        )
 
-        if algorithm not in ("label", "star"):
-            raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
-        return connected_components if algorithm == "label" else connected_components_star
+        kernels = {
+            "label": connected_components,
+            "star": connected_components_star,
+            "adaptive": connected_components_adaptive,
+        }
+        if algorithm not in kernels:
+            raise ValueError(
+                f"algorithm must be 'adaptive', 'label' or 'star', got {algorithm!r}"
+            )
+        return kernels[algorithm]
 
-    def cluster(self, threshold: float = 5.0, algorithm: str = "star") -> DataFrame:
+    def cluster(self, threshold: float = 5.0, algorithm: str = "adaptive") -> DataFrame:
         """Resolve pairs with weight > ``threshold`` into entity
         clusters (connected components; the post-linkage step the
         reference leaves to its ground-truth ``cluster`` column,
@@ -253,7 +267,7 @@ class Linker:
         components = self._cc(algorithm)(edges, id_l, id_r)
         return attach_cluster_ids(self.data_a, components, self.spec.unique_id_left)
 
-    def cluster_links(self, threshold: float = 5.0, algorithm: str = "star") -> DataFrame:
+    def cluster_links(self, threshold: float = 5.0, algorithm: str = "adaptive") -> DataFrame:
         """Two-dataset-safe cluster resolution. Node ids are prefixed
         with a source-dataset tag (``a:``/``b:``, the splink
         disambiguation) before connected components, so overlapping id

@@ -647,6 +647,29 @@ def _register_dedup_clusters_star() -> None:
 _register_dedup_clusters_star()
 
 
+def _register_dedup_clusters_adaptive() -> None:
+    """Same edge set and recursive-CTE oracle again, resolved by the
+    ADAPTIVE kernel (cheap min-label rounds, star escalation on the
+    label-contracted graph only on non-convergence — the round-8
+    production default for every dedup/linkage chain). label_rounds=1
+    forces the escalation path so THIS gate hash-checks the
+    contract-then-star composition, not just the min-label prefix
+    (the prefix alone is ``dedup_clusters``'s plan)."""
+    from .registry import ORACLE
+
+    @query("dedup_clusters_adaptive", ORACLE["dedup_clusters"])
+    def dedup_clusters_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.cluster import connected_components_adaptive
+
+        pairs = minhash_lsh_pairs(
+            t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, k=3
+        )
+        return connected_components_adaptive(pairs, label_rounds=1)
+
+
+_register_dedup_clusters_adaptive()
+
+
 @query(
     "ngram_jaccard_pairs",
     _SHINGLE_SQL + """
@@ -809,6 +832,93 @@ def simhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     count filter, so the cap's exact semantics — not just its
     existence — are hash-checked."""
     return _simhash_banded_gate(spark, sf_dir, cap=8)
+
+
+# 64-bit SimHash: token hash = first 16 hex chars of md5 as two 32-bit
+# halves; DuckDB assembles the 64-bit value in HUGEINT space (bit 63
+# would overflow a signed shift) and wraps the vote-packed fingerprint
+# back to the signed bigint Spark's shiftleft-composed long holds.
+_SIMHASH64_FP_SQL = """
+    with toks as (
+        select distinct doc_id, tok from (
+            select doc_id,
+                   unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) as tok
+            from documents
+        )
+    ),
+    hashed as (
+        select doc_id,
+               cast(('0x' || substr(md5(tok), 1, 8)) as bigint)::hugeint
+                 * 4294967296::hugeint
+               + cast(('0x' || substr(md5(tok), 9, 8)) as bigint)::hugeint as hv
+        from toks
+    ),
+    votes as (
+        select doc_id, b,
+               sum(case when (hv >> b) & 1 = 1 then 1 else -1 end) as v
+        from hashed cross join unnest(generate_series(0, 63)) as tb(b)
+        group by doc_id, b
+    ),
+    fpu as (
+        select doc_id,
+               sum(case when v > 0 then (1::hugeint << b) else 0::hugeint end) as u
+        from votes
+        group by doc_id
+    ),
+    fp as (
+        select doc_id,
+               cast(u - case when u >= 9223372036854775808::hugeint
+                             then 18446744073709551616::hugeint
+                             else 0::hugeint end as bigint) as simhash
+        from fpu
+    )
+"""
+
+
+@query(
+    "simhash_near_dup_wide64",
+    _SIMHASH64_FP_SQL + """,
+    seg as (
+        select doc_id, simhash, s as seg_idx,
+               (simhash >> (s * 16)) & 65535 as seg_val
+        from fp cross join unnest(generate_series(0, 3)) as ts(s)
+    ),
+    keep as (
+        select seg_idx, seg_val from seg
+        group by seg_idx, seg_val having count(*) <= 32
+    ),
+    segk as (
+        select seg.doc_id, seg.simhash, seg.seg_idx, seg.seg_val
+        from seg join keep using (seg_idx, seg_val)
+    )
+    select distinct a.doc_id as id_left, b.doc_id as id_right,
+           bit_count(xor(a.simhash, b.simhash)) as hamming
+    from segk a
+    join segk b on a.seg_idx = b.seg_idx and a.seg_val = b.seg_val
+               and a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dup_wide64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB SimHash config the banded gate's own docstring
+    prescribes (registry r7 "at 100 TB widen to 64-bit fingerprints"):
+    64-bit fingerprints → max_hamming+1 = 4 SIXTEEN-bit pigeonhole
+    segments (65 536 buckets per segment index instead of 256, so
+    bucket sizes stay ~n/65k instead of ~n/256 and the candidate
+    equi-join's pair budget stays near-linear), plus the default
+    hot-bucket cap (max_bucket_size=32) guarding degenerate segments
+    (e.g. the all-zero high words of short docs). DuckDB replays the
+    two-half 64-bit hash assembly, every bit vote, the signed wrap,
+    the 16-bit segmentation, the cap filter, and the Hamming verify —
+    scale-proven at sf0.2→1 in SCALE_r08.json (the round-7 verdict's
+    item 3)."""
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        bits=64,
+        max_hamming=3,
+        block_col=None,
+        max_bucket_size=32,
+    ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
 
 
 # --------------------------------------------------------------------

@@ -9,6 +9,7 @@ import ppack_spark as pp
 from ppack_spark.operators.cluster import (
     attach_cluster_ids,
     connected_components,
+    connected_components_adaptive,
     connected_components_star,
 )
 
@@ -130,11 +131,14 @@ def test_chain_of_blobs_star_within_log_rounds(spark):
     assert star == _components_dict(connected_components(df, max_iter=200))
 
 
-def test_production_dedup_chains_default_to_star_kernel():
+def test_production_dedup_chains_default_to_adaptive_kernel():
     """Every production dedup/cluster entry point must default to the
-    diameter-proof star kernel — min-label propagation is opt-in for
-    callers who KNOW their graph is a near-clique. Regression pin for
-    the round-7 sf0.2 media-chain non-convergence."""
+    ADAPTIVE kernel (use_star=None / algorithm="adaptive"): cheap
+    min-label rounds with star escalation on non-convergence — both
+    diameter-proof (regression pin for the round-7 sf0.2 media-chain
+    non-convergence) and free of the always-star ~2× bench tax the
+    round-7 near-dedup family paid. Pure min-label and always-star
+    stay opt-in."""
     import inspect
 
     from ppack_spark.operators.ann import semantic_dedup_corpus
@@ -153,9 +157,64 @@ def test_production_dedup_chains_default_to_star_kernel():
         media_near_dedup,
         semantic_dedup_corpus,
     ):
-        assert inspect.signature(fn).parameters["use_star"].default is True, fn
+        assert inspect.signature(fn).parameters["use_star"].default is None, fn
     for fn in (Linker.cluster, Linker.cluster_links):
-        assert inspect.signature(fn).parameters["algorithm"].default == "star", fn
+        assert (
+            inspect.signature(fn).parameters["algorithm"].default == "adaptive"
+        ), fn
+
+
+def test_adaptive_kernel_shallow_graph_skips_star(spark, monkeypatch):
+    """On a near-clique graph the adaptive kernel must finish inside
+    its min-label prefix and NEVER call the star kernel — that is the
+    entire point of the hybrid (the round-7 bench paid ~2× for star
+    on graphs like this)."""
+    from ppack_spark.operators import cluster as C
+
+    def _boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("star kernel called for a near-clique graph")
+
+    monkeypatch.setattr(C, "connected_components_star", _boom)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12)],
+        "id_left long, id_right long",
+    )
+    got = _components_dict(C.connected_components_adaptive(edges))
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_adaptive_kernel_deep_chain_escalates_and_agrees(spark):
+    """The round-7 scale-proof topology again (chain of 4-cliques,
+    diameter ~80): the adaptive kernel's min-label prefix cannot
+    finish in 3 rounds, so it must contract and escalate to star —
+    and the composed result must equal both reference kernels."""
+    k, c = 4, 40
+    perm = {i: (i * 73) % (k * c) for i in range(k * c)}
+    edges = []
+    for b in range(c):
+        ids = [perm[b * k + j] for j in range(k)]
+        edges += [(a, bb) for a in ids for bb in ids if a < bb]
+        if b:
+            edges.append((perm[(b - 1) * k], perm[b * k]))
+    df = spark.createDataFrame(edges, "id_left long, id_right long")
+    got = _components_dict(connected_components_adaptive(df))
+    assert set(got.values()) == {0}
+    assert len(got) == k * c
+    assert got == _components_dict(connected_components_star(df, max_iter=15))
+
+
+def test_adaptive_kernel_random_graph_parity(spark):
+    """Deterministic pseudo-random graph: adaptive agrees with both
+    reference kernels even when label_rounds=1 forces escalation on a
+    partially-collapsed labelling."""
+    rows = [((i * 131 + 7) % 97, (i * 31 + 3) % 97) for i in range(120)]
+    edges = spark.createDataFrame(rows, "id_left long, id_right long")
+    expect = _components_dict(connected_components_star(edges))
+    assert _components_dict(connected_components_adaptive(edges)) == expect
+    assert (
+        _components_dict(connected_components_adaptive(edges, label_rounds=1))
+        == expect
+    )
 
 
 def test_non_convergence_raises(spark):

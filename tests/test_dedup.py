@@ -86,6 +86,59 @@ def test_hamming_segment_pairs_matches_brute_force(spark):
         assert got == want, f"d={d}"
 
 
+def test_hamming_segment_pairs_matches_brute_force_64bit(spark):
+    """The 100 TB config (64-bit fingerprints → 16-bit segments) is
+    exact too, including fingerprints with the sign bit set (bit 63 —
+    the signed-long wrap both engines must agree on)."""
+    import random
+
+    from ppack_spark.operators.dedup import hamming_segment_pairs
+
+    rng = random.Random(11)
+    base = [rng.getrandbits(64) for _ in range(50)]
+    fps = list(base)
+    for i in range(50):
+        flip = base[i]
+        for _ in range(rng.randrange(0, 5)):
+            flip ^= 1 << rng.randrange(64)
+        fps.append(flip)
+    assert any(fp >> 63 for fp in fps)  # sign-bit coverage
+    signed = [fp - (1 << 64) if fp >= (1 << 63) else fp for fp in fps]
+    df = spark.createDataFrame(
+        [(i, fp) for i, fp in enumerate(signed)], "doc_id long, fp long"
+    )
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in range(len(fps))
+        for b in range(a + 1, len(fps))
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_left"], r["id_right"], r["hamming"])
+        for r in hamming_segment_pairs(
+            df, "fp", bits=64, max_hamming=3
+        ).collect()
+    }
+    assert got == want
+
+
+def test_simhash_64bit_uses_full_hash_width(spark):
+    """bits=64 must consume 64 bits of token hash: the high 32
+    fingerprint bits carry real votes (a truncated 32-bit hash would
+    leave them all zero — collapsing the 16-bit pigeonhole segments 2
+    and 3 into one degenerate bucket each), and near-identical texts
+    still land at small Hamming distance."""
+    texts = [(i, f"alpha beta gamma delta epsilon zeta token{i}") for i in range(8)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_df(df, bits=64).collect()}
+    assert all(fp is not None for fp in fps.values())
+    # at least one doc sets at least one of bits 32..63
+    assert any((fp >> 32) & 0xFFFFFFFF for fp in fps.values())
+    # shared-token docs stay Hamming-close on the full 64 bits
+    h = bin((fps[0] ^ fps[1]) & ((1 << 64) - 1)).count("1")
+    assert h <= 16
+
+
 def test_hamming_segment_pairs_null_and_cap(spark):
     """NULL fingerprints never pair; an oversize segment bucket is
     dropped by max_bucket_size but pairs still surface via their

@@ -22,9 +22,15 @@ TABLES = [
 # builds (k-means, PQ codebooks) and EM estimation. They must raise a
 # loud, actionable ValueError — not a numpy/JVM internal error.
 REQUIRES_DATA = {
+    # NOTE: ann_pq_topk (cosine_topk_pq_fixed) is deliberately absent:
+    # since round 8 it collects queries BEFORE training and returns an
+    # explicitly-constructed empty frame when there are none — an
+    # empty query set should not pay for (or crash on) codebook
+    # training. Its corpus-empty/queries-nonempty path still raises.
     "ann_ivf_topk": "empty",
     "ann_ivfpq_topk": "empty",
-    "ann_pq_topk": "empty",
+    "ann_pq_topk_scan": "empty",
+    "ann_ivfpq_topk_scan": "empty",
     "linkage_em_end_to_end": "no candidate pairs",
 }
 

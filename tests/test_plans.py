@@ -359,6 +359,9 @@ def test_registry_wide_plan_invariants(spark, tables, queries):
         "u_prob_frequencies",
         # PQ encode/ADC scan: Arrow-batched by design
         "ann_pq_topk", "ann_ivfpq_topk",
+        "ann_pq_topk_scan", "ann_ivfpq_topk_scan",
+        # JW approx tier: prefilter feeds the same Arrow kernel
+        "jw_approx_buckets",
     }
     failures = []
     for name, fn in queries.items():
