@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "events_cohort_retention",
     "blocking_multi_pass",
     "blocking_salted_pass",
+    "blocking_multi_pass_scaled",
+    "comparison_vectors_scaled",
+    "match_weight_scoring_scaled",
+    "blocking_estimate_scaled",
     "blocking_pass_counts",
     "blocking_estimate",
     "two_dataset_linkage",
@@ -99,6 +103,7 @@ BENCH_QUERIES = [
     "simhash_near_dup",
     "simhash_near_dup_banded",
     "simhash_near_dup_capped",
+    "simhash_near_dup_wide64",
     "phash_near_dup_banded",
     "linkage_ab_clusters",
     "dedup_clusters",

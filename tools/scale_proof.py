@@ -53,12 +53,25 @@ QUERIES = [
     "match_weight_scoring",
     "threshold_topk",
     "jw_approx_buckets",       # brand blocks, also quadratic
+    # round-8 scaled linkage chain: LINEAR blocking spec (truncated-
+    # name passes, ~constant block sizes) picked via the estimator —
+    # the r7 verdict's item 2 demonstration; no QUAD_CAP, runs to sf1
+    "blocking_multi_pass_scaled",
+    "comparison_vectors_scaled",
+    "match_weight_scoring_scaled",
+    "blocking_estimate_scaled",
     # text dedup / corpus chains
     "dedup_exact",
     "line_dedup_corpus",
     "minhash_lsh_pairs_wide",
     "near_dedup_corpus_wide",
     "simhash_near_dup_banded",
+    # round-8: the 100 TB Hamming config (64-bit fp, 16-bit segments,
+    # capped) — the r7 verdict's item 3; runs to sf1
+    "simhash_near_dup_wide64",
+    # round-8 adaptive cluster kernel (escalation path forced at gate
+    # scale via label_rounds=1)
+    "dedup_clusters_adaptive",
     "bloom_decontamination",
     "eval_decontamination",
     "corpus_pipeline_e2e",
