@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "comparison_vectors_scaled",
     "match_weight_scoring_scaled",
     "blocking_estimate_scaled",
+    "jw_sql_buckets",
     "blocking_pass_counts",
     "blocking_estimate",
     "two_dataset_linkage",

@@ -78,7 +78,9 @@ BOARD: list[str] = [
     "linkage_em_params",
     "threshold_topk",
     "threshold_rank",
-    # -- JW family (flagship default swap this round) --
+    # -- JW family (flagship default swap this round; jw_sql is the
+    # new zero-Python tier, never recorded on any board) --
+    "jw_sql_buckets",
     "jw_approx_buckets",
     "jw_comparator_buckets",
     # -- stalest rows: last driver row r5 --
@@ -103,7 +105,6 @@ BOARD: list[str] = [
     "lm_bigram_score",
     "corpus_shuffle",
     "corpus_upsample",
-    "key_skew_report",
 ]
 
 

@@ -529,6 +529,61 @@ def jw_approx_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jw_sql_buckets",
+    """
+    with n as (select count(*) as n from customer),
+    sample_ids as (
+        select c_custkey as c_custkey_left,
+               (c_custkey * 37 + 11) % (select n from n) as c_custkey_right
+        from customer
+    ),
+    named as (
+        select p.c_custkey_left, p.c_custkey_right,
+               a.c_name as name_l, b.c_name as name_r
+        from sample_ids p
+        left join customer a on p.c_custkey_left = a.c_custkey
+        left join customer b on p.c_custkey_right = b.c_custkey
+    )
+    select c_custkey_left, c_custkey_right,
+           round(jaro_winkler_similarity(name_l, name_r), 6) as jw_sim,
+           case when jaro_winkler_similarity(name_l, name_r) = 1 then 'full agreement'
+                when jaro_winkler_similarity(name_l, name_r) > 0.9 then 'strong partial agreement'
+                when jaro_winkler_similarity(name_l, name_r) > 0.85 then 'weak partial agreement'
+                else 'no agreement' end as name_bucket
+    from named
+    """,
+)
+def jw_sql_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison.jw_sql (similarity.py:jw_sql_similarity): the
+    reference's JW bucket comparator computed as a PURE Catalyst
+    expression — higher-order functions over the UTF-8 bytes, zero
+    Python anywhere in the plan (the registry-wide UDF sweep in
+    tests/test_plans.py sees this gate as clean with NO allowlist
+    entry, unlike the two Arrow tiers). Same deterministic modular
+    pair sample and same DuckDB jaro_winkler_similarity oracle as
+    `jw_comparator_buckets`, including the id-0 NULL row, so the two
+    tiers' green rows together pin bucket-identical behavior."""
+    from ..similarity import jw_sql_comparator, jw_sql_similarity
+
+    customer = t(spark, sf_dir, "customer")
+    n = customer.count()
+    sample = customer.select(
+        F.col("c_custkey").alias("c_custkey_left"),
+        ((F.col("c_custkey") * 37 + 11) % n).alias("c_custkey_right"),
+    )
+    joined = compute_pairs_dataset(customer, customer, "c_custkey", "c_custkey", sample)
+    sim = jw_sql_similarity(F.col("c_name_left"), F.col("c_name_right"))
+    return do_comparisons(
+        joined,
+        {
+            "jw_sim": F.round(sim, 6),
+            "name_bucket": jw_sql_comparator("c_name"),
+        },
+        keep=["c_custkey_left", "c_custkey_right"],
+    )
+
+
 _SOUNDEX_FIXTURE = [
     # (pair_id, name_left, name_right, expected phonetic level)
     (0, "Robert", "Rupert", "agree"),

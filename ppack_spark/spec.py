@@ -118,6 +118,27 @@ class Comparison:
         )
 
     @staticmethod
+    def jw_sql(
+        var: str, left: str | None = None, right: str | None = None
+    ) -> "Comparison":
+        """:meth:`jw` with the similarity computed as a pure Catalyst
+        expression (similarity.jw_sql_similarity) — bucket-identical
+        to the UDF tier (both kernels are bit-exact with
+        jaro_winkler_py) with ZERO Python in the plan: no Arrow hop,
+        no Python workers on executors, and legal inside join
+        conditions where an extracted ArrowEvalPython node is not.
+        ~1.6× slower per pair than the Arrow kernel on local[32]
+        micro-benches; choose it when Python-worker cost or placement
+        beats per-pair throughput."""
+        from .similarity import jw_sql_comparator
+
+        return Comparison(
+            name=var,
+            expression=jw_sql_comparator(var, left, right),
+            levels=tuple(JW_LEVELS),
+        )
+
+    @staticmethod
     def levenshtein(var: str, left: str | None = None, right: str | None = None) -> "Comparison":
         """JW-bucket thresholds over normalized Levenshtein similarity —
         the JVM-builtin (codegen) fuzzy comparator, preferred at scale
