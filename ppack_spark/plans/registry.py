@@ -563,8 +563,20 @@ def jw_sql_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry, unlike the two Arrow tiers). Same deterministic modular
     pair sample and same DuckDB jaro_winkler_similarity oracle as
     `jw_comparator_buckets`, including the id-0 NULL row, so the two
-    tiers' green rows together pin bucket-identical behavior."""
-    from ..similarity import jw_sql_comparator, jw_sql_similarity
+    tiers' green rows together pin bucket-identical behavior.
+
+    Two expression-placement lessons are load-bearing here (each was
+    a measured ~2× / ~10× on this gate): the similarity feeds BOTH
+    output columns through ONE ``inline(transform(array(sim), ...))``
+    generator — a Generate node evaluates its child once per row,
+    where two projection references would run the whole aggregate
+    twice (the Arrow tier gets this for free from UDF
+    deduplication) — and the pair set is ``spread()`` first, because
+    AQE coalesces the small sample join to one partition and a
+    compute-bound expression stage, unlike a byte-bound scan, must be
+    partitioned by CORES (operators/util.py:spread)."""
+    from ..operators.util import spread
+    from ..similarity import jw_sql_similarity
 
     customer = t(spark, sf_dir, "customer")
     n = customer.count()
@@ -572,15 +584,26 @@ def jw_sql_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("c_custkey_left"),
         ((F.col("c_custkey") * 37 + 11) % n).alias("c_custkey_right"),
     )
-    joined = compute_pairs_dataset(customer, customer, "c_custkey", "c_custkey", sample)
+    joined = spread(
+        compute_pairs_dataset(customer, customer, "c_custkey", "c_custkey", sample)
+    )
     sim = jw_sql_similarity(F.col("c_name_left"), F.col("c_name_right"))
-    return do_comparisons(
-        joined,
-        {
-            "jw_sim": F.round(sim, 6),
-            "name_bucket": jw_sql_comparator("c_name"),
-        },
-        keep=["c_custkey_left", "c_custkey_right"],
+    return joined.select(
+        "c_custkey_left",
+        "c_custkey_right",
+        F.inline(
+            F.transform(
+                F.array(sim),
+                lambda s: F.struct(
+                    F.round(s, 6).alias("jw_sim"),
+                    F.when(s == 1.0, "full agreement")
+                    .when(s > 0.9, "strong partial agreement")
+                    .when(s > 0.85, "weak partial agreement")
+                    .otherwise("no agreement")
+                    .alias("name_bucket"),
+                ),
+            )
+        ),
     )
 
 

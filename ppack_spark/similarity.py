@@ -364,16 +364,22 @@ def jw_sql_similarity(left: Column | str, right: Column | str) -> Column:
     fields re-runs the whole window scan). Transpositions come from
     zipping ``m1``'s chars against ``array_sort(m2)``'s.
 
-    When to use which tier (measured, 80k brand-blocked 32-byte name
-    pairs, local[32]): the Arrow kernel (:func:`jw_similarity`) is
-    ~1.6× faster per pair (0.46 s vs 0.74 s) and stays the default;
-    this tier wins operationally when Python workers are the
-    constraint — no Arrow hop, no Python worker memory, no
-    PYSPARK_PYTHON on executors — and it is the only tier legal
-    inside join conditions or streaming state predicates, since it is
-    a plain expression rather than an extracted ArrowEvalPython node
-    (the UDF-placement policy in the module docstring does not apply
-    to it).
+    When to use which tier (bench-measured on the jw_*_buckets gates,
+    identical 15k-pair sample at sf0.1): the Arrow kernel
+    (:func:`jw_similarity`) is ~10× faster per CORE on 18-byte names
+    (~37 µs vs ~360 µs per pair — interpreted HOF lambda dispatch
+    dominates) and stays the default for throughput. This tier wins
+    operationally when Python workers are the constraint — no Arrow
+    hop, no Python worker memory, no PYSPARK_PYTHON on executors —
+    and it is the only tier legal inside join conditions or streaming
+    state predicates, since it is a plain expression rather than an
+    extracted ArrowEvalPython node (the UDF-placement policy in the
+    module docstring does not apply to it). Two placement rules when
+    consuming it: bind the result once (single-element ``transform``
+    let, or ``inline`` when fanning into several columns — Catalyst
+    re-evaluates multi-referenced non-cheap expressions), and
+    ``spread()`` compute-bound pair sets first (AQE coalesces small
+    shuffles by BYTES; this expression is bound by CPU).
     """
     l = F.col(left) if isinstance(left, str) else left
     r = F.col(right) if isinstance(right, str) else right

@@ -127,9 +127,9 @@ class Comparison:
         jaro_winkler_py) with ZERO Python in the plan: no Arrow hop,
         no Python workers on executors, and legal inside join
         conditions where an extracted ArrowEvalPython node is not.
-        ~1.6× slower per pair than the Arrow kernel on local[32]
-        micro-benches; choose it when Python-worker cost or placement
-        beats per-pair throughput."""
+        ~10× slower per core than the Arrow kernel on short names
+        (bench-measured on the twin gates); choose it when
+        Python-worker cost or placement beats per-pair throughput."""
         from .similarity import jw_sql_comparator
 
         return Comparison(
