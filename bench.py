@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "match_weight_scoring_scaled",
     "blocking_estimate_scaled",
     "jw_sql_buckets",
+    "jw_scaled_buckets",
     "blocking_pass_counts",
     "blocking_estimate",
     "two_dataset_linkage",

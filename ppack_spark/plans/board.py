@@ -54,6 +54,7 @@ BOARD: list[str] = [
     "blocking_multi_pass_scaled",
     "comparison_vectors_scaled",
     "match_weight_scoring_scaled",
+    "jw_scaled_buckets",
     "blocking_estimate_scaled",
     "ann_pq_topk_scan",
     "ann_ivfpq_topk_scan",
@@ -104,7 +105,6 @@ BOARD: list[str] = [
     "minhash_jaccard_est",
     "lm_bigram_score",
     "corpus_shuffle",
-    "corpus_upsample",
 ]
 
 

@@ -799,6 +799,72 @@ def match_weight_scoring_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jw_scaled_buckets",
+    _PAIRS_SCALED_SQL + """,
+    named as (
+        select p.c_custkey_left, p.c_custkey_right,
+               a.c_name as ln, b.c_name as rn
+        from pairs p
+        left join customer a on p.c_custkey_left = a.c_custkey
+        left join customer b on p.c_custkey_right = b.c_custkey
+    ),
+    m as (
+        select c_custkey_left, c_custkey_right, ln, rn,
+               cast(least(length(ln), length(rn)) as double)
+                 / greatest(length(ln), length(rn)) as ab,
+               case when substr(ln,1,4) = substr(rn,1,4) then 4
+                    when substr(ln,1,3) = substr(rn,1,3) then 3
+                    when substr(ln,1,2) = substr(rn,1,2) then 2
+                    when substr(ln,1,1) = substr(rn,1,1) then 1
+                    else 0 end as pl,
+               1.0 - levenshtein(ln, rn)
+                       / cast(greatest(length(ln), length(rn)) as double) as lev
+        from named
+    ),
+    f as (
+        select c_custkey_left, c_custkey_right, ln, rn,
+               (ln <> rn)
+               and ((2.0 + ab) / 3.0
+                    + 0.1 * pl * (1.0 - (2.0 + ab) / 3.0) > 0.85)
+               and (lev >= 0.4) as ok
+        from m
+    )
+    select c_custkey_left, c_custkey_right,
+           case when ln = rn and length(ln) > 0 then 'full agreement'
+                when ok and jaro_winkler_similarity(ln, rn) > 0.9
+                     then 'strong partial agreement'
+                when ok and jaro_winkler_similarity(ln, rn) > 0.85
+                     then 'weak partial agreement'
+                else 'no agreement' end as name_bucket
+    from f
+    """,
+)
+def jw_scaled_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature JW comparator riding the LINEAR
+    blocking spec — the round-7 verdict's remaining JW ask
+    (demonstrate the chain at sf0.5+ under production blocking, not
+    just the brand-block quadratic): Comparison.jw_approx over the
+    truncated-name candidate pairs, whose ~14n pair budget keeps the
+    Arrow kernel's input volume linear in n. Scale rows to sf1 in
+    SCALE_r08.json (the nation/brand-blocked JW gates cap at
+    sf0.2-0.5 by QUAD contract). Oracle replays the prefilter
+    arithmetic and DuckDB's own jaro_winkler_similarity over the same
+    pair CTE as the other scaled gates."""
+    from ..similarity import jw_approx_comparator
+
+    customer = t(spark, sf_dir, "customer")
+    joined = compute_pairs_dataset(
+        customer, customer, "c_custkey", "c_custkey",
+        _candidate_pairs_scaled(spark, sf_dir),
+    )
+    return joined.select(
+        "c_custkey_left",
+        "c_custkey_right",
+        jw_approx_comparator("c_name").alias("name_bucket"),
+    )
+
+
+@query(
     "blocking_estimate_scaled",
     """
     with a0 as (

@@ -361,7 +361,7 @@ def test_registry_wide_plan_invariants(spark, tables, queries):
         "ann_pq_topk", "ann_ivfpq_topk",
         "ann_pq_topk_scan", "ann_ivfpq_topk_scan",
         # JW approx tier: prefilter feeds the same Arrow kernel
-        "jw_approx_buckets",
+        "jw_approx_buckets", "jw_scaled_buckets",
     }
     failures = []
     for name, fn in queries.items():

@@ -60,6 +60,7 @@ QUERIES = [
     "comparison_vectors_scaled",
     "match_weight_scoring_scaled",
     "blocking_estimate_scaled",
+    "jw_scaled_buckets",
     # text dedup / corpus chains
     "dedup_exact",
     "line_dedup_corpus",
