@@ -374,8 +374,19 @@ def main() -> None:
             try:
                 for _ in range(iters):
                     t0 = time.monotonic()
-                    con.execute(f"select count(*) from ({sql})").fetchone()
+                    # CTAS, not count(*): count lets DuckDB prune every
+                    # expensive projected expression (a first run timed
+                    # the 26M-pair JW oracle at 0.089s because the JW
+                    # column was never computed) — materializing into a
+                    # temp table forces full evaluation engine-side
+                    # without client transfer, the closest analog of
+                    # Spark's noop sink
+                    con.execute(
+                        "create or replace temporary table __bench_probe"
+                        f" as select * from ({sql})"
+                    )
                     osamples.append(time.monotonic() - t0)
+                con.execute("drop table if exists __bench_probe")
                 oracle_times[name] = round(min(osamples), 3)
             except Exception as exc:
                 print(f"bench: oracle {name} failed: {exc!r}", file=sys.stderr)
