@@ -85,7 +85,20 @@ def with_fake_media(
 
     ``dup_groups``: when set, payloads are minted from ``id % dup_groups``
     so ids sharing a residue carry IDENTICAL bytes — planted duplicate
-    groups for near-dup operators to find."""
+    groups for near-dup operators to find.
+
+    The id input is ``spread()`` BEFORE payload minting: everything
+    downstream of this helper treats payload columns as
+    never-shuffled (the documented invariant of the media operators),
+    so this pre-generation shuffle of bare ids is the only place the
+    pipeline can pick up core-count parallelism — a 2-split parquet
+    scan otherwise pins the md5 payload minting AND every pipelined
+    consumer (dHash, segment explode) to 2 cores, which is exactly
+    what the round-8 scale proof measured at sf1 (50 s of the media
+    chain's 63 s was the 2-core pair stage). Real deployments read
+    payloads from thousands of splits; this is the fixture-path twin
+    of that shape."""
+    df = spread(df)
     idc = F.col(id_col)
     seed = (idc % F.lit(dup_groups)) if dup_groups else idc
     hexc = _payload_hex(seed)
