@@ -61,6 +61,7 @@ QUERIES = [
     "match_weight_scoring_scaled",
     "blocking_estimate_scaled",
     "jw_scaled_buckets",
+    "jw_sql_buckets",
     # text dedup / corpus chains
     "dedup_exact",
     "line_dedup_corpus",
