@@ -54,14 +54,15 @@ def entry(spark: SparkSession) -> DataFrame:
         ],
         comparisons=[
             pp.Comparison.exact("c_mktsegment"),
-            # jw_approx (round 8 default): the JVM prefilter routes
-            # equal pairs and provable non-contenders around the Arrow
-            # hop, so only genuine contenders reach the C kernel —
-            # bucket-identical to Comparison.jw on this corpus (the
-            # approximate Levenshtein floor skips nothing at the
-            # default 0.4 — see similarity.jw_prefilter) and the
-            # scale-correct tier for the flagship's hot path.
-            pp.Comparison.jw_approx("c_name"),
+            # Comparison.jw is the flagship CORRECTNESS default (round
+            # 9, per ADVICE): jw_approx's Levenshtein floor is an
+            # unsound bound — transposition-dense pairs with true
+            # JW > 0.85 could silently land on the default bucket
+            # under a corpus shift. jw_approx stays the documented
+            # opt-in for the 26M-pair hot path, where jw_prefilter's
+            # loss is measured per-corpus (it is zero on both test
+            # corpora); the flagship prefers the exact tier.
+            pp.Comparison.jw("c_name"),
             pp.Comparison.buckets(
                 "acctbal",
                 bal_diff,

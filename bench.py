@@ -18,13 +18,20 @@ round-5/6 verdicts traced to the harness itself):
   passes over the group so a query's samples land minutes apart and a
   host-noise window (measured calib swings of 1.0→3.0 within one
   session on this infra) can't inflate all of them.
-* **fresh JVM per query group** — the list is split into groups of
-  ``$SPARK_GRAFT_BENCH_GROUP_SIZE`` (default 16) and each group runs
-  in its own subprocess/SparkSession. Round 6 measured in-session
-  aging inflating late queries 2-3x vs fresh-session runs of the
-  identical code (threshold_topk 10.9s in-session vs 4.6s fresh);
-  bounding a session to ~16 queries keeps every sample within the
-  same-code spread.
+* **fresh JVM per query group** — queries are hashed into
+  ``$SPARK_GRAFT_BENCH_NGROUPS`` (default 8) STABLE groups
+  (crc32 of the query name, ordered by name within a group) and each
+  group runs in its own subprocess/SparkSession. Round 6 measured
+  in-session aging inflating late queries 2-3x vs fresh-session runs
+  of the identical code (threshold_topk 10.9s in-session vs 4.6s
+  fresh); bounding a session to ~15 queries keeps every sample within
+  the same-code spread. Hash assignment (round 9) replaces the old
+  contiguous roster chunking: chunking re-packed EVERY group whenever
+  the roster grew, so which queries share a JVM changed round to
+  round — the round-8 verdict traced a 1.2-1.4x FS-spine drift to
+  exactly that (5 new roster entries shifted the heavy linkage gates
+  into different groups). With name-hashed groups, adding a query
+  perturbs only the one group it hashes into.
 * **quarantined stderr** — the driver's tail capture merges stdout
   and stderr, so a JVM stack trace (task retry, benign) could bury
   the metric line or mask a real failure. Child stderr is captured by
@@ -244,6 +251,13 @@ def _run_group(names: list[str], out_path: str, log_fh) -> dict:
     output (log4j, stack traces from benign task retries) goes to
     BENCH_stderr.log only.
     """
+    # a stale result file from a previously crashed/killed run must
+    # not be reported as this child's output: missing-or-partial is
+    # the only legal post-kill state
+    try:
+        os.remove(out_path)
+    except OSError:
+        pass
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--group-child", out_path]
         + names,
@@ -297,7 +311,7 @@ def main() -> None:
     except ValueError:
         sf = None
     iters = max(int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")), 1)
-    group_size = max(int(os.environ.get("SPARK_GRAFT_BENCH_GROUP_SIZE", "16")), 1)
+    n_groups = max(int(os.environ.get("SPARK_GRAFT_BENCH_NGROUPS", "8")), 1)
 
     # debugging aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
@@ -306,10 +320,16 @@ def main() -> None:
         if only
         else BENCH_QUERIES
     )
-    groups = [
-        bench_queries[i : i + group_size]
-        for i in range(0, len(bench_queries), group_size)
-    ]
+    # STABLE group assignment: crc32(name) % n_groups, name-sorted
+    # within a group. A query's JVM co-residents no longer change when
+    # unrelated roster entries are added (the module docstring's
+    # round-8 drift lesson); empty groups are skipped.
+    import zlib
+
+    by_group: dict[int, list[str]] = {}
+    for q in bench_queries:
+        by_group.setdefault(zlib.crc32(q.encode()) % n_groups, []).append(q)
+    groups = [sorted(by_group[g]) for g in sorted(by_group)]
     samples: dict[str, list[float]] = {}
     failed: set[str] = set()
     calib_samples: list[float] = []
@@ -400,7 +420,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "iters": iters,
-        "group_size": group_size,
+        "n_groups": n_groups,
+        "groups": groups,
         "calib_s": calib_s,
         "calib_samples": calib_samples,
         "spread": spread,

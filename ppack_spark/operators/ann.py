@@ -1154,10 +1154,15 @@ def cosine_topk_pq_fixed(
             DoubleType, IntegerType, StructField, StructType,
         )
 
+        # neighbor ids come from the CORPUS side — query and corpus id
+        # types may differ, and the empty-path schema must match the
+        # non-empty path's (query_id from queries, neighbor_id from
+        # corpus)
         qid_type = queries.schema[id_col].dataType
+        nid_type = corpus.schema[id_col].dataType
         empty_schema = StructType([
             StructField("query_id", qid_type),
-            StructField("neighbor_id", qid_type),
+            StructField("neighbor_id", nid_type),
             StructField("cos_sim", DoubleType()),
             StructField("rank", IntegerType()),
         ])

@@ -18,16 +18,80 @@ Usage: ``python verify_all.py [sf_dir] [out_path]``
 (``SPARK_GRAFT_VERIFY_ONLY=a,b,c`` restricts to named gates for
 targeted re-verification; such runs print but do NOT overwrite the
 full-census artifact unless an explicit out_path is given.)
+
+Census freshness is MECHANICAL (round-9 verdict item 6 — a stale
+"full" census is how the round-7 red bar hid):
+
+* a full-census run REFUSES to start if the working tree has
+  uncommitted changes under ``ppack_spark/`` or ``__spark_entry__.py``
+  (the artifact would describe code no commit holds), and stamps the
+  artifact with the HEAD commit it ran at;
+* ``python verify_all.py --check [artifact...]`` asserts that NO
+  engine file changed between each artifact's stamped commit and the
+  current HEAD (``git diff --name-only <census_commit>..HEAD --
+  ppack_spark __spark_entry__.py``) and that the tree is clean — run
+  it at round close; it exits 1 loudly on staleness.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
 import duckdb
 import pandas as pd
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# the files whose behavior a census attests to
+ENGINE_PATHS = ["ppack_spark", "__spark_entry__.py"]
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+
+def _engine_dirty() -> list[str]:
+    out = _git("status", "--porcelain", "--", *ENGINE_PATHS)
+    return [line for line in out.splitlines() if line.strip()]
+
+
+def check_freshness(artifacts: list[str]) -> int:
+    """Exit-code style check: 0 iff every artifact's stamped census
+    commit still matches HEAD for the engine paths AND the tree is
+    clean. Artifacts without a stamp (pre-round-9) are reported stale."""
+    rc = 0
+    dirty = _engine_dirty()
+    if dirty:
+        print(f"STALE: uncommitted engine changes: {dirty}")
+        rc = 1
+    head = _git("rev-parse", "HEAD")
+    for path in artifacts:
+        try:
+            with open(os.path.join(REPO, path)) as f:
+                commit = json.load(f).get("census_commit")
+        except (OSError, json.JSONDecodeError) as exc:
+            print(f"STALE: {path}: unreadable ({exc})")
+            rc = 1
+            continue
+        if not commit:
+            print(f"STALE: {path}: no census_commit stamp")
+            rc = 1
+            continue
+        changed = _git(
+            "diff", "--name-only", f"{commit}..{head}", "--", *ENGINE_PATHS
+        ).splitlines()
+        if changed:
+            print(f"STALE: {path} (census at {commit[:9]}): engine files "
+                  f"changed since: {changed}")
+            rc = 1
+        else:
+            print(f"ok   {path}: census at {commit[:9]}, engine unchanged at HEAD")
+    return rc
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -70,6 +134,17 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_full.json"
+
+    # full-census runs must describe a commit: refuse a dirty engine
+    # tree (SPARK_GRAFT_ALLOW_DIRTY=1 overrides for local iteration —
+    # such artifacts carry no commit stamp and --check flags them)
+    dirty = _engine_dirty()
+    allow_dirty = os.environ.get("SPARK_GRAFT_ALLOW_DIRTY")
+    if dirty and not allow_dirty:
+        print("REFUSING full census: uncommitted engine changes "
+              f"(commit first, or set SPARK_GRAFT_ALLOW_DIRTY=1): {dirty}")
+        sys.exit(1)
+    census_commit = None if dirty else _git("rev-parse", "HEAD")
 
     import __spark_entry__ as entry
     from ppack_spark.session import get_spark
@@ -116,7 +191,11 @@ def main() -> None:
         status = "ok" if (r["hash_match"] or r["err"] == "no_oracle") else "FAIL"
         print(f"{status:4s} {name}", flush=True)
     with open(out_path, "w") as f:
-        json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        json.dump(
+            {"sf_dir": sf_dir, "census_commit": census_commit, "results": results},
+            f,
+            indent=1,
+        )
     n_oracled = sum(1 for r in results.values() if r["err"] != "no_oracle")
     n_green = sum(1 for r in results.values() if r["hash_match"])
     print(f"\n{n_green}/{n_oracled} oracled gates hash-green, "
@@ -124,4 +203,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--check":
+        arts = sys.argv[2:] or ["CORRECTNESS_full.json", "CORRECTNESS_sf0.1.json"]
+        sys.exit(check_freshness(arts))
     main()
