@@ -517,12 +517,13 @@ def semantic_dedup_corpus(
     dims: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     eps: float = 0.95,
     clusters: DataFrame | None = None,
     cluster_col: str = "cluster",
     use_star: bool | None = None,
     round_digits: int = 6,
+    target_bucket_size: int = 32,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop embedding-space near-
     duplicates, keeping one canonical document per semantic cluster.
@@ -541,7 +542,17 @@ def semantic_dedup_corpus(
       and training-free. Two vectors with cosine ≥ eps ≈ 0.95 disagree
       on a hyperplane sign with probability θ/π ≈ 0.10, so an 8-plane
       sketch keeps most true pairs co-bucketed while the expected
-      bucket population drops 2⁸×.
+      bucket population drops 2⁸×. ``n_planes=None`` (round 9) scales
+      the sketch with the corpus instead: ``clamp(ceil(log2(n /
+      target_bucket_size)), 4, 24)`` planes, computed from one count.
+      A FIXED plane count means expected bucket population grows ∝ n
+      and within-bucket pair work ∝ n²/2^planes — SCALE_r08 measured
+      the 8-plane config at exp 1.13 (59 s at sf1); log-scaling holds
+      expected population at ~target_bucket_size so pair work stays
+      ~n·target/2. The count is a driver-side scalar (one job over the
+      id column), and the derived plane count is an integer both
+      engines compute identically from the same n, so the oracle
+      replays it with the same ``ceil(log2(...))`` expression.
     * ``clusters`` — a caller-supplied ``(id_col, cluster_col)``
       assignment, e.g. the k-means inverted lists from
       :func:`ivf_index` (the paper's own clustering). Data-adaptive,
@@ -562,6 +573,14 @@ def semantic_dedup_corpus(
     """
     from .cluster import components_kernel
 
+    if clusters is None and n_planes is None:
+        import math
+
+        n = df.select(id_col).count()
+        n_planes = max(
+            4,
+            min(24, math.ceil(math.log2(max(n, 1) / float(target_bucket_size)))),
+        )
     if clusters is None:
         bk = hyperplane_lsh_buckets(df, dims, n_planes, id_col, vec_col).select(
             F.col(id_col), F.col(vec_col), F.col("bucket").alias("__ck")

@@ -455,7 +455,12 @@ def simhash_df(
     Hamming predicate alike, so such docs can't false-pair downstream;
     a plain explode would silently drop them from the output entirely.
     """
-    toks = df.select(
+    # spread() before the tokenize/hash stage: the explode + per-token
+    # md5 + bits-wide partial aggregation are per-row COMPUTE bound,
+    # and a small corpus parquet is one byte-sized scan split — without
+    # the repartition the whole fingerprint stage pins to one core
+    # (no-op at real scale; same lesson as the minhash path above)
+    toks = spread(df).select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         F.explode_outer(

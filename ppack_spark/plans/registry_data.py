@@ -758,82 +758,6 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
 
 
-def _simhash_banded_gate(spark: SparkSession, sf_dir: str, cap=None) -> DataFrame:
-    return simhash_pairs(
-        t(spark, sf_dir, "documents"),
-        bits=32,
-        max_hamming=3,
-        block_col=None,
-        max_bucket_size=cap,
-    ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
-
-
-@query(
-    "simhash_near_dup_banded",
-    _SIMHASH_FP_SQL + """,
-    seg as (
-        select doc_id, simhash, s as seg_idx,
-               (simhash >> (s * 8)) & 255 as seg_val
-        from fp cross join unnest(generate_series(0, 3)) as ts(s)
-    )
-    select distinct a.doc_id as id_left, b.doc_id as id_right,
-           bit_count(xor(a.simhash, b.simhash)) as hamming
-    from seg a
-    join seg b on a.seg_idx = b.seg_idx and a.seg_val = b.seg_val
-              and a.doc_id < b.doc_id
-    where bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-)
-def simhash_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide SimHash near-dup WITHOUT a block column: candidate
-    pairs by pigeonhole segment blocking (Manku et al. WWW'07 —
-    operators/dedup.py:hamming_segment_pairs). The 32-bit fingerprint
-    splits into max_hamming+1 = 4 byte segments; every pair at Hamming
-    ≤ 3 must agree on one of them, so candidates are an equi-join on
-    (segment_idx, segment_value) — no cross join anywhere — and the
-    oracle replays the segmentation, join, verify, and pair-distinct
-    stage for stage. At 100 TB widen to 64-bit fingerprints (16-bit
-    segments → 65 536 buckets per index) and cap degenerate segments
-    with max_bucket_size."""
-    return _simhash_banded_gate(spark, sf_dir, cap=None)
-
-
-@query(
-    "simhash_near_dup_capped",
-    _SIMHASH_FP_SQL + """,
-    seg as (
-        select doc_id, simhash, s as seg_idx,
-               (simhash >> (s * 8)) & 255 as seg_val
-        from fp cross join unnest(generate_series(0, 3)) as ts(s)
-    ),
-    keep as (
-        select seg_idx, seg_val from seg
-        group by seg_idx, seg_val having count(*) <= 8
-    ),
-    segk as (
-        select seg.doc_id, seg.simhash, seg.seg_idx, seg.seg_val
-        from seg join keep using (seg_idx, seg_val)
-    )
-    select distinct a.doc_id as id_left, b.doc_id as id_right,
-           bit_count(xor(a.simhash, b.simhash)) as hamming
-    from segk a
-    join segk b on a.seg_idx = b.seg_idx and a.seg_val = b.seg_val
-               and a.doc_id < b.doc_id
-    where bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-)
-def simhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The segment-blocked Hamming path WITH the hot-bucket cap
-    (E107's `max_bucket_size`, the Hamming twin of the LSH cap E104):
-    segments holding more than 8 members are dropped BEFORE the
-    candidate self-join — the documented recall trade (a pair whose
-    every agreeing segment is hot is lost; pairs keep surfacing via
-    their other, cold segments). The oracle replays the per-bucket
-    count filter, so the cap's exact semantics — not just its
-    existence — are hash-checked."""
-    return _simhash_banded_gate(spark, sf_dir, cap=8)
-
-
 # 64-bit SimHash: token hash = first 16 hex chars of md5 as two 32-bit
 # halves; DuckDB assembles the 64-bit value in HUGEINT space (bit 63
 # would overflow a signed shift) and wraps the vote-packed fingerprint
@@ -873,6 +797,92 @@ _SIMHASH64_FP_SQL = """
         from fpu
     )
 """
+
+
+def _simhash_banded_gate(spark: SparkSession, sf_dir: str, cap=None, bits=64) -> DataFrame:
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        bits=bits,
+        max_hamming=3,
+        block_col=None,
+        max_bucket_size=cap,
+    ).select("id_left", "id_right", F.col("hamming").cast("long").alias("hamming"))
+
+
+@query(
+    "simhash_near_dup_banded",
+    _SIMHASH64_FP_SQL + """,
+    seg as (
+        select doc_id, simhash, s as seg_idx,
+               (simhash >> (s * 16)) & 65535 as seg_val
+        from fp cross join unnest(generate_series(0, 3)) as ts(s)
+    )
+    select distinct a.doc_id as id_left, b.doc_id as id_right,
+           bit_count(xor(a.simhash, b.simhash)) as hamming
+    from seg a
+    join seg b on a.seg_idx = b.seg_idx and a.seg_val = b.seg_val
+              and a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide SimHash near-dup WITHOUT a block column: candidate
+    pairs by pigeonhole segment blocking (Manku et al. WWW'07 —
+    operators/dedup.py:hamming_segment_pairs). The fingerprint splits
+    into max_hamming+1 = 4 segments; every pair at Hamming ≤ 3 must
+    agree on one of them, so candidates are an equi-join on
+    (segment_idx, segment_value) — no cross join anywhere — and the
+    oracle replays the segmentation, join, verify, and pair-distinct
+    stage for stage. Round 9: the registered config is the PRODUCTION
+    64-bit fingerprint (16-bit segments → 65 536 buckets per index,
+    measured exp 0.19 to sf1 in SCALE_r08 where the old 32-bit config
+    was exp 1.58 / 199 s at sf1 — 256 buckets per index make bucket
+    populations, hence the pair budget, grow quadratically with n).
+    The 32-bit configuration stays exercised as a unit case in
+    tests/test_dedup.py and by the `simhash_near_dup` /
+    `simhash_near_dup_capped` gates; this uncapped gate isolates the
+    segment-blocking semantics, `simhash_near_dup_wide64` adds the
+    hot-bucket cap on top."""
+    return _simhash_banded_gate(spark, sf_dir, cap=None, bits=64)
+
+
+@query(
+    "simhash_near_dup_capped",
+    _SIMHASH_FP_SQL + """,
+    seg as (
+        select doc_id, simhash, s as seg_idx,
+               (simhash >> (s * 8)) & 255 as seg_val
+        from fp cross join unnest(generate_series(0, 3)) as ts(s)
+    ),
+    keep as (
+        select seg_idx, seg_val from seg
+        group by seg_idx, seg_val having count(*) <= 8
+    ),
+    segk as (
+        select seg.doc_id, seg.simhash, seg.seg_idx, seg.seg_val
+        from seg join keep using (seg_idx, seg_val)
+    )
+    select distinct a.doc_id as id_left, b.doc_id as id_right,
+           bit_count(xor(a.simhash, b.simhash)) as hamming
+    from segk a
+    join segk b on a.seg_idx = b.seg_idx and a.seg_val = b.seg_val
+               and a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segment-blocked Hamming path WITH the hot-bucket cap
+    (E107's `max_bucket_size`, the Hamming twin of the LSH cap E104):
+    segments holding more than 8 members are dropped BEFORE the
+    candidate self-join — the documented recall trade (a pair whose
+    every agreeing segment is hot is lost; pairs keep surfacing via
+    their other, cold segments). The oracle replays the per-bucket
+    count filter, so the cap's exact semantics — not just its
+    existence — are hash-checked. Stays on the 32-bit fingerprint:
+    at gate scale the 256-bucket indexes actually HAVE hot buckets
+    for the cap to bite on (a 64-bit config's 65 536-bucket indexes
+    rarely trip a cap of 8 at sf0.01)."""
+    return _simhash_banded_gate(spark, sf_dir, cap=8, bits=32)
 
 
 @query(
@@ -3575,7 +3585,10 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (('0x' || substr(md5(cast(p as varchar) || ':' ||
                              cast(d as varchar)), 1, 8))::bigint
              / 2147483648.0 - 1.0)) as pv
-        from (select unnest(range(0, 6)) as p)
+        from (select unnest(range(0, (
+            select greatest(4, least(24,
+                cast(ceil(log2(greatest(count(*), 1) / 32.0)) as bigint)))
+            from embeddings))) as p)
     ),
     bk as (
         select e.vec_id, e.embedding,
@@ -3618,8 +3631,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic cosine work to within-bucket pairs; pairs with
     round(cos, 6) ≥ 0.3 resolve through connected components and only
     the min-id canonical per component (plus all singletons) survives.
-    The oracle replays the hyperplanes, sign buckets, bucket-blocked
-    cosine pairs, recursive closure, and anti-join bit-for-bit. The
+    Round 9: the plane count SCALES with the corpus
+    (``n_planes=None`` → clamp(ceil(log2(n/32)), 4, 24)) — a fixed
+    count left expected bucket populations growing ∝ n, the quadratic
+    tail SCALE_r08 measured at exp 1.13 / 59 s at sf1. Both engines
+    derive the count from the same count(*), so the oracle replays
+    the hyperplanes, sign buckets, bucket-blocked cosine pairs,
+    recursive closure, and anti-join bit-for-bit at ANY scale. The
     k-means-clustered variant (the paper's own bucketing, via
     ivf_index) is property-tested in tests/test_ann.py — iterative
     training is not SQL-expressible."""
@@ -3628,7 +3646,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return semantic_dedup_corpus(e, dims=64, n_planes=6, eps=0.3).select(
+    return semantic_dedup_corpus(e, dims=64, n_planes=None, eps=0.3).select(
         "vec_id", "label"
     )
 
