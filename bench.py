@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "blocking_pass_counts",
     "blocking_estimate",
     "two_dataset_linkage",
+    "two_dataset_linkage_scaled",
+    "blocking_estimate_ab",
     "key_skew_report",
     "jw_comparator_buckets",
     "jw_approx_buckets",

@@ -500,11 +500,22 @@ def jw_approx_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     conservatism is actually exercised: ~75 % of these pairs skip the
     kernel with zero bucket changes vs plain jw). The oracle replays
     the prefilter arithmetic verbatim plus DuckDB's own
-    jaro_winkler_similarity."""
+    jaro_winkler_similarity.
+
+    The probe side is ``spread()`` first (round 9): part.parquet at
+    sf0.1 is one ~1 MB split, so the broadcast self-join and
+    EVERYTHING downstream — the 8M-pair Levenshtein prefilter and the
+    Arrow kernel — inherited a 1-2 core pin. The round-8 board read
+    this gate at 21 s and attributed it to the numpy JW kernel; the
+    measured decomposition at r9 is ~7 s single-threaded JVM
+    Levenshtein + ~4 s single-threaded kernel hop, and with the pair
+    set partitioned by cores the same plan runs in ~1.6 s. The
+    kernel was never the bottleneck — the parallelism was."""
+    from ..operators.util import spread
     from ..similarity import jw_approx_comparator, jw_prefilter
 
     part = t(spark, sf_dir, "part")
-    l = part.select(
+    l = spread(part).select(
         F.col("p_partkey").alias("p_partkey_left"),
         F.col("p_brand").alias("__b"),
         F.col("p_name").alias("p_name_left"),
@@ -1439,6 +1450,191 @@ def linkage_ab_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contracts it in O(log n) rounds regardless of diameter.
     return linker.cluster_links(threshold=1.0, algorithm="star").select(
         "source", F.col("c_custkey").cast("string").alias("c_custkey"), "cluster_id"
+    )
+
+
+# -- round 9: the A-B linkage scale path (verdict item 5) -------------
+#
+# `two_dataset_linkage` / `linkage_ab_clusters` block on nationkey /
+# region — FIXED-cardinality keys, so their pair budgets grow ~n²/25
+# and ~n²/5·band: correct to the reference's contract but the first
+# thing a real user re-specs at scale. The linear twin below is the
+# E120 pattern applied to A-B: banded-balance blocking passes whose
+# key cardinality (25 nations × 1 100 ten-unit balance buckets, then
+# 11 000 unit buckets) dwarfs n at every measured scale, keeping
+# per-block populations ~constant; `blocking_estimate_ab` is the
+# table-sized pre-flight whose per-pass predictions PICK that spec.
+
+_AB_PAIRS_SCALED_SQL = """
+    with p0 as (
+        select c.c_custkey as c_custkey_left, s.s_suppkey as supp_id_right
+        from customer c join supplier s
+          on c.c_nationkey = s.s_nationkey
+         and cast(floor(c.c_acctbal / 10) as bigint)
+             = cast(floor(s.s_acctbal / 10) as bigint)
+    ),
+    p1 as (
+        select c.c_custkey as c_custkey_left, s.s_suppkey as supp_id_right
+        from customer c join supplier s
+          on cast(floor(c.c_acctbal) as bigint)
+             = cast(floor(s.s_acctbal) as bigint)
+    ),
+    pairs as (
+        select distinct c_custkey_left, supp_id_right
+        from (select * from p0 union all select * from p1)
+    )
+"""
+
+
+@query(
+    "two_dataset_linkage_scaled",
+    _AB_PAIRS_SCALED_SQL + """
+    select p.c_custkey_left, p.supp_id_right,
+           case when abs(c.c_acctbal - s.s_acctbal) < 100 then 'close'
+                when abs(c.c_acctbal - s.s_acctbal) < 1000 then 'near'
+                else 'far' end as acctbal,
+           round(case when abs(c.c_acctbal - s.s_acctbal) < 100
+                          then ln(0.7 / 0.05)
+                      when abs(c.c_acctbal - s.s_acctbal) < 1000
+                          then ln(0.2 / 0.15)
+                      else ln(0.1 / 0.8) end, 6) as weight
+    from pairs p
+    left join customer c on p.c_custkey_left = c.c_custkey
+    left join supplier s on p.supp_id_right = s.s_suppkey
+    """,
+)
+def two_dataset_linkage_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`two_dataset_linkage` under the estimator-picked LINEAR spec:
+    two banded-balance equi passes — (nationkey, floor(bal/10)) then
+    (floor(bal),) — whose blocks stay ~constant-sized as both tables
+    grow, so the A-B pair budget scales ~n instead of the nation
+    spec's ~n²/25. Same operators (extract_blocks across two schemas,
+    compute_pairs_dataset rehydration, bucket comparator, fixed-FS
+    weight), same plan shape (derived-key hash joins); only the
+    workload's pair budget changes. Scale-proven to sf1 in
+    SCALE_r09.json; `blocking_estimate_ab` is the pre-flight that
+    predicts both specs' budgets without materializing either."""
+    from ..spec import BlockingRule
+
+    tb = load_tables(spark, sf_dir, ["customer", "supplier"])
+    cust = tb["customer"].select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.floor(F.col("c_acctbal") / 10).alias("__bal10"),
+        F.floor(F.col("c_acctbal")).alias("__bal1"),
+    )
+    supp = tb["supplier"].select(
+        F.col("s_suppkey").alias("supp_id"),
+        F.col("s_nationkey").alias("c_nationkey"),
+        F.col("s_acctbal").alias("c_acctbal"),
+        F.floor(F.col("s_acctbal") / 10).alias("__bal10"),
+        F.floor(F.col("s_acctbal")).alias("__bal1"),
+    )
+    ids = extract_blocks(
+        cust, supp, "c_custkey", "supp_id",
+        blocking_variables=[
+            BlockingRule.on("c_nationkey", "__bal10"),
+            BlockingRule.on("__bal1"),
+        ],
+    )
+    pairs = compute_pairs_dataset(
+        cust.drop("__bal10", "__bal1"), supp.drop("__bal10", "__bal1"),
+        "c_custkey", "supp_id", ids,
+    )
+    bal = F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right"))
+    cmp = do_comparisons(
+        pairs,
+        {
+            "acctbal": bucket_comparator(
+                bal, [(bal < 100, "close"), (bal < 1000, "near")], "far"
+            )
+        },
+        keep=["c_custkey_left", "supp_id_right"],
+    )
+    m = {"acctbal": {"close": 0.7, "near": 0.2, "far": 0.1}}
+    u = {"acctbal": {"close": 0.05, "near": 0.15, "far": 0.8}}
+    return cmp.withColumn("weight", F.round(match_weight_column(m, u), 6))
+
+
+@query(
+    "blocking_estimate_ab",
+    """
+    with a0 as (
+        select c_nationkey as k, count(*) as n from customer
+        where c_nationkey is not null group by 1
+    ),
+    b0 as (
+        select s_nationkey as k, count(*) as n from supplier
+        where s_nationkey is not null group by 1
+    ),
+    a1 as (
+        select c_nationkey as k0, cast(floor(c_acctbal / 10) as bigint) as k1,
+               count(*) as n
+        from customer
+        where c_nationkey is not null and c_acctbal is not null
+        group by 1, 2
+    ),
+    b1 as (
+        select s_nationkey as k0, cast(floor(s_acctbal / 10) as bigint) as k1,
+               count(*) as n
+        from supplier
+        where s_nationkey is not null and s_acctbal is not null
+        group by 1, 2
+    ),
+    a2 as (
+        select cast(floor(c_acctbal) as bigint) as k, count(*) as n
+        from customer where c_acctbal is not null group by 1
+    ),
+    b2 as (
+        select cast(floor(s_acctbal) as bigint) as k, count(*) as n
+        from supplier where s_acctbal is not null group by 1
+    )
+    select cast(0 as bigint) as pass_idx,
+           cast(coalesce((select sum(x.n * y.n) from a0 x
+                          join b0 y using (k)), 0) as bigint) as est_pairs
+    union all
+    select cast(1 as bigint),
+           cast(coalesce((select sum(x.n * y.n) from a1 x
+                          join b1 y on x.k0 = y.k0 and x.k1 = y.k1), 0)
+                as bigint)
+    union all
+    select cast(2 as bigint),
+           cast(coalesce((select sum(x.n * y.n) from a2 x
+                          join b2 y using (k)), 0) as bigint)
+    """,
+)
+def blocking_estimate_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A-B pre-flight: predicted pair counts for the naive nation
+    pass (idx 0) next to the two banded-balance passes (idx 1-2), from
+    one per-key histogram per side — table-sized work on BOTH tables,
+    never pair-sized (blocking.py:estimate_blocking_counts across two
+    datasets). Across scale factors pass 0 grows ~n² while passes 1-2
+    stay ~n: this run is what picks `two_dataset_linkage_scaled`'s
+    spec, the same estimator-driven workflow E120 demonstrated for the
+    self-link chain."""
+    from ..blocking import estimate_blocking_counts
+    from ..spec import BlockingRule
+
+    tb = load_tables(spark, sf_dir, ["customer", "supplier"])
+    cust = (
+        tb["customer"]
+        .withColumn("__bal10", F.floor(F.col("c_acctbal") / 10))
+        .withColumn("__bal1", F.floor(F.col("c_acctbal")))
+    )
+    supp = (
+        tb["supplier"]
+        .withColumn("__bal10", F.floor(F.col("s_acctbal") / 10))
+        .withColumn("__bal1", F.floor(F.col("s_acctbal")))
+    )
+    return estimate_blocking_counts(
+        cust,
+        supp,
+        [
+            BlockingRule.on_pairs({"c_nationkey": "s_nationkey"}),
+            BlockingRule.on_pairs(
+                {"c_nationkey": "s_nationkey", "__bal10": "__bal10"}
+            ),
+            BlockingRule.on("__bal1"),
+        ],
     )
 
 
