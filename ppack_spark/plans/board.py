@@ -15,7 +15,7 @@ round-4 registration order):
     r3       54         50        first 50 in order
     r4       80         50        first 50 in order
 
-With ~100 registered gates the board can never show everything, so
+With ~130 registered gates the board can never show everything, so
 this module makes the cut deliberate instead of accidental: ``BOARD``
 lists the 50 queries that lead the iteration order this round, and
 everything else follows in registration order.  The full gate suite —
@@ -23,88 +23,86 @@ every registered query, board or not — is verified against the same
 oracle at the same scale by ``tests/test_registry_oracle.py``; board
 rotation only changes which 50 rows the driver snapshot shows.
 
-Round-8 rotation policy: slots go first to gates with NO driver row
-yet (the scaled linkage chain + its estimator, the adaptive cluster
-kernel, the 64-bit SimHash config, and the two no-oracle-by-design
-ANN production twins ``ann_pq_topk_scan``/``ann_ivfpq_topk_scan`` —
-boarding them records their rows-only check externally for the first
-time; they are the only non-oracled rows, so a fully green run shows
-48/48 oracled + 2 rows-only).  Next, the round-7 verdict's item 7:
-the star-affected gates whose post-d7ca6f9 state was only confirmed
-by the judge's private replay — now ALSO re-defaulted to the adaptive
-kernel this round, so the external record covers the current code
-either way.  Then the ADVICE-touched ANN fixed gates, the always-on
-linkage spine, the JW family (flagship default swapped to the
-prefilter tier this round), and finally the stalest rows (last driver
-row r5).  ``linkage_em_end_to_end`` (last row r4) stays off-board as
-a deliberate no-oracle carry — property-tested in tests/test_em.py.
-The full suite is still verified every round by
-tests/test_registry_oracle.py, and the complete all-gate artifact is
-published alongside the board (verify_all.py → CORRECTNESS_full.json)
-so off-board gates stay externally auditable.
+Round-9 rotation policy (r8 verdict item 7 — "board the
+never-recorded remainder; overlap with r8 by < 50%"): slots go first
+to this round's NEW gates (the A-B scaled linkage chain and its
+estimator), then to the gates whose OUTPUT changed this round
+(``semantic_dedup`` now auto-scales its plane count;
+``simhash_near_dup_banded`` is re-pointed to the 64-bit production
+config — both need a fresh external row against the new oracle), then
+to the ENTIRE stale set whose last driver row is r6 or older (42
+gates, including every name the verdict called out: ``pairs_dataset``,
+``u_prob_frequencies``, ``etl_roundtrip``, ``calibration_glm``,
+``orc_roundtrip``, ``zorder_layout``, the E94-E107 cohort), and the
+last seats to r7-stale rows.  Overlap with the r8 board: 2 of 50
+(``semantic_dedup``, ``jw_approx_buckets`` — both changed materially
+this round, which is exactly when re-boarding is worth a seat).
+``linkage_em_end_to_end`` (last row r4) stays off-board as a
+deliberate no-oracle carry — property-tested in tests/test_em.py.
+The complete all-gate artifact is published alongside the board
+(verify_all.py → CORRECTNESS_full.json, commit-stamped since r9) so
+off-board gates stay externally auditable.
 """
 
 from __future__ import annotations
 
 # The 50 queries the driver board records this round, in order.
 BOARD: list[str] = [
-    # -- never recorded on any board (new this round) --
-    "dedup_clusters_adaptive",
-    "simhash_near_dup_wide64",
-    "blocking_multi_pass_scaled",
-    "comparison_vectors_scaled",
-    "match_weight_scoring_scaled",
-    "jw_scaled_buckets",
-    "blocking_estimate_scaled",
-    "ann_pq_topk_scan",
-    "ann_ivfpq_topk_scan",
-    # -- star-affected gates (r7 verdict item 7), now adaptive-default --
-    "near_dedup_corpus",
-    "near_dedup_corpus_wide",
-    "near_dedup_keep_best",
+    # -- new this round (never recorded on any board) --
+    "two_dataset_linkage_scaled",
+    "blocking_estimate_ab",
+    # -- output/config changed this round (fresh row vs new oracle) --
     "semantic_dedup",
-    "media_near_dedup",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "linkage_ab_clusters",
-    "dup_rate_report",
-    "corpus_split_leakage_safe",
-    # -- ADVICE-touched ANN fixed gates --
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    # -- linkage spine (reference core chain) --
-    "blocking_multi_pass",
-    "comparison_vectors",
-    "match_weight_scoring",
-    "linkage_em_params",
-    "threshold_topk",
-    "threshold_rank",
-    # -- JW family (flagship default swap this round; jw_sql is the
-    # new zero-Python tier, never recorded on any board) --
-    "jw_sql_buckets",
+    "simhash_near_dup_banded",
+    "simhash_near_dup_capped",
     "jw_approx_buckets",
-    "jw_comparator_buckets",
-    # -- stalest rows: last driver row r5 --
-    "sample_uniform_hash",
-    "sample_stratified_quota",
-    "pii_stats",
-    "line_dedup_corpus",
-    "repetition_signals",
-    "temperature_mix",
-    "jsonl_roundtrip",
-    "repeated_spans",
-    "remove_repeated_spans",
-    "quality_filter_flags",
-    "minhash_lsh_pairs_wide",
-    "minhash_lsh_pairs_ab",
-    "events_funnel",
-    "events_cohort_retention",
-    "top_term_coverage",
-    "lm_quality_score",
-    "lm_perplexity_buckets",
-    "minhash_jaccard_est",
-    "lm_bigram_score",
-    "corpus_shuffle",
+    # -- stalest: last driver row r5 --
+    "corpus_upsample",
+    "key_skew_report",
+    "quality_classifier_score",
+    "salted_join_orders",
+    "script_fractions",
+    "events_trailing_agg",
+    "events_asof_forward",
+    # -- stale: last driver row r6 --
+    "pairs_dataset",
+    "pattern_counts",
+    "u_prob_frequencies",
+    "posterior_probability",
+    "calibration_curve",
+    "calibration_glm",
+    "etl_roundtrip",
+    "two_dataset_linkage",
+    "bucketed_join_revenue",
+    "q1_pricing_summary",
+    "dedup_exact",
+    "simhash_near_dup",
+    "phash_near_dup_banded",
+    "ann_recall_report",
+    "ann_lsh_topk",
+    "sequence_packing",
+    "stratified_topk",
+    "curriculum_order",
+    "budget_mix",
+    "quantile_length_filter",
+    "orc_roundtrip",
+    "minhash_lsh_pairs_capped",
+    "distinct_sketch_merge",
+    "lm_ref_score",
+    "lm_interp_score",
+    "corpus_data_card",
+    "doc_chunks",
+    "zorder_layout",
+    "blocking_estimate",
+    "trainer_export_e2e",
+    "tfidf_cosine_pairs",
+    "events_anomaly_flags",
+    "profile_columns",
+    # -- r7-stale fill --
+    "suffix_projection",
+    "levenshtein_comparator",
+    "soundex_comparator",
+    "media_metadata",
 ]
 
 
