@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "two_dataset_linkage",
     "two_dataset_linkage_scaled",
     "blocking_estimate_ab",
+    "blocking_spec_choice",
     "key_skew_report",
     "jw_comparator_buckets",
     "jw_approx_buckets",

@@ -39,6 +39,8 @@ __all__ = [
     "ordered_pairs",
     "blocking_pass_counts",
     "estimate_blocking_counts",
+    "choose_blocking_spec",
+    "pick_blocking_spec",
     "key_skew_report",
 ]
 
@@ -273,6 +275,77 @@ def estimate_blocking_counts(
     from functools import reduce as _reduce
 
     return _reduce(DataFrame.unionByName, frames)
+
+
+def choose_blocking_spec(
+    data_a: DataFrame,
+    data_b: DataFrame,
+    candidates: "dict[str, Iterable[RuleLike]]",
+    budget_pairs: int,
+) -> DataFrame:
+    """Rank candidate blocking SPECS (named lists of passes) by their
+    histogram-predicted pair budgets and mark the one to run — the
+    estimator-driven workflow E120/`blocking_estimate_ab` demonstrate
+    by hand, as a first-class operator.
+
+    Policy: a spec's cost is the SUM of its passes' predicted pair
+    counts (:func:`estimate_blocking_counts`) — an upper bound on the
+    distinct union, and the actual join work paid, since every pass's
+    equi-join runs before the dedup. Among specs within
+    ``budget_pairs`` the CHOSEN one is the *largest* (candidate count
+    is the recall proxy: blocking trades recall for cost, so within
+    an affordable budget you want maximal coverage); if no spec fits,
+    the cheapest overall is chosen (least-infeasible, and its
+    ``within_budget=false`` row is the signal to re-spec). Ties break
+    on spec name for engine-stable output.
+
+    Returns one row per spec: ``spec, est_pairs, within_budget,
+    chosen``. All work is table-sized (one per-key histogram per pass
+    per side); the ranking window runs over a frame with one row per
+    CANDIDATE SPEC — a handful — so the unpartitioned window is not a
+    single-reducer risk. At 100 TB this is the pre-flight you run
+    before materializing any pair set: the quadratic spec announces
+    itself as a number, not as a dead cluster.
+    """
+    if not candidates:
+        raise ValueError("choose_blocking_spec needs at least one candidate spec")
+    frames = []
+    for name, rules in candidates.items():
+        est = estimate_blocking_counts(data_a, data_b, rules).agg(
+            F.coalesce(F.sum("est_pairs"), F.lit(0)).cast("long").alias("est_pairs")
+        )
+        frames.append(est.select(F.lit(name).alias("spec"), "est_pairs"))
+    report = reduce(DataFrame.unionByName, frames).withColumn(
+        "within_budget", F.col("est_pairs") <= F.lit(int(budget_pairs))
+    )
+    from pyspark.sql.window import Window
+
+    rank_key = (
+        F.when(F.col("within_budget"), -F.col("est_pairs"))
+        .otherwise(F.col("est_pairs"))
+    )
+    w = Window.orderBy(F.desc("within_budget"), rank_key.asc(), F.asc("spec"))
+    return report.withColumn("chosen", F.row_number().over(w) == 1)
+
+
+def pick_blocking_spec(
+    data_a: DataFrame,
+    data_b: DataFrame,
+    candidates: "dict[str, Iterable[RuleLike]]",
+    budget_pairs: int,
+) -> "tuple[str, list[BlockingRule]]":
+    """Driver-side convenience over :func:`choose_blocking_spec`:
+    collect the (spec-count-sized) report and return ``(name, rules)``
+    for the chosen spec, ready to hand to :func:`extract_blocks`.
+    The collect is one row per candidate — never pair-sized."""
+    row = (
+        choose_blocking_spec(data_a, data_b, candidates, budget_pairs)
+        .filter(F.col("chosen"))
+        .select("spec")
+        .head()
+    )
+    name = row["spec"]
+    return name, [_coerce_rule(r) for r in candidates[name]]
 
 
 def key_skew_report(

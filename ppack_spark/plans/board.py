@@ -25,8 +25,10 @@ rotation only changes which 50 rows the driver snapshot shows.
 
 Round-9 rotation policy (r8 verdict item 7 — "board the
 never-recorded remainder; overlap with r8 by < 50%"): slots go first
-to this round's NEW gates (the A-B scaled linkage chain and its
-estimator), then to the gates whose OUTPUT changed this round
+to this round's NEW gates (the A-B scaled linkage chain, its
+estimator, and the E122 spec-choice operator whose pick flips between
+the two driver scales), then to the gates whose OUTPUT changed this
+round
 (``semantic_dedup`` now auto-scales its plane count;
 ``simhash_near_dup_banded`` is re-pointed to the 64-bit production
 config — both need a fresh external row against the new oracle), then
@@ -51,6 +53,7 @@ BOARD: list[str] = [
     # -- new this round (never recorded on any board) --
     "two_dataset_linkage_scaled",
     "blocking_estimate_ab",
+    "blocking_spec_choice",
     # -- output/config changed this round (fresh row vs new oracle) --
     "semantic_dedup",
     "simhash_near_dup_banded",
@@ -102,7 +105,6 @@ BOARD: list[str] = [
     "suffix_projection",
     "levenshtein_comparator",
     "soundex_comparator",
-    "media_metadata",
 ]
 
 

@@ -1639,6 +1639,125 @@ def blocking_estimate_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "blocking_spec_choice",
+    """
+    with a0 as (
+        select c_nationkey as k, count(*) as n from customer
+        where c_nationkey is not null group by 1
+    ),
+    b0 as (
+        select s_nationkey as k, count(*) as n from supplier
+        where s_nationkey is not null group by 1
+    ),
+    a1 as (
+        select c_nationkey as k0, cast(floor(c_acctbal / 10) as bigint) as k1,
+               count(*) as n
+        from customer
+        where c_nationkey is not null and c_acctbal is not null
+        group by 1, 2
+    ),
+    b1 as (
+        select s_nationkey as k0, cast(floor(s_acctbal / 10) as bigint) as k1,
+               count(*) as n
+        from supplier
+        where s_nationkey is not null and s_acctbal is not null
+        group by 1, 2
+    ),
+    a2 as (
+        select cast(floor(c_acctbal) as bigint) as k, count(*) as n
+        from customer where c_acctbal is not null group by 1
+    ),
+    b2 as (
+        select cast(floor(s_acctbal) as bigint) as k, count(*) as n
+        from supplier where s_acctbal is not null group by 1
+    ),
+    a3 as (
+        select cast(floor(c_acctbal / 10) as bigint) as k, count(*) as n
+        from customer where c_acctbal is not null group by 1
+    ),
+    b3 as (
+        select cast(floor(s_acctbal / 10) as bigint) as k, count(*) as n
+        from supplier where s_acctbal is not null group by 1
+    ),
+    est as (
+        select 'nation' as spec,
+               cast(coalesce((select sum(x.n * y.n) from a0 x
+                              join b0 y using (k)), 0) as bigint) as est_pairs
+        union all
+        select 'banded',
+               cast(coalesce((select sum(x.n * y.n) from a1 x
+                              join b1 y on x.k0 = y.k0 and x.k1 = y.k1), 0)
+                    as bigint)
+             + cast(coalesce((select sum(x.n * y.n) from a2 x
+                              join b2 y using (k)), 0) as bigint)
+        union all
+        select 'bal10',
+               cast(coalesce((select sum(x.n * y.n) from a3 x
+                              join b3 y using (k)), 0) as bigint)
+    ),
+    bgt as (
+        select 25 * ((select count(*) from customer)
+                     + (select count(*) from supplier)) as budget
+    )
+    select spec, est_pairs,
+           est_pairs <= budget as within_budget,
+           row_number() over (
+               order by (est_pairs <= budget) desc,
+                        case when est_pairs <= budget then -est_pairs
+                             else est_pairs end asc,
+                        spec asc
+           ) = 1 as chosen
+    from est cross join bgt
+    """,
+)
+def blocking_spec_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E122 — the estimator-driven spec selection as one operator call
+    (`choose_blocking_spec`, blocking.py): three candidate A-B specs —
+    the reference-shaped naive nation pass, the banded two-pass spec
+    `two_dataset_linkage_scaled` runs, and a single balance-band pass
+    — ranked against a budget of 25·(|A|+|B|) candidate pairs. Cost
+    per spec is the SUM of its passes' histogram-predicted join sizes
+    (the work actually paid before pair-dedup); within budget the
+    LARGEST spec wins (candidates ≈ recall), so the choice is
+    scale-dependent by design: at sf0.01 the nation spec fits the
+    budget and is chosen, at sf0.1 its ~n²/25 estimate blows past
+    25·n and the engine picks a linear spec instead — the same
+    decision a 100 TB pre-flight makes, hash-checked at both scales
+    because the oracle replays the histograms, the per-spec sums, the
+    budget arithmetic, and the ranking window bit-for-bit."""
+    from ..blocking import choose_blocking_spec
+    from ..spec import BlockingRule
+
+    tb = load_tables(spark, sf_dir, ["customer", "supplier"])
+    cust = (
+        tb["customer"]
+        .withColumn("__bal10", F.floor(F.col("c_acctbal") / 10))
+        .withColumn("__bal1", F.floor(F.col("c_acctbal")))
+    )
+    supp = (
+        tb["supplier"]
+        .withColumn("__bal10", F.floor(F.col("s_acctbal") / 10))
+        .withColumn("__bal1", F.floor(F.col("s_acctbal")))
+    )
+    budget = 25 * (tb["customer"].count() + tb["supplier"].count())
+    return choose_blocking_spec(
+        cust,
+        supp,
+        {
+            "nation": [BlockingRule.on_pairs({"c_nationkey": "s_nationkey"})],
+            "banded": [
+                BlockingRule.on_pairs(
+                    {"c_nationkey": "s_nationkey", "__bal10": "__bal10"}
+                ),
+                BlockingRule.on("__bal1"),
+            ],
+            "bal10": [BlockingRule.on("__bal10")],
+        },
+        budget_pairs=budget,
+    )
+
+
+@query(
     "bucketed_join_revenue",
     """
     select c_mktsegment,

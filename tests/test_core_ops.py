@@ -276,6 +276,65 @@ def test_blocking_estimate_equals_measured_counts(spark, tables):
         ).collect()
 
 
+def test_choose_blocking_spec_policy(spark, tables):
+    """Within budget the LARGEST spec wins (candidates ≈ recall); with
+    no spec within budget the cheapest wins flagged infeasible; a
+    multi-pass spec's cost is the sum of its passes; exactly one row
+    is chosen; pick_blocking_spec returns the chosen rules coerced."""
+    from ppack_spark.blocking import (
+        choose_blocking_spec,
+        estimate_blocking_counts,
+        pick_blocking_spec,
+    )
+    from ppack_spark.spec import BlockingRule
+
+    cust = tables["customer"]
+    candidates = {
+        "nk": [BlockingRule.on("c_nationkey")],
+        "seg": [BlockingRule.on("c_mktsegment")],
+        "key": [BlockingRule.on("c_custkey")],
+        "both": [BlockingRule.on("c_nationkey"), BlockingRule.on("c_custkey")],
+    }
+    est = {
+        name: sum(
+            r["est_pairs"]
+            for r in estimate_blocking_counts(cust, cust, rules).collect()
+        )
+        for name, rules in candidates.items()
+    }
+    assert est["both"] == est["nk"] + est["key"]  # multi-pass = sum
+
+    # budget admits key/nk/both but not seg -> largest admitted wins
+    budget = est["seg"] - 1
+    assert est["both"] < budget < est["seg"]
+    rows = {
+        r["spec"]: r
+        for r in choose_blocking_spec(cust, cust, candidates, budget).collect()
+    }
+    assert sum(1 for r in rows.values() if r["chosen"]) == 1
+    assert not rows["seg"]["within_budget"] and rows["nk"]["within_budget"]
+    expect = max((n for n in est if est[n] <= budget), key=lambda n: (est[n], n))
+    assert rows[expect]["chosen"]
+
+    # nothing within budget -> cheapest wins, flagged infeasible
+    rows0 = {
+        r["spec"]: r
+        for r in choose_blocking_spec(cust, cust, candidates, 0).collect()
+    }
+    winner0 = [n for n, r in rows0.items() if r["chosen"]]
+    assert winner0 == [min(est, key=lambda n: (est[n], n))]
+    assert not rows0[winner0[0]]["within_budget"]
+
+    name, rules = pick_blocking_spec(cust, cust, candidates, budget)
+    assert name == expect
+    assert all(isinstance(r, BlockingRule) for r in rules)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        choose_blocking_spec(cust, cust, {}, 10)
+
+
 def test_key_skew_report_finds_planted_hot_key(spark, tables):
     """A planted hot key must rank first with the right count and
     fraction; NULL keys are reported as a group, not dropped."""
