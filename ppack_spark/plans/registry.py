@@ -672,7 +672,18 @@ def soundex_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
 def match_weight_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ops 16-17 (scratch.R:109-124): fitted params compiled into one
     generated CASE-WHEN log-likelihood-ratio expression — in-plan,
-    codegen, no UDF."""
+    codegen, no UDF.
+
+    Perf adjudication (round 9, closing the r8 'FS-spine creep' watch
+    item): stage-level inspection shows this chain is already fully
+    parallel — the distinct and rehydration-join stages run 64/35
+    tasks with all 32 cores busy, so its ~3.7 s at sf0.1 is genuine
+    ~9M-pair work (distinct + two hash joins + comparator CASE-WHENs),
+    not the single-split pin other gates had. A spread() on the pair
+    table was MEASURED SLOWER (extra shuffle of the chain's biggest
+    intermediate: 3.7 → 5.3-6.2 s) and is deliberately absent; the
+    r7→r8 driver-bench drift on this family was bench-group
+    re-packing, fixed by the crc32-stable groups in bench.py."""
     cmp = _comparisons(spark, sf_dir)
     w = match_weight_column(M_PROBS, U_PROBS)
     return cmp.withColumn("weight", F.round(w, 6))
