@@ -19,10 +19,12 @@ plumbing.
 
 from .blocking import (
     blocking_pass_counts,
+    choose_blocking_spec,
     estimate_blocking_counts,
     extract_blocks,
     key_skew_report,
     ordered_pairs,
+    pick_blocking_spec,
 )
 from .em import FSParams, run_em
 from .exprs import (
@@ -70,8 +72,10 @@ __all__ = [
     "attach_cluster_ids",
     "blocking_pass_counts",
     "bucket_comparator",
+    "choose_blocking_spec",
     "estimate_blocking_counts",
     "key_skew_report",
+    "pick_blocking_spec",
     "connected_components",
     "connected_components_adaptive",
     "connected_components_star",
