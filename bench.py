@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "two_dataset_linkage_scaled",
     "blocking_estimate_ab",
     "blocking_spec_choice",
+    "threshold_sweep",
     "key_skew_report",
     "jw_comparator_buckets",
     "jw_approx_buckets",

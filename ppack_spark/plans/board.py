@@ -54,6 +54,7 @@ BOARD: list[str] = [
     "two_dataset_linkage_scaled",
     "blocking_estimate_ab",
     "blocking_spec_choice",
+    "threshold_sweep",
     # -- output/config changed this round (fresh row vs new oracle) --
     "semantic_dedup",
     "simhash_near_dup_banded",
@@ -103,7 +104,6 @@ BOARD: list[str] = [
     "profile_columns",
     # -- r7-stale fill --
     "suffix_projection",
-    "levenshtein_comparator",
     "soundex_comparator",
 ]
 

@@ -1080,6 +1080,89 @@ def calibration_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "threshold_sweep",
+    _CMP_SQL + f"""
+    , scored as (
+        select case when nat_l = nat_r then 1.0 else 0.0 end as tm,
+               {_WEIGHT_SQL} as weight from cmp
+    ),
+    bucketed as (
+        select cast(case when weight >= 5 then 5.0
+                         when weight >= 2 then 2.0
+                         when weight >= 0 then 0.0
+                         when weight >= -5 then -5.0
+                         when weight >= -20 then -20.0
+                         when weight >= -40 then -40.0
+                    end as double) as b,
+               count(*) as n, sum(tm) as t
+        from scored group by 1
+    ),
+    ts as (
+        select cast(v as double) as threshold
+        from (values (-40.0), (-20.0), (-5.0), (0.0), (2.0), (5.0)) t(v)
+    ),
+    cum as (
+        select ts.threshold,
+               sum(coalesce(bk.n, 0)) over w as n_pred,
+               sum(coalesce(bk.t, 0)) over w as n_true_pos,
+               (select sum(t) from bucketed) as tot
+        from ts left join bucketed bk on ts.threshold = bk.b
+        window w as (order by ts.threshold desc
+                     rows between unbounded preceding and current row)
+    ),
+    pr as (
+        select threshold, n_pred, n_true_pos, tot,
+               case when n_pred > 0 then n_true_pos / n_pred end as p,
+               case when tot > 0 then n_true_pos / tot end as r
+        from cum
+    )
+    select threshold,
+           cast(n_pred as bigint) as n_pred,
+           cast(n_true_pos as double) as n_true_pos,
+           round(p, 6) as "precision",
+           round(r, 6) as recall,
+           round(case when p is not null and r is not null and p + r > 0
+                      then 2 * p * r / (p + r) end, 6) as f1
+    from pr
+    """,
+)
+def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E124 — the full operating-characteristic table the reference's
+    single hard-coded τ=5 precision readout (scratch.R:130-135) only
+    samples: pairwise precision/recall/F1 at six thresholds over the
+    FS-scored candidate pairs (nationkey equality as pseudo-truth,
+    same as `calibration_curve`), in ONE pass over the pair table
+    (eval.py:threshold_sweep_metrics — largest-passed-threshold
+    bucketing, k-row cumulative window, below-every-τ bucket kept in
+    recall's denominator). The oracle replays the bucket CASE, the
+    left join against the threshold axis, the descending cumulative
+    window, the grand-truth subquery, and F1 computed from the
+    UNROUNDED precision/recall."""
+    from ..eval import threshold_sweep_metrics
+
+    customer = t(spark, sf_dir, "customer")
+    joined = compute_pairs_dataset(
+        customer, customer, "c_custkey", "c_custkey", _candidate_pairs(spark, sf_dir)
+    )
+    cmp = do_comparisons(
+        joined,
+        dict(
+            _comparators(),
+            true_match=(
+                F.col("c_nationkey_left") == F.col("c_nationkey_right")
+            ).cast("double"),
+        ),
+    )
+    w = match_weight_column(
+        M_PROBS, U_PROBS, {"mktsegment": "mktsegment", "acctbal": "acctbal"}
+    )
+    labelled = cmp.withColumn("weight", w)
+    return threshold_sweep_metrics(
+        labelled, thresholds=[-40.0, -20.0, -5.0, 0.0, 2.0, 5.0]
+    )
+
+
+@query(
     "linkage_em_params",
     """
     select comparator, level,

@@ -212,3 +212,60 @@ def test_jw_sql_comparison_end_to_end(spark, tables):
         for name, df in scored.items()
     }
     assert rows["udf"] == rows["sql"]
+
+
+def test_threshold_sweep_metrics_hand_computed(spark):
+    """Six pairs with known weights/truth: per-threshold n_pred /
+    n_true_pos / precision / recall / F1 match hand computation;
+    a threshold whose bucket is empty still appears (inheriting the
+    higher buckets' cumulative counts); recall's denominator includes
+    true pairs below every threshold; NULL precision when nothing is
+    predicted."""
+    from ppack_spark.eval import threshold_sweep_metrics
+
+    rows = [
+        # (weight, true_match)
+        (10.0, 1.0),
+        (6.0, 1.0),
+        (6.0, 0.0),
+        (1.0, 1.0),
+        (-3.0, 0.0),
+        (-50.0, 1.0),  # true pair below EVERY threshold: recall denom = 4
+    ]
+    df = spark.createDataFrame(rows, "weight double, true_match double")
+    out = {
+        r["threshold"]: r
+        for r in threshold_sweep_metrics(
+            df, thresholds=[20.0, 5.0, 5.0, 0.0, -10.0]  # dup deduped
+        ).collect()
+    }
+    assert set(out) == {20.0, 5.0, 0.0, -10.0}
+    # tau=20: nothing predicted
+    assert out[20.0]["n_pred"] == 0 and out[20.0]["precision"] is None
+    assert out[20.0]["recall"] == 0.0 and out[20.0]["f1"] is None
+    # tau=5: pairs {10, 6, 6}, 2 true -> p=2/3, r=2/4
+    assert out[5.0]["n_pred"] == 3 and out[5.0]["n_true_pos"] == 2.0
+    assert out[5.0]["precision"] == round(2 / 3, 6)
+    assert out[5.0]["recall"] == 0.5
+    p, r = 2 / 3, 0.5
+    assert out[5.0]["f1"] == round(2 * p * r / (p + r), 6)
+    # tau=0: adds the (1.0, true) pair -> 4 pred, 3 true
+    assert out[0.0]["n_pred"] == 4 and out[0.0]["n_true_pos"] == 3.0
+    assert out[0.0]["recall"] == 0.75
+    # tau=-10: adds (-3, false) -> 5 pred, 3 true; (-50, true) stays out
+    assert out[-10.0]["n_pred"] == 5 and out[-10.0]["n_true_pos"] == 3.0
+
+    # no true pairs at all -> recall NULL everywhere, precision defined
+    df0 = spark.createDataFrame(
+        [(3.0, 0.0), (-1.0, 0.0)], "weight double, true_match double"
+    )
+    r0 = {
+        r["threshold"]: r
+        for r in threshold_sweep_metrics(df0, thresholds=[0.0]).collect()
+    }
+    assert r0[0.0]["recall"] is None and r0[0.0]["precision"] == 0.0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        threshold_sweep_metrics(df, thresholds=[])
