@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "blocking_estimate_ab",
     "blocking_spec_choice",
     "threshold_sweep",
+    "bcubed_quality",
     "key_skew_report",
     "jw_comparator_buckets",
     "jw_approx_buckets",

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bcubed_metrics",
     "calibration_curve",
     "fit_calibration",
     "precision_at_threshold",
@@ -120,6 +121,65 @@ def threshold_sweep_metrics(
         F.col("n_true_pos").cast("double").alias("n_true_pos"),
         F.round(precision, round_digits).alias("precision"),
         F.round(recall, round_digits).alias("recall"),
+        F.round(f1, round_digits).alias("f1"),
+    )
+
+
+def bcubed_metrics(
+    assignments: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    truth_col: str = "truth",
+    round_digits: int = 6,
+) -> DataFrame:
+    """B-cubed precision / recall / F1 (Bagga & Baldwin 1998) — the
+    standard CLUSTER-level linkage/dedup quality score, complementing
+    the pairwise sweep (:func:`threshold_sweep_metrics`): per record,
+    precision is the fraction of its predicted cluster sharing its
+    true label and recall the fraction of its true class it was
+    clustered with; both average over records, so mega-cluster
+    mistakes are punished in proportion to the records they swallow
+    (pairwise metrics square with cluster size instead).
+
+    Distributed form: with ``n_ct`` the size of each (predicted
+    cluster c, true class t) intersection cell, ``n_c``/``n_t`` the
+    marginals, B³ precision = Σ n_ct²/n_c / N and recall =
+    Σ n_ct²/n_t / N. Everything reduces to the cell table: one inner
+    join of the two label columns on id, one groupBy to cells, two
+    cell-table-sized marginal aggregations joined back, one global
+    sum — no pairs are ever materialized, so a 10⁹-record clustering
+    evaluates through shuffles keyed on labels only. Records missing
+    from either side are excluded by the inner join (evaluate the
+    INTERSECTION you can score); the caller decides singleton policy
+    by what it passes as ``assignments`` (e.g. coalesce missing
+    cluster ids to the record id first).
+
+    Returns ONE row: ``n_records, precision, recall, f1`` (all-NULL
+    metrics when the intersection is empty).
+    """
+    j = assignments.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("__c")
+    ).join(
+        truth.select(F.col(id_col).alias("__id"), F.col(truth_col).alias("__t")),
+        "__id",
+    )
+    ct = j.groupBy("__c", "__t").agg(F.count(F.lit(1)).alias("n_ct"))
+    cs = ct.groupBy("__c").agg(F.sum("n_ct").alias("n_c"))
+    tsum = ct.groupBy("__t").agg(F.sum("n_ct").alias("n_t"))
+    x = ct.join(cs, "__c").join(tsum, "__t")
+    agg = x.agg(
+        F.coalesce(F.sum("n_ct"), F.lit(0)).cast("long").alias("n_records"),
+        F.sum(F.col("n_ct") * F.col("n_ct") / F.col("n_c")).alias("__psum"),
+        F.sum(F.col("n_ct") * F.col("n_ct") / F.col("n_t")).alias("__rsum"),
+    )
+    p = F.when(F.col("n_records") > 0, F.col("__psum") / F.col("n_records"))
+    r = F.when(F.col("n_records") > 0, F.col("__rsum") / F.col("n_records"))
+    f1 = F.when((p + r) > 0, 2 * p * r / (p + r))
+    return agg.select(
+        "n_records",
+        F.round(p, round_digits).alias("precision"),
+        F.round(r, round_digits).alias("recall"),
         F.round(f1, round_digits).alias("f1"),
     )
 

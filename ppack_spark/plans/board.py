@@ -55,6 +55,7 @@ BOARD: list[str] = [
     "blocking_estimate_ab",
     "blocking_spec_choice",
     "threshold_sweep",
+    "bcubed_quality",
     # -- output/config changed this round (fresh row vs new oracle) --
     "semantic_dedup",
     "simhash_near_dup_banded",
@@ -104,7 +105,6 @@ BOARD: list[str] = [
     "profile_columns",
     # -- r7-stale fill --
     "suffix_projection",
-    "soundex_comparator",
 ]
 
 

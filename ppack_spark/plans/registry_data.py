@@ -2728,6 +2728,71 @@ def dup_rate_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bcubed_quality",
+    _near_dup_comp_sql(8, 2, 0.5) + """,
+    docs as (
+        select doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as truth
+        from documents
+    ),
+    pred as (
+        select d.doc_id, coalesce(c.component, d.doc_id) as cluster, d.truth
+        from docs d left join comp c on d.doc_id = c.node
+    ),
+    ct as (select cluster, truth, count(*) as n_ct from pred group by 1, 2),
+    cs as (select cluster, sum(n_ct) as n_c from ct group by 1),
+    tm as (select truth, sum(n_ct) as n_t from ct group by 1),
+    x as (
+        select ct.n_ct, cs.n_c, tm.n_t
+        from ct join cs using (cluster) join tm using (truth)
+    ),
+    agg as (
+        select cast(coalesce(sum(n_ct), 0) as bigint) as n_records,
+               sum(n_ct * n_ct / n_c) as psum,
+               sum(n_ct * n_ct / n_t) as rsum
+        from x
+    )
+    select n_records,
+           round(psum / n_records, 6) as "precision",
+           round(rsum / n_records, 6) as recall,
+           round(case when (psum / n_records + rsum / n_records) > 0
+                      then 2 * (psum / n_records) * (rsum / n_records)
+                           / (psum / n_records + rsum / n_records)
+                 end, 6) as f1
+    from agg
+    """,
+)
+def bcubed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E125 — B-cubed cluster-quality scoring
+    (eval.py:bcubed_metrics) of the engine's OWN verified near-dup
+    clustering against the exact-content pseudo-truth: predicted
+    clusters from `near_dup_components` (the shared LSH → verify →
+    closure stage, singletons coalesced to their own id), true
+    classes from `content_hash` (exact-dup groups). Near-dup should
+    contain exact-dup, so recall sits near 1 and precision measures
+    how much MORE the fuzzy clustering merges — the report a dedup
+    operator reads before trusting a threshold. The oracle replays
+    the whole derivation: the verified-LSH closure (shared
+    `_near_dup_comp_sql` CTE), the singleton coalesce, the
+    (cluster × truth) cell table, both marginals, and precision /
+    recall / F1 computed from the UNROUNDED sums."""
+    from ..eval import bcubed_metrics
+    from ..operators.dedup import content_hash, near_dup_components
+
+    docs = t(spark, sf_dir, "documents")
+    comp = near_dup_components(docs)
+    labelled = docs.select("doc_id", content_hash("text").alias("truth"))
+    pred = (
+        labelled.join(comp, labelled["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    return bcubed_metrics(pred, labelled, id_col="doc_id")
+
+
+@query(
     "near_dedup_keep_best",
     _near_dup_comp_sql(8, 2, 0.5) + """,
     members as (

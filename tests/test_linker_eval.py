@@ -269,3 +269,36 @@ def test_threshold_sweep_metrics_hand_computed(spark):
 
     with pytest.raises(ValueError):
         threshold_sweep_metrics(df, thresholds=[])
+
+
+def test_bcubed_metrics_hand_computed(spark):
+    """Pred {a,b,c},{d,e} vs truth {a,b},{c,d},{e}: B3 precision =
+    (4/3 + 1/3 + 1/2 + 1/2)/5 = 8/15, recall = (2 + 1/2 + 1/2 + 1)/5
+    = 0.8, F1 = 0.64; a record present only in pred is excluded by
+    the inner join; empty intersection -> n_records 0, NULL metrics."""
+    from ppack_spark.eval import bcubed_metrics
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 2), ("f", 3)],
+        "doc_id string, cluster int",
+    )
+    truth = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t2"), ("d", "t2"), ("e", "t3")],
+        "doc_id string, truth string",
+    )
+    row = bcubed_metrics(pred, truth).collect()[0]
+    assert row["n_records"] == 5
+    assert row["precision"] == round(8 / 15, 6)
+    assert row["recall"] == 0.8
+    assert row["f1"] == 0.64
+
+    # perfect clustering -> all 1.0
+    perfect = truth.select("doc_id", F.col("truth").alias("cluster"))
+    r2 = bcubed_metrics(perfect, truth).collect()[0]
+    assert (r2["precision"], r2["recall"], r2["f1"]) == (1.0, 1.0, 1.0)
+
+    # disjoint ids -> empty intersection
+    none = spark.createDataFrame([("zz", 1)], "doc_id string, cluster int")
+    r3 = bcubed_metrics(none, truth).collect()[0]
+    assert r3["n_records"] == 0 and r3["precision"] is None
+    assert r3["recall"] is None and r3["f1"] is None
