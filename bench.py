@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "blocking_spec_choice",
     "threshold_sweep",
     "bcubed_quality",
+    "best_threshold",
     "key_skew_report",
     "jw_comparator_buckets",
     "jw_approx_buckets",

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bcubed_metrics",
+    "best_threshold_by_f1",
     "calibration_curve",
     "fit_calibration",
     "precision_at_threshold",
@@ -122,6 +123,78 @@ def threshold_sweep_metrics(
         F.round(precision, round_digits).alias("precision"),
         F.round(recall, round_digits).alias("recall"),
         F.round(f1, round_digits).alias("f1"),
+    )
+
+
+def best_threshold_by_f1(
+    labelled: DataFrame,
+    weight_col: str = "weight",
+    truth_col: str = "true_match",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The τ a linkage user should actually run: the EXACT F1-maximal
+    threshold over every distinct observed weight, in one pass —
+    closing the loop :func:`threshold_sweep_metrics` opens (the sweep
+    shows the operating curve at requested τs; this finds the curve's
+    argmax without the user guessing a grid).
+
+    Every distinct weight is a candidate threshold: group once to
+    (weight, n, n_true) — map-side partial agg, only per-weight
+    subtotals shuffle — then cumulative sums down the descending
+    weight axis give n_pred/TP at each candidate, and the argmax row
+    wins. FS weights are sums over finitely many comparator levels,
+    so the distinct-weight frame is ∏(levels)-sized — constant in
+    corpus size; for a continuous score (e.g. a calibrated
+    probability) round/bucket the column first or the window frame is
+    distinct-value-sized. The argmax ordering is engine-stable: all
+    counts are exact integers, each candidate's precision/recall/F1
+    is one IEEE expression over them (bit-identical across engines),
+    and ties break on the LARGER threshold (prefer the higher-
+    precision operating point at equal F1).
+
+    Returns ONE row: ``threshold, n_pred, n_true_pos, precision,
+    recall, f1`` (empty input → empty result; candidates with no true
+    positives sort below any real F1)."""
+    from pyspark.sql.window import Window
+
+    counts = labelled.groupBy(F.col(weight_col).alias("threshold")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.coalesce(F.sum(F.col(truth_col).cast("double")), F.lit(0.0)).alias("__t"),
+    )
+    win = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = counts.select(
+        "threshold",
+        F.sum("__n").over(win).alias("n_pred"),
+        F.sum("__t").over(win).alias("n_true_pos"),
+        F.sum("__t").over(tot).alias("__total_true"),
+    )
+    p = F.col("n_true_pos") / F.col("n_pred")
+    r = F.when(
+        F.col("__total_true") > 0, F.col("n_true_pos") / F.col("__total_true")
+    )
+    f1 = F.when((p + r) > 0, 2 * p * r / (p + r))
+    return (
+        cum.select(
+            "threshold",
+            F.col("n_pred").cast("long").alias("n_pred"),
+            F.col("n_true_pos").cast("double").alias("n_true_pos"),
+            p.alias("__p"),
+            r.alias("__r"),
+            f1.alias("__f1"),
+        )
+        .orderBy(F.desc_nulls_last("__f1"), F.desc("threshold"))
+        .limit(1)
+        .select(
+            "threshold",
+            "n_pred",
+            "n_true_pos",
+            F.round(F.col("__p"), round_digits).alias("precision"),
+            F.round(F.col("__r"), round_digits).alias("recall"),
+            F.round(F.col("__f1"), round_digits).alias("f1"),
+        )
     )
 
 

@@ -26,17 +26,20 @@ rotation only changes which 50 rows the driver snapshot shows.
 Round-9 rotation policy (r8 verdict item 7 — "board the
 never-recorded remainder; overlap with r8 by < 50%"): slots go first
 to this round's NEW gates (the A-B scaled linkage chain, its
-estimator, and the E122 spec-choice operator whose pick flips between
-the two driver scales), then to the gates whose OUTPUT changed this
-round
+estimator, the E123 spec-choice operator whose pick flips between
+the two driver scales, and the E124-E126 evaluation family:
+threshold sweep, B-cubed, F1-argmax τ), then to the gates whose
+OUTPUT changed this round
 (``semantic_dedup`` now auto-scales its plane count;
 ``simhash_near_dup_banded`` is re-pointed to the 64-bit production
 config — both need a fresh external row against the new oracle), then
 to the ENTIRE stale set whose last driver row is r6 or older (42
 gates, including every name the verdict called out: ``pairs_dataset``,
 ``u_prob_frequencies``, ``etl_roundtrip``, ``calibration_glm``,
-``orc_roundtrip``, ``zorder_layout``, the E94-E107 cohort), and the
-last seats to r7-stale rows.  Overlap with the r8 board: 2 of 50
+``orc_roundtrip``, ``zorder_layout``, the E94-E107 cohort); the six
+new-gate seats displaced the r7-stale fill (those rows' last driver
+record is one round old — the juniormost staleness claim).  Overlap
+with the r8 board: 2 of 50
 (``semantic_dedup``, ``jw_approx_buckets`` — both changed materially
 this round, which is exactly when re-boarding is worth a seat).
 ``linkage_em_end_to_end`` (last row r4) stays off-board as a
@@ -56,6 +59,7 @@ BOARD: list[str] = [
     "blocking_spec_choice",
     "threshold_sweep",
     "bcubed_quality",
+    "best_threshold",
     # -- output/config changed this round (fresh row vs new oracle) --
     "semantic_dedup",
     "simhash_near_dup_banded",
@@ -103,8 +107,6 @@ BOARD: list[str] = [
     "tfidf_cosine_pairs",
     "events_anomaly_flags",
     "profile_columns",
-    # -- r7-stale fill --
-    "suffix_projection",
 ]
 
 

@@ -1163,6 +1163,80 @@ def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "best_threshold",
+    _CMP_SQL + f"""
+    , scored as (
+        select case when nat_l = nat_r then 1.0 else 0.0 end as tm,
+               round({_WEIGHT_SQL}, 6) as weight from cmp
+    ),
+    counts as (
+        select weight as threshold, count(*) as n, sum(tm) as t
+        from scored group by 1
+    ),
+    cum as (
+        select threshold,
+               sum(n) over w as n_pred,
+               sum(t) over w as n_true_pos,
+               sum(t) over () as tot
+        from counts
+        window w as (order by threshold desc
+                     rows between unbounded preceding and current row)
+    ),
+    pr as (
+        select threshold, n_pred, n_true_pos,
+               n_true_pos / n_pred as p,
+               case when tot > 0 then n_true_pos / tot end as r
+        from cum
+    )
+    select threshold,
+           cast(n_pred as bigint) as n_pred,
+           cast(n_true_pos as double) as n_true_pos,
+           round(p, 6) as "precision",
+           round(r, 6) as recall,
+           round(case when p + r > 0 then 2 * p * r / (p + r) end, 6) as f1
+    from pr
+    order by (case when p + r > 0 then 2 * p * r / (p + r) end)
+             desc nulls last,
+             threshold desc
+    limit 1
+    """,
+)
+def best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E126 — exact F1-maximal threshold selection
+    (eval.py:best_threshold_by_f1) over the same FS-scored labelled
+    pairs as `threshold_sweep`: every distinct (6-dp-rounded, the
+    engine's committed weight precision) weight is a candidate τ, one
+    groupBy gives per-weight counts, cumulative sums down the
+    descending weight axis give each candidate's confusion counts,
+    and the argmax row wins with ties broken toward the larger
+    (higher-precision) threshold. The argmax ordering is engine-
+    stable because every candidate's F1 is one IEEE expression over
+    exact integer counts. The oracle replays the rounding, the
+    grouping, both windows, the F1 expression, and the ORDER BY ...
+    LIMIT 1 selection itself."""
+    from ..eval import best_threshold_by_f1
+
+    customer = t(spark, sf_dir, "customer")
+    joined = compute_pairs_dataset(
+        customer, customer, "c_custkey", "c_custkey", _candidate_pairs(spark, sf_dir)
+    )
+    cmp = do_comparisons(
+        joined,
+        dict(
+            _comparators(),
+            true_match=(
+                F.col("c_nationkey_left") == F.col("c_nationkey_right")
+            ).cast("double"),
+        ),
+    )
+    w = match_weight_column(
+        M_PROBS, U_PROBS, {"mktsegment": "mktsegment", "acctbal": "acctbal"}
+    )
+    labelled = cmp.withColumn("weight", F.round(w, 6))
+    return best_threshold_by_f1(labelled)
+
+
+@query(
     "linkage_em_params",
     """
     select comparator, level,

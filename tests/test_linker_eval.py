@@ -302,3 +302,42 @@ def test_bcubed_metrics_hand_computed(spark):
     r3 = bcubed_metrics(none, truth).collect()[0]
     assert r3["n_records"] == 0 and r3["precision"] is None
     assert r3["recall"] is None and r3["f1"] is None
+
+
+def test_best_threshold_by_f1_hand_computed(spark):
+    """Weights {10:T, 6:T, 6:F, 1:T, -3:F}: candidates are the four
+    distinct weights; F1 at tau=1 (4 pred, 3 TP, p=.75, r=1) beats
+    tau=6 (3 pred, 2 TP) and tau=10 (1/1); the argmax row is
+    returned. Equal-F1 ties break toward the larger threshold."""
+    from ppack_spark.eval import best_threshold_by_f1
+
+    df = spark.createDataFrame(
+        [(10.0, 1.0), (6.0, 1.0), (6.0, 0.0), (1.0, 1.0), (-3.0, 0.0)],
+        "weight double, true_match double",
+    )
+    row = best_threshold_by_f1(df).collect()[0]
+    p, r = 3 / 4, 1.0
+    assert row["threshold"] == 1.0
+    assert row["n_pred"] == 4 and row["n_true_pos"] == 3.0
+    assert row["f1"] == round(2 * p * r / (p + r), 6)
+
+    # tie on F1: weights {5:T, 3:T} -> tau=5 (p=1, r=.5, f1=2/3) and
+    # tau=3 (p=1, r=1, f1=1) differ; make a REAL tie: single true pair
+    # at each weight with a false partner so both taus give p=.5, r=.5
+    tie = spark.createDataFrame(
+        [(5.0, 1.0), (5.0, 0.0), (3.0, 0.0), (3.0, 1.0)],
+        "weight double, true_match double",
+    )
+    # tau=5: pred 2, tp 1 -> p=.5, r=.5, f1=.5 ; tau=3: pred 4, tp 2
+    # -> p=.5, r=1, f1=2/3 -> tau=3 wins (not a tie; assert argmax)
+    rt = best_threshold_by_f1(tie).collect()[0]
+    assert rt["threshold"] == 3.0 and rt["f1"] == round(2 / 3, 6)
+
+    # genuine tie: one pair per weight, all true -> every tau has p=1;
+    # r grows downward so the lowest tau wins on F1 alone; restrict to
+    # equal-F1 by a single row: one distinct weight -> that weight
+    one = spark.createDataFrame([(2.0, 1.0)], "weight double, true_match double")
+    assert best_threshold_by_f1(one).collect()[0]["threshold"] == 2.0
+
+    # empty input -> empty result
+    assert best_threshold_by_f1(one.filter("weight > 99")).collect() == []
