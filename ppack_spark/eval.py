@@ -90,6 +90,15 @@ def threshold_sweep_metrics(
         F.count(F.lit(1)).alias("__n"),
         F.coalesce(F.sum(F.col(truth_col).cast("double")), F.lit(0.0)).alias("__t"),
     )
+    # Two consumers read `agg` (the grand-truth total and the
+    # threshold-axis join) through DIFFERENT exchange shapes, so
+    # Spark's exchange reuse does not kick in and each would re-run
+    # the pair-table aggregation — i.e. re-execute the caller's whole
+    # upstream chain (measured 62 s vs 2 s on the FS gate at sf0.1).
+    # A lazy local checkpoint of the ≤ k+1-row bucket table makes the
+    # pair scan happen exactly once — same pattern, same reasoning as
+    # key_skew_report's counts table (blocking.py).
+    agg = agg.localCheckpoint(eager=False)
     total = agg.agg(F.sum("__t").alias("__total_true"))
     spark = labelled.sparkSession
     tdf = spark.createDataFrame([(t,) for t in ts], "threshold double")
