@@ -71,6 +71,12 @@ QUERIES = [
     "linkage_ab_clusters",
     "two_dataset_linkage_scaled",
     "blocking_estimate_ab",
+    # round-9 evaluation family: the pairwise sweep + F1-argmax ride
+    # the quadratic-by-contract nation chain (capped with it); B-cubed
+    # rides the documents near-dup chain and runs to sf1
+    "threshold_sweep",
+    "best_threshold",
+    "bcubed_quality",
     # text dedup / corpus chains
     "dedup_exact",
     "line_dedup_corpus",
@@ -121,6 +127,9 @@ QUAD_CAP = {
     # A-B originals: nation blocks ~n²/25, region+band ~n²/5
     "two_dataset_linkage": 0.2,
     "linkage_ab_clusters": 0.2,
+    # eval gates over the nation-blocked pair chain inherit its cap
+    "threshold_sweep": 0.2,
+    "best_threshold": 0.2,
 }
 
 
