@@ -335,7 +335,31 @@ def main() -> None:
     by_group: dict[int, list[str]] = {}
     for q in bench_queries:
         by_group.setdefault(zlib.crc32(q.encode()) % n_groups, []).append(q)
-    groups = [sorted(by_group[g]) for g in sorted(by_group)]
+    # Sub-split oversized groups: the ~16-query in-session-aging bound
+    # (round-6 lesson) must hold regardless of roster size or crc32
+    # skew, so any group past the bound splits deterministically on a
+    # second-level crc32 (salted name) — still stable under unrelated
+    # roster growth, since a query's bucket depends only on its name
+    # and the fixed n_groups.
+    max_group = max(int(os.environ.get("SPARK_GRAFT_BENCH_MAXGROUP", "16")), 1)
+    def _split(names: list[str], depth: int = 1) -> list[list[str]]:
+        if len(names) <= max_group or depth > 8:
+            return [names]
+        nsub = -(-len(names) // max_group)
+        sub: dict[int, list[str]] = {}
+        for q in names:
+            sub.setdefault(zlib.crc32(f"{q}#sub{depth}".encode()) % nsub, []).append(q)
+        if len(sub) == 1:  # degenerate hash collision — try next salt
+            return _split(names, depth + 1)
+        out: list[list[str]] = []
+        for k in sorted(sub):
+            out.extend(_split(sub[k], depth + 1))
+        return out
+    groups = [
+        sorted(part)
+        for g in sorted(by_group)
+        for part in _split(sorted(by_group[g]))
+    ]
     samples: dict[str, list[float]] = {}
     failed: set[str] = set()
     calib_samples: list[float] = []

@@ -35,7 +35,13 @@ def calibration_curve(labelled: DataFrame) -> DataFrame:
 
 
 def precision_at_threshold(labelled: DataFrame, threshold: float = 5.0) -> float:
-    """Share of weight>τ pairs that are true matches (scratch.R:130-135)."""
+    """Share of weight>τ pairs that are true matches (scratch.R:130-135).
+
+    Boundary semantics: STRICT ``weight > τ``, matching the reference's
+    ``filter(weight > 5)`` exactly.  :func:`threshold_sweep_metrics`
+    defaults to inclusive ``weight >= τ`` (the usual operating-curve
+    convention); pass ``inclusive=False`` there to reproduce this
+    readout at a τ equal to an observed weight."""
     row = (
         labelled.filter(F.col("weight") > threshold)
         .agg(F.avg(F.col("true_match").cast("double")).alias("p"))
@@ -50,12 +56,22 @@ def threshold_sweep_metrics(
     weight_col: str = "weight",
     truth_col: str = "true_match",
     round_digits: int = 6,
+    inclusive: bool = True,
 ) -> DataFrame:
     """Pairwise precision / recall / F1 at EVERY threshold in one
     input pass — the sweep a linkage user runs to pick τ (the
     reference hard-codes τ=5 and reports precision only,
     scratch.R:130-135; this is the full operating-characteristic
     table).
+
+    Boundary semantics: ``inclusive=True`` (default) counts
+    ``weight >= τ`` as predicted — the usual operating-curve
+    convention, and the one that makes every distinct observed weight
+    a usable candidate τ.  The reference's own τ=5 readout
+    (scratch.R:130, :func:`precision_at_threshold`) uses STRICT
+    ``weight > τ``; pass ``inclusive=False`` to reproduce it exactly
+    when a τ coincides with an observed weight — the two conventions
+    differ only at such τs.
 
     The naive form re-filters the pair table once per τ — k scans of
     the chain's biggest intermediate. Instead each pair is assigned
@@ -83,9 +99,10 @@ def threshold_sweep_metrics(
     if not ts:
         raise ValueError("threshold_sweep_metrics needs at least one threshold")
     w = F.col(weight_col)
-    bucket = F.when(w >= F.lit(ts[-1]), F.lit(ts[-1]))
+    passes = (lambda tau: w >= F.lit(tau)) if inclusive else (lambda tau: w > F.lit(tau))
+    bucket = F.when(passes(ts[-1]), F.lit(ts[-1]))
     for tau in reversed(ts[:-1]):
-        bucket = bucket.when(w >= F.lit(tau), F.lit(tau))
+        bucket = bucket.when(passes(tau), F.lit(tau))
     agg = labelled.groupBy(bucket.alias("__b")).agg(
         F.count(F.lit(1)).alias("__n"),
         F.coalesce(F.sum(F.col(truth_col).cast("double")), F.lit(0.0)).alias("__t"),
@@ -252,8 +269,11 @@ def bcubed_metrics(
     x = ct.join(cs, "__c").join(tsum, "__t")
     agg = x.agg(
         F.coalesce(F.sum("n_ct"), F.lit(0)).cast("long").alias("n_records"),
-        F.sum(F.col("n_ct") * F.col("n_ct") / F.col("n_c")).alias("__psum"),
-        F.sum(F.col("n_ct") * F.col("n_ct") / F.col("n_t")).alias("__rsum"),
+        # n_ct² in DOUBLE: a single (cluster, truth) cell past ~3e9
+        # records would overflow long*long silently — exactly the
+        # mega-cluster mistake B³ exists to punish.
+        F.sum(F.col("n_ct").cast("double") * F.col("n_ct") / F.col("n_c")).alias("__psum"),
+        F.sum(F.col("n_ct").cast("double") * F.col("n_ct") / F.col("n_t")).alias("__rsum"),
     )
     p = F.when(F.col("n_records") > 0, F.col("__psum") / F.col("n_records"))
     r = F.when(F.col("n_records") > 0, F.col("__rsum") / F.col("n_records"))

@@ -82,9 +82,16 @@ def check_freshness(artifacts: list[str]) -> int:
             print(f"STALE: {path}: no census_commit stamp")
             rc = 1
             continue
-        changed = _git(
-            "diff", "--name-only", f"{commit}..{head}", "--", *ENGINE_PATHS
-        ).splitlines()
+        try:
+            changed = _git(
+                "diff", "--name-only", f"{commit}..{head}", "--", *ENGINE_PATHS
+            ).splitlines()
+        except subprocess.CalledProcessError:
+            # Force-push / rebase / shallow clone can orphan the stamped
+            # commit; that's a STALE verdict, not a traceback.
+            print(f"STALE: {path}: stamped commit {commit[:9]} not in history")
+            rc = 1
+            continue
         if changed:
             print(f"STALE: {path} (census at {commit[:9]}): engine files "
                   f"changed since: {changed}")
