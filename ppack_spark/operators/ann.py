@@ -675,7 +675,15 @@ def pq_train(
         sub = X[:, s * dsub : (s + 1) * dsub]
         cent = sub[rng.choice(n, size=k, replace=n < k)].copy()
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # argmin_c ||x-c||² = argmin_c (||c||² - 2 x·c): one GEMM
+            # plus an (n, k) temp — NOT the (n, k, dsub) broadcast cube
+            # the naive form materializes. The cube (~41 MB at 20k
+            # rows) fell off the cache cliff and made training the
+            # superlinear phase of the whole PQ chain (sf0.5→1 grew
+            # 3.4× for 2× rows; SCALE_r09 exp_hi 1.2 decomposed to
+            # exactly this loop). ||x||² is constant per row and drops
+            # out of the argmin.
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
             assign = d2.argmin(axis=1)
             for c in range(k):
                 members = sub[assign == c]
