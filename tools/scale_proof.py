@@ -236,6 +236,29 @@ def _old_stage_report(spark, sf_dir):
     return out
 
 
+def _suspects(raw: dict[str, dict]) -> dict[float, list[str]]:
+    """Non-monotone outlier rows (round-9 verdict item 3): an interior
+    scale point whose min-time exceeds BOTH neighbors' by >1.5× is a
+    bad measurement window until proven otherwise — more data cannot
+    make a (sub)linear chain 1.5× slower than the NEXT scale up. End
+    points are never flagged: a slow top scale is indistinguishable
+    from genuine superlinearity and must stand as measured."""
+    per_scale = {float(sf): d for sf, d in raw.items()}
+    out: dict[float, set[str]] = {}
+    names = sorted({n for d in per_scale.values() for n in d["samples"]})
+    for name in names:
+        pts = sorted(
+            (sf, min(v))
+            for sf, d in per_scale.items()
+            if (v := d["samples"].get(name))
+        )
+        for i in range(1, len(pts) - 1):
+            sf, t = pts[i]
+            if t > 1.5 * pts[i - 1][1] and t > 1.5 * pts[i + 1][1]:
+                out.setdefault(sf, set()).add(name)
+    return {sf: sorted(v) for sf, v in out.items()}
+
+
 def _fit(xs: list[float], ys: list[float]) -> float | None:
     if len(xs) < 2:
         return None
@@ -290,6 +313,37 @@ def main() -> None:
                 raw[str(sf)] = new
             os.remove(tmp)
             _write(out_path, raw)
+    # retry pass: re-measure flagged outlier windows in a fresh JVM and
+    # EXTEND the sample lists (min across attempts wins — a genuine
+    # superlinear point reproduces, a host-window artifact does not).
+    for _attempt in range(2):
+        sus = _suspects(raw)
+        if only is not None:
+            sus = {sf: v for sf, v in sus.items() if sf in only}
+        if not sus:
+            break
+        for sf, sf_dir in SCALES:
+            bad = sus.get(sf)
+            if not bad or not os.path.isdir(sf_dir):
+                continue
+            tmp = os.path.join(REPO, f".scale_retry_{sf}.json")
+            print(f"=== retry sf{sf}: {bad}", file=sys.stderr, flush=True)
+            env = dict(os.environ, SPARK_GRAFT_SCALE_QUERIES=",".join(bad))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 str(sf), sf_dir, tmp],
+                cwd=REPO,
+                env=env,
+            )
+            if proc.returncode == 0 and os.path.exists(tmp):
+                with open(tmp) as f:
+                    new = json.load(f)
+                d = raw[str(sf)]
+                for n, v in new["samples"].items():
+                    d["samples"][n] = d["samples"].get(n, []) + v
+                d["calib"] = d["calib"] + new["calib"]
+                os.remove(tmp)
+                _write(out_path, raw)
     _write(out_path, raw)
     with open(out_path) as f:
         for name, e in sorted(
