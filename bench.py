@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "simhash_near_dup_wide64",
     "phash_near_dup_banded",
     "linkage_ab_clusters",
+    "linkage_ab_clusters_scaled",
     "dedup_clusters",
     "dedup_clusters_adaptive",
     "media_metadata",

@@ -1807,6 +1807,108 @@ def blocking_estimate_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "linkage_ab_clusters_scaled",
+    _AB_PAIRS_SCALED_SQL.replace("with p0", "with recursive p0", 1)
+    + """
+    , e0 as (
+        select 'a:' || cast(p.c_custkey_left as varchar) as node_l,
+               'b:' || cast(p.supp_id_right as varchar) as node_r
+        from pairs p
+        join customer c on p.c_custkey_left = c.c_custkey
+        join supplier s on p.supp_id_right = s.s_suppkey
+        where (case when abs(c.c_acctbal - s.s_acctbal) < 10
+                    then ln(0.8 / 0.1) else ln(0.2 / 0.9) end) > 1.0
+    ),
+    edges as (
+        select node_l as a, node_r as b from e0
+        union
+        select node_r, node_l from e0
+    ),
+    reach(src, dst) as (
+        select a, b from edges
+        union
+        select r.src, e.b from reach r join edges e on r.dst = e.a
+    ),
+    comp as (
+        select src as node, least(src, min(dst)) as component
+        from reach group by src
+    )
+    select 'a' as source, cast(c.c_custkey as varchar) as c_custkey,
+           coalesce(p.component, 'a:' || cast(c.c_custkey as varchar))
+               as cluster_id
+    from customer c
+    left join comp p on p.node = 'a:' || cast(c.c_custkey as varchar)
+    union all
+    select 'b', cast(s.s_suppkey as varchar),
+           coalesce(p.component, 'b:' || cast(s.s_suppkey as varchar))
+    from supplier s
+    left join comp p on p.node = 'b:' || cast(s.s_suppkey as varchar)
+    """,
+)
+def linkage_ab_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`linkage_ab_clusters`' cluster-resolution half on the
+    estimator-picked LINEAR spec (round-9 verdict item 4): the same
+    Linker → cluster_links → star-contraction chain, but blocked by
+    the two banded-balance equi passes `two_dataset_linkage_scaled`
+    proved to sf1 — (nationkey, floor(bal/10)) then (floor(bal),) —
+    so the pair budget (and with it the edge set feeding connected
+    components) grows ~n instead of the region spec's ~n²/5. Edges
+    are pairs with |balance delta| < 10 (FS weight > 1 under the
+    fixed close/near parameters); the balance-band graph still chains
+    customers through shared suppliers into high-diameter components,
+    which is exactly what the large-star/small-star kernel contracts
+    in O(log n) rounds. Output and oracle shape match
+    `linkage_ab_clusters`: every record of BOTH datasets with its
+    source-tagged min-label cluster id, singletons = own tagged id;
+    the oracle replays the banded blocking, the threshold, and the
+    recursive closure. Reference parity: scratch.R:143-156 re-specced
+    the way a 100 TB user would."""
+    from ..em import FSParams
+    from ..spec import BlockingRule, Comparison, LinkerSpec
+    from .linker import Linker
+
+    tb = load_tables(spark, sf_dir, ["customer", "supplier"])
+    cust = tb["customer"].select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.floor(F.col("c_acctbal") / 10).alias("__bal10"),
+        F.floor(F.col("c_acctbal")).alias("__bal1"),
+    )
+    supp = tb["supplier"].select(
+        F.col("s_suppkey").alias("supp_id"),
+        F.col("s_nationkey").alias("c_nationkey"),
+        F.col("s_acctbal").alias("c_acctbal"),
+        F.floor(F.col("s_acctbal") / 10).alias("__bal10"),
+        F.floor(F.col("s_acctbal")).alias("__bal1"),
+    )
+    d = F.abs(F.col("c_acctbal_left") - F.col("c_acctbal_right"))
+    spec = LinkerSpec(
+        unique_id_left="c_custkey",
+        unique_id_right="supp_id",
+        blocking_rules=[
+            BlockingRule.on("c_nationkey", "__bal10"),
+            BlockingRule.on("__bal1"),
+        ],
+        comparisons=[
+            Comparison(
+                name="bal",
+                expression=bucket_comparator(d, [(d < 10, "close")], "near"),
+                levels=("close", "near"),
+            )
+        ],
+    )
+    linker = Linker(spark, cust, supp, spec)
+    linker.params = FSParams(
+        m_probabilities={"bal": {"close": 0.8, "near": 0.2}},
+        u_probabilities={"bal": {"close": 0.1, "near": 0.9}},
+        lam=1e-4,
+        total_pairs=float(cust.count()) * supp.count(),
+    )
+    return linker.cluster_links(threshold=1.0, algorithm="star").select(
+        "source", F.col("c_custkey").cast("string").alias("c_custkey"), "cluster_id"
+    )
+
+
+@query(
     "blocking_spec_choice",
     """
     with a0 as (

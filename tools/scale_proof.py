@@ -71,6 +71,9 @@ QUERIES = [
     "linkage_ab_clusters",
     "two_dataset_linkage_scaled",
     "blocking_estimate_ab",
+    # round-10: the cluster-resolution half of the A-B chain on the
+    # same linear banded spec (verdict item 4) — runs to sf1
+    "linkage_ab_clusters_scaled",
     # round-9 evaluation family: the pairwise sweep + F1-argmax ride
     # the quadratic-by-contract nation chain (capped with it); B-cubed
     # rides the documents near-dup chain and runs to sf1
