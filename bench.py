@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "blocking_estimate_ab",
     "blocking_spec_choice",
     "threshold_sweep",
+    "linkage_eval_report",
     "bcubed_quality",
     "best_threshold",
     "key_skew_report",

@@ -205,6 +205,52 @@ class Linker:
             scored = threshold_and_rank(scored, threshold)
         return scored
 
+    def evaluate(
+        self,
+        truth,
+        thresholds: list[float],
+        round_digits: int = 6,
+        inclusive: bool = True,
+    ) -> DataFrame:
+        """The whole pairwise eval family — threshold sweep at every
+        requested τ plus the exact F1-argmax τ — from ONE execution of
+        the scored pair chain (eval.py:evaluation_report; round-9
+        verdict item 5: run as separate calls, each metric re-executes
+        the blocking → rehydration → comparison → scoring plan, four
+        26 M-pair runs for four ≤ k-row answers).
+
+        ``truth`` is a Column evaluated against the REHYDRATED pair
+        frame (suffixed ``_left``/``_right`` columns — e.g.
+        ``F.col("nation_left") == F.col("nation_right")``), the same
+        contract as the comparator expressions; it rides the
+        comparison projection as an extra column, so no second pass
+        over the inputs is ever made. Returns one ``'sweep'`` row per
+        τ and one ``'best'`` row (see :func:`evaluation_report` for
+        the schema and boundary semantics)."""
+        from ..eval import evaluation_report
+        from ..exprs import suffixed
+
+        if self.params is None:
+            raise RuntimeError("call estimate() first")
+        exprs = dict(self.spec.comparator_exprs())
+        exprs["true_match"] = F.col(truth) if isinstance(truth, str) else truth
+        cmp = do_comparisons(
+            self.pairs_dataset(),
+            exprs,
+            keep=[
+                suffixed(self.spec.unique_id_left, "_left"),
+                suffixed(self.spec.unique_id_right, "_right"),
+            ],
+        )
+        gamma_cols = {c.name: c.name for c in self.spec.comparisons}
+        scored = score_pairs(cmp, self.params, gamma_cols)
+        return evaluation_report(
+            scored,
+            thresholds,
+            round_digits=round_digits,
+            inclusive=inclusive,
+        )
+
     # --- cluster resolution -------------------------------------------
     @staticmethod
     def _cc(algorithm: str):

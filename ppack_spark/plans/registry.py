@@ -1237,6 +1237,133 @@ def best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "linkage_eval_report",
+    _CMP_SQL + f"""
+    , scored as (
+        select case when nat_l = nat_r then 1.0 else 0.0 end as tm,
+               round({_WEIGHT_SQL}, 6) as weight from cmp
+    ),
+    counts as (
+        select weight as w, count(*) as n, sum(tm) as t
+        from scored group by 1
+    ),
+    bucketed as (
+        select cast(case when w >= 5 then 5.0
+                         when w >= 2 then 2.0
+                         when w >= 0 then 0.0
+                         when w >= -5 then -5.0
+                         when w >= -20 then -20.0
+                         when w >= -40 then -40.0
+                    end as double) as b,
+               sum(n) as n, sum(t) as t
+        from counts group by 1
+    ),
+    ts as (
+        select cast(v as double) as threshold
+        from (values (-40.0), (-20.0), (-5.0), (0.0), (2.0), (5.0)) t(v)
+    ),
+    cum as (
+        select ts.threshold,
+               sum(coalesce(bk.n, 0)) over w as n_pred,
+               sum(coalesce(bk.t, 0)) over w as n_true_pos,
+               (select sum(t) from bucketed) as tot
+        from ts left join bucketed bk on ts.threshold = bk.b
+        window w as (order by ts.threshold desc
+                     rows between unbounded preceding and current row)
+    ),
+    pr as (
+        select threshold, n_pred, n_true_pos, tot,
+               case when n_pred > 0 then n_true_pos / n_pred end as p,
+               case when tot > 0 then n_true_pos / tot end as r
+        from cum
+    ),
+    sweep as (
+        select 'sweep' as metric, threshold,
+               cast(n_pred as bigint) as n_pred,
+               cast(n_true_pos as double) as n_true_pos,
+               round(p, 6) as "precision",
+               round(r, 6) as recall,
+               round(case when p is not null and r is not null and p + r > 0
+                          then 2 * p * r / (p + r) end, 6) as f1
+        from pr
+    ),
+    bcum as (
+        select w as threshold,
+               sum(n) over win as n_pred,
+               sum(t) over win as n_true_pos,
+               sum(t) over () as tot
+        from counts
+        window win as (order by w desc
+                       rows between unbounded preceding and current row)
+    ),
+    bpr as (
+        select threshold, n_pred, n_true_pos,
+               n_true_pos / n_pred as p,
+               case when tot > 0 then n_true_pos / tot end as r
+        from bcum
+    ),
+    best as (
+        select 'best' as metric, threshold,
+               cast(n_pred as bigint) as n_pred,
+               cast(n_true_pos as double) as n_true_pos,
+               round(p, 6) as "precision",
+               round(r, 6) as recall,
+               round(case when p + r > 0 then 2 * p * r / (p + r) end, 6)
+                   as f1
+        from bpr
+        order by (case when p + r > 0 then 2 * p * r / (p + r) end)
+                 desc nulls last,
+                 threshold desc
+        limit 1
+    )
+    select * from sweep union all select * from best
+    """,
+)
+def linkage_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-family facade (round-9 verdict item 5): the SAME
+    operating-characteristic table as `threshold_sweep` plus the SAME
+    F1-argmax row as `best_threshold`, from ONE execution of the
+    26 M-pair FS chain (eval.py:evaluation_report / Linker.evaluate).
+    Run as separate gates, sweep and best-threshold each re-execute
+    blocking → rehydration → comparison → scoring for a ≤ k-row
+    answer; here the ∏(levels)-row per-weight counts table — the
+    sufficient statistic for every pairwise threshold metric — is
+    lazily localCheckpoint-ed so the pair scan happens once and both
+    metrics read the tiny frame (the threshold_sweep bucket-table
+    pattern applied one level up). Weights are 6-dp-rounded (the
+    engine's committed precision, `best_threshold`'s convention) so
+    both metrics share one counts frame bit-for-bit; the oracle
+    replays the rounding, the shared counts CTE, both cumulative
+    windows, the F1 expressions, and the argmax selection. Bench
+    target: ≈ `match_weight_scoring` + ε, since the eval math runs on
+    constant-size frames. Per-operator gates are kept — this gate is
+    the composition. Reference parity: generalizes scratch.R:130-139
+    the way a production linkage run reports."""
+    from ..eval import evaluation_report
+
+    customer = t(spark, sf_dir, "customer")
+    joined = compute_pairs_dataset(
+        customer, customer, "c_custkey", "c_custkey", _candidate_pairs(spark, sf_dir)
+    )
+    cmp = do_comparisons(
+        joined,
+        dict(
+            _comparators(),
+            true_match=(
+                F.col("c_nationkey_left") == F.col("c_nationkey_right")
+            ).cast("double"),
+        ),
+    )
+    w = match_weight_column(
+        M_PROBS, U_PROBS, {"mktsegment": "mktsegment", "acctbal": "acctbal"}
+    )
+    labelled = cmp.withColumn("weight", F.round(w, 6))
+    return evaluation_report(
+        labelled, thresholds=[-40.0, -20.0, -5.0, 0.0, 2.0, 5.0]
+    )
+
+
+@query(
     "linkage_em_params",
     """
     select comparator, level,

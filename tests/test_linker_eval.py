@@ -341,3 +341,68 @@ def test_best_threshold_by_f1_hand_computed(spark):
 
     # empty input -> empty result
     assert best_threshold_by_f1(one.filter("weight > 99")).collect() == []
+
+
+def test_evaluation_report_matches_standalone_metrics(spark):
+    """The one-execution facade must return EXACTLY the standalone
+    sweep rows plus the standalone argmax row — sharing the counts
+    table is an execution optimization, not a semantics change."""
+    from ppack_spark.eval import (
+        best_threshold_by_f1,
+        evaluation_report,
+        threshold_sweep_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(10.0, 1.0), (6.0, 1.0), (6.0, 0.0), (1.0, 1.0), (-3.0, 0.0)],
+        "weight double, true_match double",
+    )
+    ts = [0.0, 5.0]
+    rep = {
+        (r["metric"], r["threshold"]): r.asDict()
+        for r in evaluation_report(df, ts).collect()
+    }
+    for r in threshold_sweep_metrics(df, ts).collect():
+        want = dict(r.asDict(), metric="sweep")
+        assert rep[("sweep", r["threshold"])] == want
+    best = best_threshold_by_f1(df).collect()[0]
+    assert rep[("best", best["threshold"])] == dict(best.asDict(), metric="best")
+    # shape: one row per tau + one best row
+    assert len(rep) == len(ts) + 1
+
+    # empty input: sweep axis rows survive, best row is absent
+    empty = evaluation_report(df.filter("weight > 99"), ts).collect()
+    assert sorted(r["threshold"] for r in empty) == ts
+    assert all(r["metric"] == "sweep" and r["n_pred"] == 0 for r in empty)
+
+
+def test_linker_evaluate_single_execution_facade(spark, tables):
+    """Linker.evaluate wires the truth Column through the comparison
+    projection and returns the same rows as scoring + the standalone
+    metrics on the identical labelled frame."""
+    from ppack_spark.eval import best_threshold_by_f1, threshold_sweep_metrics
+
+    customer = tables["customer"]
+    linker = pp.Linker(spark, customer, None, _spec())
+    linker.estimate(maxiter=3, u_sample_size=1000)
+    truth = (F.col("c_nationkey_left") == F.col("c_nationkey_right")).cast("double")
+    got = {
+        (r["metric"], r["threshold"]): r.asDict()
+        for r in linker.evaluate(truth, thresholds=[0.0, 2.0]).collect()
+    }
+    # rebuild the identical labelled frame by hand
+    from ppack_spark.patterns import do_comparisons
+    from ppack_spark.scoring import score_pairs
+
+    exprs = dict(linker.spec.comparator_exprs(), true_match=truth)
+    cmp = do_comparisons(
+        linker.pairs_dataset(), exprs,
+        keep=["c_custkey_left", "c_custkey_right"],
+    )
+    labelled = score_pairs(
+        cmp, linker.params, {c.name: c.name for c in linker.spec.comparisons}
+    )
+    for r in threshold_sweep_metrics(labelled, [0.0, 2.0]).collect():
+        assert got[("sweep", r["threshold"])] == dict(r.asDict(), metric="sweep")
+    b = best_threshold_by_f1(labelled).collect()[0]
+    assert got[("best", b["threshold"])] == dict(b.asDict(), metric="best")

@@ -79,6 +79,7 @@ QUERIES = [
     # rides the documents near-dup chain and runs to sf1
     "threshold_sweep",
     "best_threshold",
+    "linkage_eval_report",  # r10: the one-execution eval facade
     "bcubed_quality",
     # text dedup / corpus chains
     "dedup_exact",
@@ -133,6 +134,7 @@ QUAD_CAP = {
     # eval gates over the nation-blocked pair chain inherit its cap
     "threshold_sweep": 0.2,
     "best_threshold": 0.2,
+    "linkage_eval_report": 0.2,
 }
 
 
