@@ -18,7 +18,8 @@ importable-but-divergent library never masks a later exact one. At
 26M+ candidate pairs the vectorized path keeps the JW column from
 dominating the comparison stage.
 
-ENVIRONMENT NOTE (round 9): neither ``rapidfuzz`` nor ``jellyfish``
+ENVIRONMENT NOTE (round 9, re-confirmed at round 10): neither
+``rapidfuzz`` nor ``jellyfish``
 is installed in this container, and installing packages is out of
 scope for this build environment (no network package installs) — the
 numpy kernel is the tier that actually runs here, exactly as the
