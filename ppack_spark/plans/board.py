@@ -23,27 +23,26 @@ every registered query, board or not — is verified against the same
 oracle at the same scale by ``tests/test_registry_oracle.py``; board
 rotation only changes which 50 rows the driver snapshot shows.
 
-Round-9 rotation policy (r8 verdict item 7 — "board the
-never-recorded remainder; overlap with r8 by < 50%"): slots go first
-to this round's NEW gates (the A-B scaled linkage chain, its
-estimator, the E123 spec-choice operator whose pick flips between
-the two driver scales, and the E124-E126 evaluation family:
-threshold sweep, B-cubed, F1-argmax τ), then to the gates whose
-OUTPUT changed this round
-(``semantic_dedup`` now auto-scales its plane count;
-``simhash_near_dup_banded`` is re-pointed to the 64-bit production
-config — both need a fresh external row against the new oracle), then
-to the ENTIRE stale set whose last driver row is r6 or older (42
-gates, including every name the verdict called out: ``pairs_dataset``,
-``u_prob_frequencies``, ``etl_roundtrip``, ``calibration_glm``,
-``orc_roundtrip``, ``zorder_layout``, the E94-E107 cohort); the six
-new-gate seats displaced the r7-stale fill (those rows' last driver
-record is one round old — the juniormost staleness claim).  Overlap
-with the r8 board: 2 of 50
-(``semantic_dedup``, ``jw_approx_buckets`` — both changed materially
-this round, which is exactly when re-boarding is worth a seat).
-``linkage_em_end_to_end`` (last row r4) stays off-board as a
-deliberate no-oracle carry — property-tested in tests/test_em.py.
+Round-10 rotation policy (r9 verdict item 6 — "re-seat the r7-stale
+cohort the r9 new-gate seats displaced, plus fresh rows for anything
+item 1-5 touches; overlap with r9 < 50%, no gate older than r7"):
+slots go first to this round's NEW gates (``linkage_eval_report`` —
+the one-execution eval facade, ``linkage_ab_clusters_scaled`` — the
+A-B cluster chain on the linear banded spec), then to gates items
+1-5 TOUCHED (``ann_pq_topk_scan``/``ann_ivfpq_topk_scan`` — the
+pq_train GEMM fix changes the production codebooks, so their
+rows-only records need refreshing; ``best_threshold`` — its kernel
+now routes through the shared ``_weight_counts`` helpers;
+``near_dedup_corpus``/``corpus_split_leakage_safe``/
+``match_weight_scoring`` — the bench-regression adjudication cohort;
+``linkage_ab_clusters``/``threshold_rank``/``linkage_em_params``/
+``ann_pq_topk`` — the chains the new gates compose), then to the
+ENTIRE r7-stale cohort (38 gates — every name whose last driver row
+the r9 new-gate seats pushed to three rounds old).  After this board
+no gate's last driver row is older than r8 except the deliberate
+``linkage_em_end_to_end`` carry (no-oracle by design, property-tested
+in tests/test_em.py).  Overlap with the r9 board: 1 of 50
+(``best_threshold``, re-boarded because its implementation changed).
 The complete all-gate artifact is published alongside the board
 (verify_all.py → CORRECTNESS_full.json, commit-stamped since r9) so
 off-board gates stay externally auditable.
@@ -54,59 +53,58 @@ from __future__ import annotations
 # The 50 queries the driver board records this round, in order.
 BOARD: list[str] = [
     # -- new this round (never recorded on any board) --
-    "two_dataset_linkage_scaled",
-    "blocking_estimate_ab",
-    "blocking_spec_choice",
-    "threshold_sweep",
-    "bcubed_quality",
+    "linkage_eval_report",
+    "linkage_ab_clusters_scaled",
+    # -- touched by r10 items 1-5 (fresh rows vs changed code) --
+    "ann_pq_topk_scan",
+    "ann_ivfpq_topk_scan",
     "best_threshold",
-    # -- output/config changed this round (fresh row vs new oracle) --
-    "semantic_dedup",
-    "simhash_near_dup_banded",
-    "simhash_near_dup_capped",
-    "jw_approx_buckets",
-    # -- stalest: last driver row r5 --
-    "corpus_upsample",
-    "key_skew_report",
-    "quality_classifier_score",
-    "salted_join_orders",
-    "script_fractions",
-    "events_trailing_agg",
-    "events_asof_forward",
-    # -- stale: last driver row r6 --
-    "pairs_dataset",
-    "pattern_counts",
-    "u_prob_frequencies",
-    "posterior_probability",
-    "calibration_curve",
-    "calibration_glm",
-    "etl_roundtrip",
-    "two_dataset_linkage",
-    "bucketed_join_revenue",
-    "q1_pricing_summary",
-    "dedup_exact",
-    "simhash_near_dup",
-    "phash_near_dup_banded",
-    "ann_recall_report",
-    "ann_lsh_topk",
-    "sequence_packing",
-    "stratified_topk",
-    "curriculum_order",
-    "budget_mix",
-    "quantile_length_filter",
-    "orc_roundtrip",
-    "minhash_lsh_pairs_capped",
-    "distinct_sketch_merge",
-    "lm_ref_score",
-    "lm_interp_score",
-    "corpus_data_card",
-    "doc_chunks",
-    "zorder_layout",
-    "blocking_estimate",
-    "trainer_export_e2e",
-    "tfidf_cosine_pairs",
-    "events_anomaly_flags",
-    "profile_columns",
+    "near_dedup_corpus",
+    "corpus_split_leakage_safe",
+    "match_weight_scoring",
+    "linkage_ab_clusters",
+    "threshold_rank",
+    "linkage_em_params",
+    "ann_pq_topk",
+    # -- the full r7-stale cohort (displaced by the r9 new-gate seats) --
+    "suffix_projection",
+    "blocking_pass_counts",
+    "blocking_salted_pass",
+    "levenshtein_comparator",
+    "soundex_comparator",
+    "segment_revenue",
+    "top_orders_per_customer",
+    "events_window_agg",
+    "events_sessionize",
+    "events_json_extract",
+    "events_sliding_window",
+    "events_value_quantiles",
+    "events_range_join",
+    "events_rollup",
+    "events_asof_join",
+    "dedup_keep_first",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "tfidf_top_terms",
+    "doc_fingerprints",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "media_metadata",
+    "media_phash_near_dup",
+    "embedding_cosine_topk",
+    "embedding_near_dup",
+    "ann_ivf_topk",
+    "eval_decontamination",
+    "bloom_decontamination",
+    "corpus_delta_merge",
+    "corpus_pipeline_e2e",
+    "corpus_stage_report",
+    "corpus_delta_merge_fuzzy",
+    "corpus_split",
+    "dsir_importance",
+    "dedup_keep_best",
 ]
 
 
