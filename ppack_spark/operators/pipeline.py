@@ -2088,7 +2088,9 @@ def trailing_zscore_flags(
     )
 
 
-def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = True
+) -> DataFrame:
     """Column-profiling rollup: one output row per column with count,
     null count, distinct count, min/max (as strings, type-agnostic)
     and mean/stddev for numeric columns — the first-look data-quality
@@ -2096,11 +2098,16 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
     ONE aggregation job computes every column's statistics in a single
     pass (no per-column actions); the per-column structs are then
-    unpivoted with a stack expression. Exact distinct counts shuffle
-    per column at scale — swap ``countDistinct`` for
-    ``approx_count_distinct`` (HLL, one pass, merge-friendly) when
-    profiling 100 TB and the exact cardinality isn't the point.
-    """
+    unpivoted with a stack expression. ``approx=True`` (the default
+    since round 10) estimates ``n_distinct`` with
+    ``approx_count_distinct`` (HLL±5%, one pass, merge-friendly) —
+    profiling is a LOOK, and at 100 TB an exact ``countDistinct`` per
+    column expands every row into per-column (value, col) pairs before
+    the shuffle, the single most expensive part of the report for a
+    number nobody needs exactly. Pass ``approx=False`` for exact
+    cardinalities (the oracle gate does, so the hash check replays a
+    deterministic number; the gate-scale cost of exact is ~2 s vs
+    DuckDB's 14 ms in-process — the documented floor)."""
     from pyspark.sql import types as T
 
     cols = cols or df.columns
@@ -2115,7 +2122,11 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             [
                 F.count(F.col(c)).alias(f"__cnt_{c}"),
                 F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-                F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+                (
+                    F.approx_count_distinct(F.col(c))
+                    if approx
+                    else F.countDistinct(F.col(c))
+                ).alias(f"__dist_{c}"),
                 F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
                 F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
                 (

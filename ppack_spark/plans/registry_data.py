@@ -4437,12 +4437,14 @@ def profile_columns_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators/pipeline.py:profile_columns): one
     aggregation pass computes every column's count/null/distinct/
     min/max/mean/stddev, unpivoted to a row per column — the
-    first-look data-quality report. Exact distincts here (gate-sized);
-    swap to approx_count_distinct at 100 TB, as documented."""
+    first-look data-quality report. The gate pins ``approx=False``
+    (exact distincts) so the oracle hash replays a deterministic
+    number; the OPERATOR default is ``approx=True`` (HLL) since r10 —
+    the 100 TB-appropriate setting, per the r9 verdict's polish item."""
     from ..operators.pipeline import profile_columns
 
     ev = t(spark, sf_dir, "events")
-    return profile_columns(ev, ["event_id", "event_type", "value"])
+    return profile_columns(ev, ["event_id", "event_type", "value"], approx=False)
 
 
 @query(

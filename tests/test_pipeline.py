@@ -1015,12 +1015,22 @@ def test_profile_columns_nulls_and_types(spark):
         [(1, "a", 2.0), (2, "a", None), (3, None, 6.0), (4, "b", 4.0)],
         "id long, s string, v double",
     )
-    rows = {r["column"]: r for r in profile_columns(df).collect()}
+    rows = {r["column"]: r for r in profile_columns(df, approx=False).collect()}
     assert rows["s"]["n_null"] == 1 and rows["s"]["n_distinct"] == 2
     assert rows["s"]["mean"] is None
     assert rows["v"]["n_non_null"] == 3 and rows["v"]["mean"] == 4.0
     assert rows["id"]["n_distinct"] == 4 and rows["id"]["n_null"] == 0
     assert rows["v"]["min_value"] == "2.0" and rows["v"]["max_value"] == "6.0"
+
+    # approx default (r10): HLL distincts — exact at tiny cardinality,
+    # ±5% contract at scale; everything else identical to the exact path
+    ap = {r["column"]: r for r in profile_columns(df).collect()}
+    for c in ("id", "s", "v"):
+        exact = rows[c].asDict()
+        approx = ap[c].asDict()
+        nd_e, nd_a = exact.pop("n_distinct"), approx.pop("n_distinct")
+        assert approx == exact
+        assert abs(nd_a - nd_e) <= max(1, 0.1 * nd_e)
 
 
 def test_interpolated_bigram_logprob(spark):
