@@ -226,6 +226,41 @@ def blocking_salted_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snm_pairs",
+    """
+    with ranked as (
+        select c_custkey,
+               row_number() over (order by c_acctbal nulls first,
+                                           c_custkey) - 1 as r
+        from customer
+    )
+    select least(a.c_custkey, b.c_custkey) as c_custkey_left,
+           greatest(a.c_custkey, b.c_custkey) as c_custkey_right
+    from ranked a join ranked b
+      on b.r > a.r and b.r - a.r < 5
+    """,
+)
+def snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E129 — sorted-neighborhood blocking (Hernández & Stolfo '95;
+    blocking.py:sorted_neighborhood_pairs): customers sorted by
+    account balance (id tiebreak), every pair within a 5-record
+    window of the GLOBAL sort order — a pair budget of exactly 4n
+    with no quadratic hot block possible. The engine mints the global
+    rank without a one-task sort (range repartition + local
+    row_number + partition offsets) and turns the rank-band predicate
+    into two equi passes on window-sized rank blocks; the oracle
+    replays the same total order with a plain ROW_NUMBER + band
+    self-join, so the hash check proves the distributed rank equals
+    the single-node one. NULLS FIRST pinned on both sides."""
+    from ..blocking import sorted_neighborhood_pairs
+
+    customer = t(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        customer, "c_custkey", F.col("c_acctbal"), window=5
+    )
+
+
+@query(
     "pairs_dataset",
     _PAIRS_SQL + """
     select p.c_custkey_left, p.c_custkey_right,

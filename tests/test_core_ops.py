@@ -354,3 +354,56 @@ def test_key_skew_report_finds_planted_hot_key(spark, tables):
     assert rows[0]["k"] == 999 and rows[0]["n"] == 5000
     assert abs(rows[0]["frac"] - 5000 / total) < 1e-6
     assert any(r["k"] is None for r in rows)  # NULL group is a finding
+
+
+def test_sorted_neighborhood_pairs_hand_fixture(spark):
+    """Five records sorted by key: window=3 pairs each record with the
+    next two in sort order; ties in the key break on id; NULL keys
+    sort FIRST (pinned). Output oriented id_left < id_right."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.blocking import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(10, 5.0), (20, 1.0), (30, None), (40, 1.0), (50, 9.0)],
+        "rid long, k double",
+    )
+    # sort order: NULL(30), 1.0(20), 1.0(40), 5.0(10), 9.0(50)
+    got = {
+        (r["rid_left"], r["rid_right"])
+        for r in sorted_neighborhood_pairs(df, "rid", F.col("k"), window=3).collect()
+    }
+    # windows of 3 over [30,20,40,10,50]: (30,20),(30,40),(20,40),
+    # (20,10),(40,10),(40,50),(10,50) -> oriented:
+    want = {(20, 30), (30, 40), (20, 40), (10, 20), (10, 40), (40, 50), (10, 50)}
+    assert got == want
+
+    with __import__("pytest").raises(ValueError):
+        sorted_neighborhood_pairs(df, "rid", F.col("k"), window=1)
+
+
+def test_sorted_neighborhood_pairs_layout_invariant(spark, tables):
+    """The minted global rank (range repartition + local row_number +
+    offsets) must produce the SAME pair set whatever the input
+    partitioning — the determinism claim the docstring makes."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.blocking import sorted_neighborhood_pairs
+
+    customer = tables["customer"].select("c_custkey", "c_acctbal")
+    base = {
+        (r[0], r[1])
+        for r in sorted_neighborhood_pairs(
+            customer, "c_custkey", F.col("c_acctbal"), window=4
+        ).collect()
+    }
+    shuffled = customer.repartition(7, F.col("c_custkey"))
+    alt = {
+        (r[0], r[1])
+        for r in sorted_neighborhood_pairs(
+            shuffled, "c_custkey", F.col("c_acctbal"), window=4
+        ).collect()
+    }
+    assert base == alt
+    # exact pair budget: sum over rank gaps d=1..w-1 of (n-d) = 3n-6
+    assert len(base) == 3 * customer.count() - 6
