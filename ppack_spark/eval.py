@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "adjusted_rand_index",
     "bcubed_metrics",
     "best_threshold_by_f1",
     "calibration_curve",
@@ -410,6 +411,88 @@ def bcubed_metrics(
         F.round(p, round_digits).alias("precision"),
         F.round(r, round_digits).alias("recall"),
         F.round(f1, round_digits).alias("f1"),
+    )
+
+
+def adjusted_rand_index(
+    assignments: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    truth_col: str = "truth",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) — the
+    chance-corrected pairwise agreement between a predicted clustering
+    and a true partition, completing the cluster-metric pair with
+    :func:`bcubed_metrics`: B³ averages per RECORD (mega-cluster
+    mistakes cost per record swallowed), ARI counts per PAIR with the
+    expected agreement of a random partition subtracted, so 0 means
+    "no better than chance" and 1 means identical partitions — the
+    number to quote when comparing two dedup thresholds whose cluster
+    size distributions differ.
+
+    Distributed form — everything reduces to the same (cluster ×
+    truth) intersection-cell table as B³: with ``idx = Σ_ct C(n_ct,2)``,
+    ``sc = Σ_c C(n_c,2)``, ``st = Σ_t C(n_t,2)``, ``cn2 = C(n,2)``,
+    ARI = (idx − sc·st/cn2) / ((sc+st)/2 − sc·st/cn2). One id join,
+    one groupBy to cells, three cell-table-sized aggregates — labels
+    shuffle, pairs never materialize, so the metric whose DEFINITION
+    is over all C(n,2) record pairs evaluates at table cost. The cell
+    table is lazily localCheckpoint-ed because three aggregates
+    consume it through different exchange shapes (the
+    threshold_sweep_metrics re-execution trap). All C(·,2) products
+    run in DOUBLE — a 3·10⁹-record cell would overflow long·long
+    (the bcubed_metrics lesson, applied from the start).
+
+    Returns ONE row: ``n_records, rand_index, ari``. Degenerate
+    denominators follow sklearn's convention: when the expected and
+    maximal index coincide (both partitions all-singletons or both
+    one-cluster) the partitions are structurally identical and ARI is
+    1.0; with fewer than two records every pairwise count is empty and
+    all metrics are NULL.
+    """
+    j = assignments.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("__c")
+    ).join(
+        truth.select(F.col(id_col).alias("__id"), F.col(truth_col).alias("__t")),
+        "__id",
+    )
+    ct = j.groupBy("__c", "__t").agg(F.count(F.lit(1)).alias("n_ct"))
+    ct = ct.localCheckpoint(eager=False)
+
+    def c2(col):
+        return F.coalesce(
+            F.sum(F.col(col).cast("double") * (F.col(col) - 1) / 2), F.lit(0.0)
+        )
+
+    cells = ct.agg(
+        F.coalesce(F.sum("n_ct"), F.lit(0)).cast("long").alias("n_records"),
+        c2("n_ct").alias("__idx"),
+    )
+    sc = ct.groupBy("__c").agg(F.sum("n_ct").alias("n_c")).agg(
+        c2("n_c").alias("__sc")
+    )
+    st = ct.groupBy("__t").agg(F.sum("n_ct").alias("n_t")).agg(
+        c2("n_t").alias("__st")
+    )
+    x = cells.crossJoin(F.broadcast(sc)).crossJoin(F.broadcast(st))
+    n = F.col("n_records").cast("double")
+    cn2 = n * (n - 1) / 2
+    expected = F.col("__sc") * F.col("__st") / cn2
+    max_idx = (F.col("__sc") + F.col("__st")) / 2
+    ari = F.when(
+        cn2 > 0,
+        F.when(max_idx != expected, (F.col("__idx") - expected) / (max_idx - expected))
+        .otherwise(F.lit(1.0)),
+    )
+    rand = F.when(
+        cn2 > 0, (cn2 + 2 * F.col("__idx") - F.col("__sc") - F.col("__st")) / cn2
+    )
+    return x.select(
+        "n_records",
+        F.round(rand, round_digits).alias("rand_index"),
+        F.round(ari, round_digits).alias("ari"),
     )
 
 

@@ -2793,6 +2793,78 @@ def bcubed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ari_quality",
+    _near_dup_comp_sql(8, 2, 0.5) + """,
+    docs as (
+        select doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as truth
+        from documents
+    ),
+    pred as (
+        select d.doc_id, coalesce(c.component, d.doc_id) as cluster, d.truth
+        from docs d left join comp c on d.doc_id = c.node
+    ),
+    ct as (select cluster, truth, count(*) as n_ct from pred group by 1, 2),
+    cells as (
+        select cast(coalesce(sum(n_ct), 0) as bigint) as n_records,
+               coalesce(sum(cast(n_ct as double) * (n_ct - 1) / 2), 0) as idx
+        from ct
+    ),
+    sc as (
+        select coalesce(sum(cast(n_c as double) * (n_c - 1) / 2), 0) as sc
+        from (select cluster, sum(n_ct) as n_c from ct group by 1)
+    ),
+    st as (
+        select coalesce(sum(cast(n_t as double) * (n_t - 1) / 2), 0) as st
+        from (select truth, sum(n_ct) as n_t from ct group by 1)
+    ),
+    x as (
+        select n_records, idx, sc, st,
+               cast(n_records as double) * (n_records - 1) / 2 as cn2
+        from cells cross join sc cross join st
+    )
+    select n_records,
+           round(case when cn2 > 0
+                      then (cn2 + 2 * idx - sc - st) / cn2 end, 6)
+               as rand_index,
+           round(case when cn2 > 0 then
+                      case when (sc + st) / 2 <> sc * st / cn2
+                           then (idx - sc * st / cn2)
+                                / ((sc + st) / 2 - sc * st / cn2)
+                           else 1.0 end
+                 end, 6) as ari
+    from x
+    """,
+)
+def ari_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E130 — Adjusted Rand Index (eval.py:adjusted_rand_index,
+    Hubert & Arabie 1985) of the engine's OWN verified near-dup
+    clustering against the exact-content-hash pseudo-truth — the
+    chance-corrected PAIRWISE twin of `bcubed_quality`, computed from
+    the identical (cluster × truth) cell table: one id join, one
+    groupBy, three cell-table-sized aggregates; the metric defined
+    over all C(n,2) record pairs never materializes a pair. The
+    oracle replays the shared verified-LSH closure CTE, the singleton
+    coalesce, the cell table, all three C(·,2) sums in DOUBLE, and
+    the Rand/ARI arithmetic including the degenerate-denominator
+    convention."""
+    from ..eval import adjusted_rand_index
+    from ..operators.dedup import content_hash, near_dup_components
+
+    docs = t(spark, sf_dir, "documents")
+    comp = near_dup_components(docs)
+    labelled = docs.select("doc_id", content_hash("text").alias("truth"))
+    pred = (
+        labelled.join(comp, labelled["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    return adjusted_rand_index(pred, labelled, id_col="doc_id")
+
+
+@query(
     "near_dedup_keep_best",
     _near_dup_comp_sql(8, 2, 0.5) + """,
     members as (

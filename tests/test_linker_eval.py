@@ -406,3 +406,39 @@ def test_linker_evaluate_single_execution_facade(spark, tables):
         assert got[("sweep", r["threshold"])] == dict(r.asDict(), metric="sweep")
     b = best_threshold_by_f1(labelled).collect()[0]
     assert got[("best", b["threshold"])] == dict(b.asDict(), metric="best")
+
+
+def test_adjusted_rand_index_hand_computed(spark):
+    """sklearn's doc example: truth [0,0,1,1] vs pred [0,0,1,2] has
+    ARI = 4/7; identical partitions score 1; all-singleton pred vs
+    paired truth scores 0; degenerate identical-trivial partitions
+    follow the sklearn convention (1.0); empty intersection is NULL."""
+    from ppack_spark.eval import adjusted_rand_index
+
+    truth = spark.createDataFrame(
+        [(1, "t0"), (2, "t0"), (3, "t1"), (4, "t1")], "doc_id int, truth string"
+    )
+    pred = spark.createDataFrame(
+        [(1, "c0"), (2, "c0"), (3, "c1"), (4, "c2")], "doc_id int, cluster string"
+    )
+    r = adjusted_rand_index(pred, truth).collect()[0]
+    assert r["n_records"] == 4
+    assert r["ari"] == round(4 / 7, 6)
+    # rand index: agreements = cn2 + 2*idx - sc - st = 6 + 2 - 1 - 2 = 5
+    assert r["rand_index"] == round(5 / 6, 6)
+
+    same = truth.select("doc_id", F.col("truth").alias("cluster"))
+    assert adjusted_rand_index(same, truth).collect()[0]["ari"] == 1.0
+
+    singles = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id int, cluster string"
+    )
+    assert adjusted_rand_index(singles, truth).collect()[0]["ari"] == 0.0
+
+    # both all-singletons: expected == max index -> convention 1.0
+    struth = singles.select("doc_id", F.col("cluster").alias("truth"))
+    assert adjusted_rand_index(singles, struth).collect()[0]["ari"] == 1.0
+
+    none = spark.createDataFrame([(99, "z")], "doc_id int, cluster string")
+    r0 = adjusted_rand_index(none, truth).collect()[0]
+    assert r0["n_records"] == 0 and r0["ari"] is None and r0["rand_index"] is None
