@@ -98,6 +98,7 @@ __all__ = [
     "trailing_window_agg",
     "trailing_zscore_flags",
     "profile_columns",
+    "psi_report",
     "distinct_count_sketches",
     "merge_distinct_count_sketches",
 ]
@@ -2157,6 +2158,121 @@ def profile_columns(
             )
         )
     return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+
+
+def psi_report(
+    current: DataFrame,
+    reference: DataFrame,
+    cols: list[str],
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+    edges: "dict[str, tuple[float, float]] | None" = None,
+) -> DataFrame:
+    """Population Stability Index per numeric column between a CURRENT
+    table and a REFERENCE snapshot — the standard distribution-drift
+    monitor a pipeline runs before trusting this week's crawl against
+    last month's training mix (rule of thumb: < 0.1 stable, 0.1-0.25
+    watch, > 0.25 the distribution moved).
+
+    Bucketing is ``n_buckets`` FIXED-WIDTH bins over the reference
+    min/max — deterministic and engine-replayable, unlike sampled
+    quantile edges; current values outside the reference range clamp
+    into the end bins (new-range mass must land SOMEWHERE visible),
+    NULLs form their own bin so null-rate drift is part of the score.
+    PSI = Σ_b (p_cur − p_ref)·ln(p_cur/p_ref) with ε-floored
+    proportions so empty bins stay finite (the standard smoothing);
+    bins empty on BOTH sides contribute exactly 0.
+
+    Plan shape: one 1-row min/max aggregation over the reference (pass
+    ``edges={col: (lo, hi)}`` to skip it — a production monitor
+    persists its reference edges), then ONE conditional-sum
+    aggregation per side computing every column's per-bin counts in a
+    single pass (``cols × (n_buckets+1)`` codegen'd counters, the
+    profile_columns shape) — no shuffle beyond two 1-row aggregates,
+    no per-column jobs, PSI arithmetic on the 1×1 crossJoin of the two
+    count rows, unpivoted to a row per column. Degenerate reference
+    (all-NULL or constant column) puts every non-NULL value in bin 0;
+    an empty side yields NULL psi for every column.
+
+    Returns one row per column: ``column, n_ref, n_cur, psi``."""
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    k = int(n_buckets)
+    if k < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if not cols:
+        raise ValueError("psi_report needs at least one column")
+    if edges is None:
+        stats_row = reference.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+        ).collect()[0]
+        edges = {
+            c: (stats_row[f"__mn_{c}"], stats_row[f"__mx_{c}"]) for c in cols
+        }
+
+    def _bucket(c: str):
+        mn, mx = edges[c]
+        x = F.col(c).cast("double")
+        if mn is None or mx is None or mx == mn:
+            return F.when(x.isNotNull(), F.lit(0))
+        width = (float(mx) - float(mn)) / k
+        return F.when(
+            x.isNotNull(),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(k - 1),
+                    F.floor((x - F.lit(float(mn))) / F.lit(width)).cast("int"),
+                ),
+            ),
+        )
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = []
+        for c in cols:
+            b = _bucket(c)
+            for i in range(k):
+                aggs.append(
+                    F.coalesce(F.sum((b == i).cast("long")), F.lit(0)).alias(
+                        f"__{tag}_{c}_{i}"
+                    )
+                )
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+                ).alias(f"__{tag}_{c}_null")
+            )
+        aggs.append(F.count(F.lit(1)).alias(f"__{tag}_n"))
+        return df.agg(*aggs)
+
+    x = _side(current, "c").crossJoin(_side(reference, "r"))
+    parts = []
+    for c in cols:
+        terms = []
+        for i in [*range(k), "null"]:
+            pc = F.greatest(
+                F.col(f"__c_{c}_{i}") / F.col("__c_n"), F.lit(float(eps))
+            )
+            pr = F.greatest(
+                F.col(f"__r_{c}_{i}") / F.col("__r_n"), F.lit(float(eps))
+            )
+            terms.append((pc - pr) * F.log(pc / pr))
+        psi = F.when(
+            (F.col("__c_n") > 0) & (F.col("__r_n") > 0),
+            _reduce(_add, terms),
+        )
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__r_n").alias("n_ref"),
+                F.col("__c_n").alias("n_cur"),
+                F.round(psi, round_digits).alias("psi"),
+            )
+        )
+    return x.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
 
 
 def distinct_count_sketches(

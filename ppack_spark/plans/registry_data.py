@@ -4519,6 +4519,84 @@ def profile_columns_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(ev, ["event_id", "event_type", "value"], approx=False)
 
 
+def _psi_sql(cols: "tuple[str, ...]" = ("value", "user_id"), k: int = 10) -> str:
+    """PSI oracle generator: per column, the reference-min/max
+    fixed-width bucket CASE, per-side bucket counts, a full join of
+    the two proportion tables (bins empty on BOTH sides contribute
+    exactly 0, so omitting them matches the engine's all-bins sum),
+    and the ε-floored PSI sum."""
+    blocks, selects = [], []
+    for c in cols:
+        bucket = (
+            f"case when {c} is null then -1 "
+            f"when st.mn_{c} is null or st.mx_{c} = st.mn_{c} then 0 "
+            f"else least(greatest(cast(floor((cast({c} as double) - st.mn_{c}) "
+            f"/ ((st.mx_{c} - st.mn_{c}) / {k}.0)) as int), 0), {k - 1}) end"
+        )
+        blocks.append(
+            f"""rb_{c} as (
+        select {bucket} as b, count(*) as n
+        from ref cross join st group by 1
+    ),
+    cb_{c} as (
+        select {bucket} as b, count(*) as n
+        from cur cross join st group by 1
+    ),
+    p_{c} as (
+        select greatest(coalesce(r.n, 0) * 1.0 / (select n from rn), 1e-06) as pr,
+               greatest(coalesce(c.n, 0) * 1.0 / (select n from cn), 1e-06) as pc
+        from rb_{c} r full outer join cb_{c} c on r.b = c.b
+    ),
+    psi_{c} as (select sum((pc - pr) * ln(pc / pr)) as psi from p_{c})"""
+        )
+        selects.append(
+            f"select '{c}' as \"column\", (select n from rn) as n_ref, "
+            f"(select n from cn) as n_cur, "
+            f"round((select psi from psi_{c}), 6) as psi"
+        )
+    mn_mx = ", ".join(
+        f"min(cast({c} as double)) as mn_{c}, max(cast({c} as double)) as mx_{c}"
+        for c in cols
+    )
+    return (
+        "with ref as (select * from events),\n"
+        "    cur as (select * from events where event_type = 'purchase'),\n"
+        f"    st as (select {mn_mx} from ref),\n"
+        "    rn as (select count(*) as n from ref),\n"
+        "    cn as (select count(*) as n from cur),\n    "
+        + ",\n    ".join(blocks)
+        + "\n    "
+        + "\n    union all\n    ".join(selects)
+    )
+
+
+@query("psi_drift_report", _psi_sql())
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E131 — Population Stability Index drift monitor
+    (operators/pipeline.py:psi_report): the purchase-event slice as
+    the 'current' population against the full event stream as the
+    reference, PSI per numeric column (value, user_id) over 10
+    reference-min/max fixed-width bins plus a NULL bin, ε-floored —
+    the report a pipeline reads before trusting a new crawl against
+    the training mix. Two 1-row conditional-sum aggregations (every
+    column's bins in one pass per side, the profile_columns shape),
+    PSI arithmetic on their crossJoin; the oracle replays the edges,
+    the clamped bucket CASE, both count passes, the proportion floor,
+    and the ln sum. On this synthetic stream purchases are an
+    unbiased slice, so both columns read stable (PSI < 0.01) — the
+    gate pins the arithmetic, not a planted drift; the planted-drift
+    behavior is unit-tested."""
+    from ..operators.pipeline import psi_report
+
+    ev = t(spark, sf_dir, "events")
+    return psi_report(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev,
+        ["value", "user_id"],
+        n_buckets=10,
+    )
+
+
 @query(
     "events_asof_forward",
     """

@@ -1368,3 +1368,43 @@ def test_stage_report_empty_input(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     rows = corpus_stage_report(docs, eval_docs=docs).collect()
     assert [r["n_docs"] for r in rows] == [0, 0, 0, 0, 0]
+
+
+def test_psi_report_planted_drift(spark):
+    """Identical populations score ~0; a shifted population scores
+    high; NULL-rate drift alone registers; empty current -> NULL psi;
+    precomputed edges skip the reference scan and reproduce the
+    derived-edges number."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.pipeline import psi_report
+
+    ref = spark.range(0, 1000).select(
+        F.col("id").alias("rid"), (F.col("id") % 100).cast("double").alias("x")
+    )
+    same = {r["column"]: r for r in psi_report(ref, ref, ["x"]).collect()}
+    assert same["x"]["psi"] == 0.0 and same["x"]["n_ref"] == 1000
+
+    shifted = ref.select("rid", (F.col("x") + 500.0).alias("x"))
+    drift = psi_report(shifted, ref, ["x"]).collect()[0]
+    # every shifted value clamps into the top reference bin
+    assert drift["psi"] > 1.0
+
+    # null-rate drift: same value distribution, half the rows nulled
+    nulled = ref.select(
+        "rid", F.when(F.col("rid") % 2 == 0, F.col("x")).alias("x")
+    )
+    nd = psi_report(nulled, ref, ["x"]).collect()[0]
+    assert nd["psi"] > 0.1
+
+    empty = psi_report(ref.filter("rid < 0"), ref, ["x"]).collect()[0]
+    assert empty["psi"] is None and empty["n_cur"] == 0
+
+    pinned = psi_report(shifted, ref, ["x"], edges={"x": (0.0, 99.0)}).collect()[0]
+    assert pinned["psi"] == drift["psi"]
+
+    with pytest.raises(ValueError):
+        psi_report(ref, ref, [])
+    with pytest.raises(ValueError):
+        psi_report(ref, ref, ["x"], n_buckets=1)
