@@ -28,17 +28,18 @@ cohort the r9 new-gate seats displaced, plus fresh rows for anything
 item 1-5 touches; overlap with r9 < 50%, no gate older than r7"):
 slots go first to this round's NEW gates (``linkage_eval_report`` —
 the one-execution eval facade, ``linkage_ab_clusters_scaled`` — the
-A-B cluster chain on the linear banded spec), then to gates items
-1-5 TOUCHED (``ann_pq_topk_scan``/``ann_ivfpq_topk_scan`` — the
-pq_train GEMM fix changes the production codebooks, so their
-rows-only records need refreshing; ``best_threshold`` — its kernel
-now routes through the shared ``_weight_counts`` helpers;
-``near_dedup_corpus``/``corpus_split_leakage_safe``/
-``match_weight_scoring`` — the bench-regression adjudication cohort;
-``linkage_ab_clusters``/``threshold_rank``/``linkage_em_params``/
-``ann_pq_topk`` — the chains the new gates compose), then to the
-ENTIRE r7-stale cohort (38 gates — every name whose last driver row
-the r9 new-gate seats pushed to three rounds old).  After this board
+A-B cluster chain on the linear banded spec, plus the r10 coverage
+additions ``snm_pairs``/``ari_quality``/``psi_drift_report``), then
+to gates items 1-5 TOUCHED (``ann_pq_topk_scan``/
+``ann_ivfpq_topk_scan`` — the pq_train GEMM fix changes the
+production codebooks, so their rows-only records need refreshing;
+``best_threshold`` — its kernel now routes through the shared
+``_weight_counts`` helpers; ``near_dedup_corpus``/
+``corpus_split_leakage_safe``/``match_weight_scoring`` — the
+bench-regression adjudication cohort; ``linkage_ab_clusters`` — the
+chain E128 re-specs), then to the ENTIRE r7-stale cohort (38 gates —
+every name whose last driver row the r9 new-gate seats pushed to
+three rounds old).  After this board
 no gate's last driver row is older than r8 except the deliberate
 ``linkage_em_end_to_end`` carry (no-oracle by design, property-tested
 in tests/test_em.py).  Overlap with the r9 board: 1 of 50
@@ -55,6 +56,9 @@ BOARD: list[str] = [
     # -- new this round (never recorded on any board) --
     "linkage_eval_report",
     "linkage_ab_clusters_scaled",
+    "snm_pairs",
+    "ari_quality",
+    "psi_drift_report",
     # -- touched by r10 items 1-5 (fresh rows vs changed code) --
     "ann_pq_topk_scan",
     "ann_ivfpq_topk_scan",
@@ -63,9 +67,6 @@ BOARD: list[str] = [
     "corpus_split_leakage_safe",
     "match_weight_scoring",
     "linkage_ab_clusters",
-    "threshold_rank",
-    "linkage_em_params",
-    "ann_pq_topk",
     # -- the full r7-stale cohort (displaced by the r9 new-gate seats) --
     "suffix_projection",
     "blocking_pass_counts",
