@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "blocking_spec_choice",
     "threshold_sweep",
     "linkage_eval_report",
+    "snm_pairs",
+    "ari_quality",
+    "psi_drift_report",
     "bcubed_quality",
     "best_threshold",
     "key_skew_report",

@@ -80,6 +80,12 @@ QUERIES = [
     "threshold_sweep",
     "best_threshold",
     "linkage_eval_report",  # r10: the one-execution eval facade
+    # r10 coverage additions: SNM blocking (linear by construction),
+    # ARI (rides the documents near-dup chain like bcubed), PSI (two
+    # single-pass aggregations) — all run to sf1
+    "snm_pairs",
+    "ari_quality",
+    "psi_drift_report",
     "bcubed_quality",
     # text dedup / corpus chains
     "dedup_exact",
