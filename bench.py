@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "snm_pairs",
     "ari_quality",
     "psi_drift_report",
+    "psi_cat_drift_report",
     "bcubed_quality",
     "best_threshold",
     "key_skew_report",

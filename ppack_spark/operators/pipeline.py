@@ -99,6 +99,7 @@ __all__ = [
     "trailing_zscore_flags",
     "profile_columns",
     "psi_report",
+    "psi_report_categorical",
     "distinct_count_sketches",
     "merge_distinct_count_sketches",
 ]
@@ -2253,6 +2254,108 @@ def psi_report(
     for c in cols:
         terms = []
         for i in [*range(k), "null"]:
+            pc = F.greatest(
+                F.col(f"__c_{c}_{i}") / F.col("__c_n"), F.lit(float(eps))
+            )
+            pr = F.greatest(
+                F.col(f"__r_{c}_{i}") / F.col("__r_n"), F.lit(float(eps))
+            )
+            terms.append((pc - pr) * F.log(pc / pr))
+        psi = F.when(
+            (F.col("__c_n") > 0) & (F.col("__r_n") > 0),
+            _reduce(_add, terms),
+        )
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__r_n").alias("n_ref"),
+                F.col("__c_n").alias("n_cur"),
+                F.round(psi, round_digits).alias("psi"),
+            )
+        )
+    return x.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+
+
+def psi_report_categorical(
+    current: DataFrame,
+    reference: DataFrame,
+    cols: list[str],
+    top_k: int = 20,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+    categories: "dict[str, list] | None" = None,
+) -> DataFrame:
+    """:func:`psi_report` for CATEGORICAL columns — language mix,
+    source mix, license tags: the distributions a training-data
+    pipeline must hold steady release to release.
+
+    Bins are the reference's ``top_k`` most frequent values per column
+    (ties broken by value so the bin set is deterministic), plus an
+    OTHER bin for everything else — new categories appearing in the
+    current table land in OTHER and move the score, exactly what a
+    drift monitor wants — plus a NULL bin. Pass ``categories={col:
+    [...]}`` to pin the bins (a production monitor persists them with
+    its snapshot). Same ε-floored ``Σ (p_cur − p_ref)·ln(p_cur/p_ref)``
+    as the numeric report.
+
+    Plan shape: one table-sized groupBy per column on the REFERENCE to
+    pick the top-k (skipped entirely when ``categories`` is given),
+    then ONE conditional-sum aggregation per side covering every
+    column's bins in a single pass — the bin lists ride the plan as
+    literals, so no join and no shuffle beyond 1-row aggregates.
+
+    Returns one row per column: ``column, n_ref, n_cur, psi``."""
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    if not cols:
+        raise ValueError("psi_report_categorical needs at least one column")
+    if int(top_k) < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if categories is None:
+        categories = {}
+        for c in cols:
+            rows = (
+                reference.filter(F.col(c).isNotNull())
+                .groupBy(F.col(c).alias("__v"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .orderBy(F.desc("__n"), F.asc("__v"))
+                .limit(int(top_k))
+                .collect()
+            )
+            categories[c] = [r["__v"] for r in rows]
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = []
+        for c in cols:
+            x = F.col(c)
+            for i, v in enumerate(categories[c]):
+                aggs.append(
+                    F.coalesce(
+                        F.sum((x == F.lit(v)).cast("long")), F.lit(0)
+                    ).alias(f"__{tag}_{c}_{i}")
+                )
+            in_list = (
+                x.isin(list(categories[c])) if categories[c] else F.lit(False)
+            )
+            aggs.append(
+                F.coalesce(
+                    F.sum((x.isNotNull() & ~in_list).cast("long")), F.lit(0)
+                ).alias(f"__{tag}_{c}_other")
+            )
+            aggs.append(
+                F.coalesce(F.sum(x.isNull().cast("long")), F.lit(0)).alias(
+                    f"__{tag}_{c}_null"
+                )
+            )
+        aggs.append(F.count(F.lit(1)).alias(f"__{tag}_n"))
+        return df.agg(*aggs)
+
+    x = _side(current, "c").crossJoin(_side(reference, "r"))
+    parts = []
+    for c in cols:
+        terms = []
+        for i in [*range(len(categories[c])), "other", "null"]:
             pc = F.greatest(
                 F.col(f"__c_{c}_{i}") / F.col("__c_n"), F.lit(float(eps))
             )

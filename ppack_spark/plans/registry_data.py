@@ -4570,6 +4570,78 @@ def _psi_sql(cols: "tuple[str, ...]" = ("value", "user_id"), k: int = 10) -> str
     )
 
 
+def _psi_cat_sql(cols: "tuple[str, ...]" = ("source", "lang"), k: int = 8) -> str:
+    """Categorical-PSI oracle generator: per column, the reference
+    top-k bin pick (count desc, value asc — the engine's deterministic
+    tie-break), membership classification into value/OTHER/NULL bins
+    via a left join against the bin list, per-side bin counts, and the
+    same ε-floored full-join PSI sum as the numeric oracle (bins empty
+    on BOTH sides contribute exactly 0)."""
+    blocks, selects = [], []
+    for c in cols:
+        blocks.append(
+            f"""cats_{c} as (
+        select {c} as v from ref where {c} is not null
+        group by 1 order by count(*) desc, v asc limit {k}
+    ),
+    rb_{c} as (
+        select case when d.{c} is null then '__null__'
+                    when t.v is not null then cast(d.{c} as varchar)
+                    else '__other__' end as b, count(*) as n
+        from ref d left join cats_{c} t on d.{c} = t.v
+        group by 1
+    ),
+    cb_{c} as (
+        select case when d.{c} is null then '__null__'
+                    when t.v is not null then cast(d.{c} as varchar)
+                    else '__other__' end as b, count(*) as n
+        from cur d left join cats_{c} t on d.{c} = t.v
+        group by 1
+    ),
+    p_{c} as (
+        select greatest(coalesce(r.n, 0) * 1.0 / (select n from rn), 1e-06) as pr,
+               greatest(coalesce(c.n, 0) * 1.0 / (select n from cn), 1e-06) as pc
+        from rb_{c} r full outer join cb_{c} c on r.b = c.b
+    ),
+    psi_{c} as (select sum((pc - pr) * ln(pc / pr)) as psi from p_{c})"""
+        )
+        selects.append(
+            f"select '{c}' as \"column\", (select n from rn) as n_ref, "
+            f"(select n from cn) as n_cur, "
+            f"round((select psi from psi_{c}), 6) as psi"
+        )
+    return (
+        "with ref as (select * from documents),\n"
+        "    cur as (select * from documents where n_chars < 500),\n"
+        "    rn as (select count(*) as n from ref),\n"
+        "    cn as (select count(*) as n from cur),\n    "
+        + ",\n    ".join(blocks)
+        + "\n    "
+        + "\n    union all\n    ".join(selects)
+    )
+
+
+@query("psi_cat_drift_report", _psi_cat_sql())
+def psi_cat_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E132 — categorical PSI drift
+    (operators/pipeline.py:psi_report_categorical): source and
+    language mix of the short-document slice (n_chars < 500) against
+    the full corpus — the mix-stability readout a training-data
+    release gates on. Bins are the reference's top-8 categories
+    (count-desc, value-asc tie-break — deterministic) + OTHER + NULL;
+    one reference groupBy per column picks the bins, then one
+    conditional-sum pass per side counts every column's bins with the
+    bin lists riding the plan as literals. The oracle replays the
+    top-k pick, the membership CASE, both count passes, and the
+    ε-floored ln sum."""
+    from ..operators.pipeline import psi_report_categorical
+
+    d = t(spark, sf_dir, "documents")
+    return psi_report_categorical(
+        d.filter(F.col("n_chars") < 500), d, ["source", "lang"], top_k=8
+    )
+
+
 @query("psi_drift_report", _psi_sql())
 def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E131 — Population Stability Index drift monitor

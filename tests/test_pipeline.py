@@ -1408,3 +1408,40 @@ def test_psi_report_planted_drift(spark):
         psi_report(ref, ref, [])
     with pytest.raises(ValueError):
         psi_report(ref, ref, ["x"], n_buckets=1)
+
+
+def test_psi_report_categorical_planted_drift(spark):
+    """Identical mixes score 0; a flipped mix scores high; a NEW
+    category (absent from reference bins) lands in OTHER and moves the
+    score; pinned bins reproduce the derived-bin number; validation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.pipeline import psi_report_categorical
+
+    ref = spark.range(0, 1000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 10 < 9, "en").otherwise("fr").alias("lang"),
+    )
+    same = psi_report_categorical(ref, ref, ["lang"], top_k=5).collect()[0]
+    assert same["psi"] == 0.0 and same["n_ref"] == 1000
+
+    flipped = ref.select(
+        "rid", F.when(F.col("lang") == "en", "fr").otherwise("en").alias("lang")
+    )
+    fl = psi_report_categorical(flipped, ref, ["lang"], top_k=5).collect()[0]
+    assert fl["psi"] > 1.0
+
+    novel = ref.select("rid", F.lit("zz").alias("lang"))
+    nv = psi_report_categorical(novel, ref, ["lang"], top_k=5).collect()[0]
+    assert nv["psi"] > 1.0  # all current mass in OTHER
+
+    pinned = psi_report_categorical(
+        flipped, ref, ["lang"], categories={"lang": ["en", "fr"]}
+    ).collect()[0]
+    assert pinned["psi"] == fl["psi"]
+
+    with pytest.raises(ValueError):
+        psi_report_categorical(ref, ref, [])
+    with pytest.raises(ValueError):
+        psi_report_categorical(ref, ref, ["lang"], top_k=0)

@@ -86,6 +86,7 @@ QUERIES = [
     "snm_pairs",
     "ari_quality",
     "psi_drift_report",
+    "psi_cat_drift_report",
     "bcubed_quality",
     # text dedup / corpus chains
     "dedup_exact",
