@@ -407,3 +407,35 @@ def test_sorted_neighborhood_pairs_layout_invariant(spark, tables):
     assert base == alt
     # exact pair budget: sum over rank gaps d=1..w-1 of (n-d) = 3n-6
     assert len(base) == 3 * customer.count() - 6
+
+
+def test_sorted_neighborhood_pairs_matches_bruteforce(spark):
+    """Randomized (seeded) cross-check: the distributed rank + block
+    join must emit EXACTLY the pairs a single-node sort would — ranks
+    minted over range partitions equal row_number over the total
+    order for any key distribution (duplicates, negatives, NULLs)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ppack_spark.blocking import sorted_neighborhood_pairs
+
+    rng = random.Random(1234)
+    rows = [
+        (i, rng.choice([None, float(rng.randint(-50, 50))]))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "rid long, k double").repartition(11)
+    for w in (2, 4, 7):
+        got = {
+            (r[0], r[1])
+            for r in sorted_neighborhood_pairs(df, "rid", F.col("k"), window=w).collect()
+        }
+        # brute force: NULLS FIRST, tie-break on id, all |Δrank| < w
+        order = sorted(rows, key=lambda t: (t[1] is not None, t[1] if t[1] is not None else 0.0, t[0]))
+        want = set()
+        for i in range(len(order)):
+            for j in range(i + 1, min(i + w, len(order))):
+                a, b = order[i][0], order[j][0]
+                want.add((min(a, b), max(a, b)))
+        assert got == want, f"window={w}: {len(got)} vs {len(want)}"

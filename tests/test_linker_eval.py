@@ -442,3 +442,39 @@ def test_adjusted_rand_index_hand_computed(spark):
     none = spark.createDataFrame([(99, "z")], "doc_id int, cluster string")
     r0 = adjusted_rand_index(none, truth).collect()[0]
     assert r0["n_records"] == 0 and r0["ari"] is None and r0["rand_index"] is None
+
+
+def test_evaluation_report_randomized_consistency(spark):
+    """Seeded random weights/labels: the facade's sweep and best rows
+    must equal the standalone metrics at every probe — the sharing
+    refactor can never change a number, whatever the distribution."""
+    import random
+
+    from ppack_spark.eval import (
+        best_threshold_by_f1,
+        evaluation_report,
+        threshold_sweep_metrics,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (round(rng.uniform(-30, 10), 1), float(rng.random() < 0.3))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "weight double, true_match double").repartition(9)
+    ts = [-20.0, -5.0, 0.0, 5.0]
+    rep = {
+        (r["metric"], r["threshold"]): r.asDict()
+        for r in evaluation_report(df, ts).collect()
+    }
+    for r in threshold_sweep_metrics(df, ts).collect():
+        assert rep[("sweep", r["threshold"])] == dict(r.asDict(), metric="sweep")
+    b = best_threshold_by_f1(df).collect()[0]
+    assert rep[("best", b["threshold"])] == dict(b.asDict(), metric="best")
+    # strict-boundary variant stays consistent too
+    ex = {
+        (r["metric"], r["threshold"]): r.asDict()
+        for r in evaluation_report(df, ts, inclusive=False).collect()
+    }
+    for r in threshold_sweep_metrics(df, ts, inclusive=False).collect():
+        assert ex[("sweep", r["threshold"])] == dict(r.asDict(), metric="sweep")
