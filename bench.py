@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "linkage_eval_report",
     "snm_pairs",
     "ari_quality",
+    "cluster_size_histogram",
     "psi_drift_report",
     "psi_cat_drift_report",
     "bcubed_quality",

@@ -45,6 +45,7 @@ __all__ = [
     "connected_components_adaptive",
     "components_kernel",
     "attach_cluster_ids",
+    "cluster_size_report",
 ]
 
 
@@ -348,4 +349,45 @@ def attach_cluster_ids(
     )
     return records.join(comp, on=unique_id, how="left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(unique_id))
+    )
+
+
+def cluster_size_report(
+    assignments: DataFrame,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Cluster-size distribution — the pre-flight a dedup/linkage run
+    reads BEFORE acting on its closure: one row per observed cluster
+    size with how many clusters have it and how many records they
+    hold. A mega-cluster (transitive chaining through borderline
+    pairs — the failure verified-LSH candidates exist to prevent)
+    shows up as a large ``cluster_size`` row holding a visible share
+    of ``n_records``; a healthy dedup shows mass at size 1-3. Read it
+    next to :func:`ppack_spark.eval.bcubed_metrics` / ARI: those score
+    against a truth label, this one needs none.
+
+    Plan shape: one groupBy on the cluster label (map-side partial
+    agg, O(records) shuffle keyed on labels — the same key the
+    closure already shuffled on), then a groupBy on the SIZE — a
+    size-distribution-sized frame (≤ distinct sizes, in practice
+    dozens of rows at any corpus scale). Nothing pair-sized, nothing
+    collected.
+
+    Returns ``cluster_size, n_clusters, n_records`` (``n_records`` =
+    size × n_clusters), ordered by size. Pass the output of
+    :func:`attach_cluster_ids` / ``Linker.cluster()`` (or any frame
+    with one row per record carrying its cluster label — coalesce
+    singletons to the record id first if they are absent)."""
+    sizes = assignments.groupBy(F.col(cluster_col).alias("__c")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_records"),
+        )
+        .orderBy("cluster_size")
     )

@@ -2793,6 +2793,46 @@ def bcubed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cluster_size_histogram",
+    _near_dup_comp_sql(8, 2, 0.5) + """,
+    pred as (
+        select d.doc_id, coalesce(c.component, d.doc_id) as cluster
+        from documents d left join comp c on d.doc_id = c.node
+    ),
+    sizes as (
+        select cluster, count(*) as cluster_size from pred group by 1
+    )
+    select cluster_size,
+           cast(count(*) as bigint) as n_clusters,
+           cast(cluster_size * count(*) as bigint) as n_records
+    from sizes group by 1
+    """,
+)
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E133 — cluster-size distribution
+    (operators/cluster.py:cluster_size_report) of the engine's OWN
+    verified near-dup clustering, singletons coalesced to their id —
+    the no-truth-needed pre-flight read before a closure acts (a
+    mega-cluster row is the chaining failure verified candidates
+    exist to prevent). One label-keyed groupBy then a
+    size-distribution-sized rollup; the oracle replays the shared
+    closure CTE, the singleton coalesce, and both groupings."""
+    from ..operators.cluster import cluster_size_report
+    from ..operators.dedup import near_dup_components
+
+    docs = t(spark, sf_dir, "documents")
+    comp = near_dup_components(docs)
+    pred = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    return cluster_size_report(pred)
+
+
+@query(
     "ari_quality",
     _near_dup_comp_sql(8, 2, 0.5) + """,
     docs as (

@@ -319,3 +319,22 @@ def test_linker_cluster_end_to_end(spark, tables):
     assert clustered.count() == customer.count()
     # cluster ids are the min member id, so every id >= its cluster id
     assert clustered.filter(F.col("cluster_id") > F.col("c_custkey")).count() == 0
+
+
+def test_cluster_size_report_hand_fixture(spark):
+    """{a,a,a,b,b,c} -> one size-3, one size-2, one size-1 cluster;
+    n_records per row = size * n_clusters; ordered by size."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.cluster import cluster_size_report
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("b",), ("c",)], "cluster_id string"
+    )
+    rows = [r.asDict() for r in cluster_size_report(df).collect()]
+    assert rows == [
+        {"cluster_size": 1, "n_clusters": 1, "n_records": 1},
+        {"cluster_size": 2, "n_clusters": 1, "n_records": 2},
+        {"cluster_size": 3, "n_clusters": 1, "n_records": 3},
+    ]
+    assert cluster_size_report(df.filter("cluster_id = 'zz'")).collect() == []

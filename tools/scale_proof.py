@@ -85,6 +85,7 @@ QUERIES = [
     # single-pass aggregations) — all run to sf1
     "snm_pairs",
     "ari_quality",
+    "cluster_size_histogram",
     "psi_drift_report",
     "psi_cat_drift_report",
     "bcubed_quality",
