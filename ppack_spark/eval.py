@@ -436,14 +436,22 @@ def adjusted_rand_index(
     truth) intersection-cell table as B³: with ``idx = Σ_ct C(n_ct,2)``,
     ``sc = Σ_c C(n_c,2)``, ``st = Σ_t C(n_t,2)``, ``cn2 = C(n,2)``,
     ARI = (idx − sc·st/cn2) / ((sc+st)/2 − sc·st/cn2). One id join,
-    one groupBy to cells, three cell-table-sized aggregates — labels
-    shuffle, pairs never materialize, so the metric whose DEFINITION
-    is over all C(n,2) record pairs evaluates at table cost. The cell
-    table is lazily localCheckpoint-ed because three aggregates
-    consume it through different exchange shapes (the
-    threshold_sweep_metrics re-execution trap). All C(·,2) products
-    run in DOUBLE — a 3·10⁹-record cell would overflow long·long
-    (the bcubed_metrics lesson, applied from the start).
+    one groupBy to cells, then ONE ``GROUPING SETS ((__c), (__t))``
+    pass that carries each marginal's count AND its partial Σ C(n_ct,2)
+    together, folded by a single 1-row aggregate keyed on
+    ``grouping_id()`` — labels shuffle, pairs never materialize, so
+    the metric whose DEFINITION is over all C(n,2) record pairs
+    evaluates at table cost. The round-10 form instead lazily
+    localCheckpoint-ed the cell table and fed THREE aggregate subtrees
+    (two of them broadcast exchanges, which Spark launches as
+    CONCURRENT driver-side jobs): until the first job finishes
+    persisting, the racers can each re-execute the entire upstream
+    lineage — the whole LSH→verify→closure chain on the dedup-quality
+    gate. The grouping-sets plan has exactly one consumer of the cell
+    exchange, so single execution holds by plan construction, not by
+    persist-race luck. All C(·,2) products run in DOUBLE — a
+    3·10⁹-record cell would overflow long·long (the bcubed_metrics
+    lesson, applied from the start).
 
     Returns ONE row: ``n_records, rand_index, ari``. Degenerate
     denominators follow sklearn's convention: when the expected and
@@ -459,24 +467,28 @@ def adjusted_rand_index(
         "__id",
     )
     ct = j.groupBy("__c", "__t").agg(F.count(F.lit(1)).alias("n_ct"))
-    ct = ct.localCheckpoint(eager=False)
-
-    def c2(col):
-        return F.coalesce(
-            F.sum(F.col(col).cast("double") * (F.col(col) - 1) / 2), F.lit(0.0)
-        )
-
-    cells = ct.agg(
-        F.coalesce(F.sum("n_ct"), F.lit(0)).cast("long").alias("n_records"),
-        c2("n_ct").alias("__idx"),
+    c2cell = F.col("n_ct").cast("double") * (F.col("n_ct") - 1) / 2
+    # grouping_id over cols (__c, __t): set (__c) aggregates __t away
+    # -> gid 1; set (__t) -> gid 2. Filtering on gid (not on NULLs)
+    # keeps genuinely-NULL label values from masquerading as subtotals.
+    g = ct.groupingSets([["__c"], ["__t"]], "__c", "__t").agg(
+        F.sum("n_ct").alias("n_grp"),
+        F.sum(c2cell).alias("idx_part"),
+        F.grouping_id().alias("gid"),
     )
-    sc = ct.groupBy("__c").agg(F.sum("n_ct").alias("n_c")).agg(
-        c2("n_c").alias("__sc")
+    c2grp = F.col("n_grp").cast("double") * (F.col("n_grp") - 1) / 2
+    is_c = F.col("gid") == 1
+    is_t = F.col("gid") == 2
+    x = g.agg(
+        F.coalesce(F.sum(F.when(is_c, F.col("n_grp"))), F.lit(0))
+        .cast("long")
+        .alias("n_records"),
+        F.coalesce(F.sum(F.when(is_c, F.col("idx_part"))), F.lit(0.0)).alias(
+            "__idx"
+        ),
+        F.coalesce(F.sum(F.when(is_c, c2grp)), F.lit(0.0)).alias("__sc"),
+        F.coalesce(F.sum(F.when(is_t, c2grp)), F.lit(0.0)).alias("__st"),
     )
-    st = ct.groupBy("__t").agg(F.sum("n_ct").alias("n_t")).agg(
-        c2("n_t").alias("__st")
-    )
-    x = cells.crossJoin(F.broadcast(sc)).crossJoin(F.broadcast(st))
     n = F.col("n_records").cast("double")
     cn2 = n * (n - 1) / 2
     expected = F.col("__sc") * F.col("__st") / cn2

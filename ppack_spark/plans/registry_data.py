@@ -2611,6 +2611,40 @@ def corpus_stage_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_stage_report_reuse",
+    _PREP_CHAIN_SQL + """
+    select cast(0 as bigint) as stage_idx, 'input' as stage,
+           cast((select count(*) from chunked) as bigint) as n_docs
+    union all
+    select 1, 'quality', (select count(*) from q)
+    union all
+    select 2, 'line_dedup', (select count(*) from nonempty)
+    union all
+    select 3, 'exact_dedup', (select count(*) from surv)
+    union all
+    select 4, 'decontaminate', (select count(*) from decon)
+    """,
+)
+def corpus_stage_report_reuse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E134 — the stage-survival funnel in its non-diagnostic pricing
+    mode (operators/pipeline.py:corpus_stage_report ``reuse=True``,
+    round-11 verdict item 4): every stage boundary a later corpus-wide
+    stage re-reads is lineage-cut once, so the report costs ~one
+    pipeline pass instead of re-executing each stage's prefix in the
+    next stage's build side. Same counts bit-for-bit — the oracle is
+    the zero-side-effect gate's, unchanged, replayed against the
+    shared _PREP_CHAIN_SQL CTE chain."""
+    from ..functions.text import rewrap_lines
+    from ..operators.pipeline import corpus_stage_report
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
+    chunked = d.select("doc_id", rewrap_lines("text", 8).alias("text"))
+    eval_docs = chunked.filter(F.col("doc_id") % 101 == 3)
+    return corpus_stage_report(chunked, eval_docs=eval_docs, reuse=True)
+
+
+@query(
     "minhash_lsh_pairs_capped",
     _lsh_core_sql(8, 2, max_bucket=25)
     + "select id_left, id_right from pairs",

@@ -1370,6 +1370,42 @@ def test_stage_report_empty_input(spark):
     assert [r["n_docs"] for r in rows] == [0, 0, 0, 0, 0]
 
 
+def test_stage_report_reuse_identical(spark):
+    """reuse=True (lineage-cut stage boundaries, round-11) must
+    reproduce the zero-side-effect default's counts bit-for-bit on
+    every stage-toggle shape, including the shapes where some cut
+    points are skipped (no later corpus-wide consumer) and empty
+    input."""
+    from ppack_spark.operators.pipeline import corpus_stage_report
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 11 == 3)
+    configs = [
+        dict(eval_docs=eval_docs),
+        dict(eval_docs=eval_docs, sample_fraction=0.5),
+        dict(quality=False, eval_docs=eval_docs),
+        dict(line_dedup=False, exact_dedup=False),
+        dict(line_dedup=False, eval_docs=eval_docs),
+        dict(quality=False, line_dedup=False, exact_dedup=False),
+    ]
+    for kw in configs:
+        want = {
+            (r["stage_idx"], r["stage"]): r["n_docs"]
+            for r in corpus_stage_report(docs, **kw).collect()
+        }
+        got = {
+            (r["stage_idx"], r["stage"]): r["n_docs"]
+            for r in corpus_stage_report(docs, reuse=True, **kw).collect()
+        }
+        assert got == want, kw
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rows = corpus_stage_report(empty, eval_docs=empty, reuse=True).collect()
+    assert [r["n_docs"] for r in rows] == [0, 0, 0, 0, 0]
+
+
 def test_psi_report_planted_drift(spark):
     """Identical populations score ~0; a shifted population scores
     high; NULL-rate drift alone registers; empty current -> NULL psi;

@@ -94,6 +94,11 @@ QUERIES = [
     "line_dedup_corpus",
     "minhash_lsh_pairs_wide",
     "near_dedup_corpus_wide",
+    # round-11 (verdict item 3): the two gates whose r9→r10 bench
+    # drift had no solo-JVM counter-evidence — production dedup /
+    # fuzzy-ingest surface, now permanently on the scale roster
+    "near_dedup_keep_best",
+    "corpus_delta_merge_fuzzy",
     "simhash_near_dup_banded",  # 64-bit config since r9 (linear)
     # round-8: the 100 TB Hamming config (64-bit fp, 16-bit segments,
     # capped) — the r7 verdict's item 3; runs to sf1
@@ -105,6 +110,10 @@ QUERIES = [
     "eval_decontamination",
     "corpus_pipeline_e2e",
     "corpus_stage_report",
+    # round-11 (verdict item 4): the reuse=True pricing mode — the
+    # lineage-cut boundaries should hold exp_hi ~<= 1.0 where the
+    # zero-side-effect default's prefix re-execution bent up to 1.24
+    "corpus_stage_report_reuse",
     "sequence_packing",
     "corpus_split",
     "dsir_importance",
@@ -250,12 +259,21 @@ def _old_stage_report(spark, sf_dir):
 
 
 def _suspects(raw: dict[str, dict]) -> dict[float, list[str]]:
-    """Non-monotone outlier rows (round-9 verdict item 3): an interior
-    scale point whose min-time exceeds BOTH neighbors' by >1.5× is a
-    bad measurement window until proven otherwise — more data cannot
-    make a (sub)linear chain 1.5× slower than the NEXT scale up. End
-    points are never flagged: a slow top scale is indistinguishable
-    from genuine superlinearity and must stand as measured."""
+    """Non-monotone outlier rows (round-9 verdict item 3, tightened at
+    round 11 after `ari_quality`'s sf0.2 spike — 2.2× one neighbor but
+    only 1.25× the other — slid under the old BOTH-neighbors rule): an
+    interior scale point is a bad measurement window until proven
+    otherwise when its min-time exceeds the NEXT SCALE UP's by >1.1×
+    AND >0.5 s — more data cannot make a chain faster at all, so ANY
+    material excess over the right neighbor is an anomaly (the 1.1×/
+    0.5 s floor only keeps sub-second planning jitter from flapping) —
+    or exceeds BOTH neighbors' by >1.5× (the original rule, kept for
+    points whose right neighbor is itself inflated). End points are
+    never flagged:
+    a slow top scale is indistinguishable from genuine superlinearity
+    and must stand as measured (re-measure those by hand with
+    SPARK_GRAFT_SCALE_QUERIES + --scales when a round's verdict asks).
+    """
     per_scale = {float(sf): d for sf, d in raw.items()}
     out: dict[float, set[str]] = {}
     names = sorted({n for d in per_scale.values() for n in d["samples"]})
@@ -267,7 +285,9 @@ def _suspects(raw: dict[str, dict]) -> dict[float, list[str]]:
         )
         for i in range(1, len(pts) - 1):
             sf, t = pts[i]
-            if t > 1.5 * pts[i - 1][1] and t > 1.5 * pts[i + 1][1]:
+            if (t > 1.1 * pts[i + 1][1] and t > pts[i + 1][1] + 0.5) or (
+                t > 1.5 * pts[i - 1][1] and t > 1.5 * pts[i + 1][1]
+            ):
                 out.setdefault(sf, set()).add(name)
     return {sf: sorted(v) for sf, v in out.items()}
 
@@ -380,6 +400,15 @@ def _write(out_path: str, raw: dict[str, dict]) -> None:
         entry = {"times": {str(s): times[s] for s in sfs}}
         entry["exponent"] = _fit(sfs, [times[s] for s in sfs])
         entry["exp_hi"] = _fit(sfs[-2:], [times[s] for s in sfs[-2:]])
+        # ADVICE r10: the retry pass extends flagged rows' sample
+        # lists, so a min can come from 3x the attempts an unflagged
+        # row got — record the attempt count per scale so readers see
+        # which mins stand on extended sampling
+        entry["attempts"] = {
+            str(sf): len(d["samples"][name])
+            for sf, d in per_scale.items()
+            if d["samples"].get(name)
+        }
         queries[name] = entry
     result = {
         "scales": {str(sf): {"calib": d["calib"], "failed": d["failed"]}
