@@ -345,9 +345,13 @@ def main() -> None:
     # Sub-split oversized groups: the ~16-query in-session-aging bound
     # (round-6 lesson) must hold regardless of roster size or crc32
     # skew, so any group past the bound splits deterministically on a
-    # second-level crc32 (salted name) — still stable under unrelated
-    # roster growth, since a query's bucket depends only on its name
-    # and the fixed n_groups.
+    # second-level crc32 (salted name). Stability caveat (ADVICE r10):
+    # only the FIRST-level split depends purely on the name — a
+    # sub-bucket also depends on nsub = ceil(group_size / max_group),
+    # so a roster addition hashing into the same first-level group can
+    # reshuffle that group's sub-buckets whenever it crosses a size
+    # bracket. Bounded blast radius (one group), not zero; read
+    # cross-round drifts in oversized groups with that in mind.
     max_group = max(int(os.environ.get("SPARK_GRAFT_BENCH_MAXGROUP", "16")), 1)
     def _split(names: list[str], depth: int = 1) -> list[list[str]]:
         if len(names) <= max_group or depth > 8:

@@ -374,7 +374,7 @@ def _pil_image():
     the codec-less deployment the fallback exists for.
 
     Round-9 status (carried since r7): the build environment forbids
-    package installation (`import PIL` still fails at r10 HEAD), so
+    package installation (`import PIL` still fails at r11 HEAD), so
     PIL remains unavailable here and JPEG/PNG stays on this gated
     path; PNM/BMP decode end-to-end via the stdlib decoders below
     (pixel-exact-tested). On a deployment with pillow installed this

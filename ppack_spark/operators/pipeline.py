@@ -2135,7 +2135,15 @@ def profile_columns(
     number nobody needs exactly. Pass ``approx=False`` for exact
     cardinalities (the oracle gate does, so the hash check replays a
     deterministic number; the gate-scale cost of exact is ~2 s vs
-    DuckDB's 14 ms in-process — the documented floor)."""
+    DuckDB's 14 ms in-process — the documented floor).
+
+    RELEASE NOTE (r10→r11, ADVICE r10): the ``approx`` default flipped
+    exact→HLL at round 10, so ``n_distinct`` read without the flag is
+    now a ±5 % estimate — any consumer comparing cardinalities across
+    rounds (or against an exact count elsewhere) must pin
+    ``approx=False`` on both sides or expect estimator deltas. Repo
+    audit at r11: the only internal consumer is the oracle gate, which
+    pins ``approx=False``; no other code path reads ``n_distinct``."""
     from pyspark.sql import types as T
 
     cols = cols or df.columns
@@ -2218,9 +2226,13 @@ def psi_report(
     single pass (``cols × (n_buckets+1)`` codegen'd counters, the
     profile_columns shape) — no shuffle beyond two 1-row aggregates,
     no per-column jobs, PSI arithmetic on the 1×1 crossJoin of the two
-    count rows, unpivoted to a row per column. Degenerate reference
-    (all-NULL or constant column) puts every non-NULL value in bin 0;
-    an empty side yields NULL psi for every column.
+    count rows, unpivoted to a row per column. Degenerate reference:
+    an all-NULL column puts every non-NULL current value in bin 0
+    (zero reference mass there, so any current mass registers via the
+    ε-floor); a CONSTANT column bins both sides by equality to the
+    constant (match bin 0 vs other bin 1), so a reference constant at
+    5.0 drifting to 500.0 registers instead of scoring 0. An empty
+    side yields NULL psi for every column.
 
     Returns one row per column: ``column, n_ref, n_cur, psi``."""
     from functools import reduce as _reduce
@@ -2243,8 +2255,20 @@ def psi_report(
     def _bucket(c: str):
         mn, mx = edges[c]
         x = F.col(c).cast("double")
-        if mn is None or mx is None or mx == mn:
+        if mn is None or mx is None:
+            # all-NULL reference: every non-NULL current value lands in
+            # bin 0, where the reference has zero mass — the ε-floor
+            # makes any non-NULL current mass register as drift
             return F.when(x.isNotNull(), F.lit(0))
+        if mx == mn:
+            # constant reference (ADVICE r10): width-0 bins can't
+            # separate values, but "equals the reference constant" vs
+            # "anything else" can — without this split a column
+            # constant at 5.0 in the reference and constant at 500.0
+            # in current scored PSI = 0
+            return F.when(x == float(mn), F.lit(0)).when(
+                x.isNotNull(), F.lit(1)
+            )
         width = (float(mx) - float(mn)) / k
         return F.when(
             x.isNotNull(),

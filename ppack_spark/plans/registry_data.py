@@ -4603,7 +4603,11 @@ def _psi_sql(cols: "tuple[str, ...]" = ("value", "user_id"), k: int = 10) -> str
     for c in cols:
         bucket = (
             f"case when {c} is null then -1 "
-            f"when st.mn_{c} is null or st.mx_{c} = st.mn_{c} then 0 "
+            f"when st.mn_{c} is null then 0 "
+            # constant reference: match-bin vs other-bin (engine's
+            # degenerate rule since r11 — a shifted constant registers)
+            f"when st.mx_{c} = st.mn_{c} then "
+            f"(case when cast({c} as double) = st.mn_{c} then 0 else 1 end) "
             f"else least(greatest(cast(floor((cast({c} as double) - st.mn_{c}) "
             f"/ ((st.mx_{c} - st.mn_{c}) / {k}.0)) as int), 0), {k - 1}) end"
         )

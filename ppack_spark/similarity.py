@@ -18,7 +18,7 @@ importable-but-divergent library never masks a later exact one. At
 26M+ candidate pairs the vectorized path keeps the JW column from
 dominating the comparison stage.
 
-ENVIRONMENT NOTE (round 9, re-confirmed at round 10): neither
+ENVIRONMENT NOTE (round 9, re-confirmed at rounds 10 and 11): neither
 ``rapidfuzz`` nor ``jellyfish``
 is installed in this container, and installing packages is out of
 scope for this build environment (no network package installs) — the

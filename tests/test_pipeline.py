@@ -1446,6 +1446,37 @@ def test_psi_report_planted_drift(spark):
         psi_report(ref, ref, ["x"], n_buckets=1)
 
 
+def test_psi_report_constant_reference(spark):
+    """Degenerate-reference semantics (ADVICE r10): a column CONSTANT
+    in the reference bins by equality to that constant, so a shifted
+    constant registers instead of scoring 0; an identical constant
+    still scores 0; an all-NULL reference registers any non-NULL
+    current mass."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.pipeline import psi_report
+
+    ref = spark.range(0, 100).select(
+        F.col("id").alias("rid"), F.lit(5.0).alias("x")
+    )
+    same = psi_report(ref, ref, ["x"]).collect()[0]
+    assert same["psi"] == 0.0
+
+    shifted = ref.select("rid", F.lit(500.0).alias("x"))
+    moved = psi_report(shifted, ref, ["x"]).collect()[0]
+    assert moved["psi"] > 1.0  # the pre-r11 blind spot scored this 0
+
+    half = ref.select(
+        "rid", F.when(F.col("rid") % 2 == 0, 5.0).otherwise(500.0).alias("x")
+    )
+    partial = psi_report(half, ref, ["x"]).collect()[0]
+    assert 0.1 < partial["psi"] < moved["psi"]
+
+    allnull = ref.select("rid", F.lit(None).cast("double").alias("x"))
+    nn = psi_report(ref, allnull, ["x"]).collect()[0]
+    assert nn["psi"] > 1.0  # non-NULL current mass vs all-NULL reference
+
+
 def test_psi_report_categorical_planted_drift(spark):
     """Identical mixes score 0; a flipped mix scores high; a NEW
     category (absent from reference bins) lands in OTHER and moves the

@@ -80,6 +80,10 @@ QUERIES = [
     "threshold_sweep",
     "best_threshold",
     "linkage_eval_report",  # r10: the one-execution eval facade
+    # r11 (verdict item 5): the facade on the LINEAR spec — the
+    # uncapped twin that runs to sf1 (the capped original's exp 1.22
+    # was the nation spec's pair budget, not the facade's plan)
+    "linkage_eval_report_scaled",
     # r10 coverage additions: SNM blocking (linear by construction),
     # ARI (rides the documents near-dup chain like bcubed), PSI (two
     # single-pass aggregations) — all run to sf1
