@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "blocking_spec_choice",
     "threshold_sweep",
     "linkage_eval_report",
+    "linkage_eval_report_scaled",
     "snm_pairs",
     "ari_quality",
     "cluster_size_histogram",
@@ -156,6 +157,7 @@ BENCH_QUERIES = [
     "pii_stats",
     "script_fractions",
     "line_dedup_corpus",
+    "url_dedup",
     "repetition_signals",
     "top_term_coverage",
     "quality_classifier_score",
@@ -176,6 +178,7 @@ BENCH_QUERIES = [
     "quality_filter_flags",
     "corpus_pipeline_e2e",
     "corpus_stage_report",
+    "corpus_stage_report_reuse",
     "trainer_export_e2e",
     "near_dedup_corpus",
     "near_dedup_keep_best",

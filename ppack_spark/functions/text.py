@@ -34,6 +34,8 @@ __all__ = [
     "PII_PATTERNS",
     "script_fractions",
     "SCRIPT_RANGES",
+    "canonical_url",
+    "TRACKING_PARAM_RE",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -334,3 +336,69 @@ def script_fractions(text: Column | str) -> dict[str, Column]:
         dominant = F.when(is_better, F.lit(name)).otherwise(dominant)
         best = F.when(is_better, fracs[name]).otherwise(best)
     return {**fracs, "dominant": dominant}
+
+
+# Query parameters that identify a CAMPAIGN, not a document: the
+# standard strip list every web-corpus canonicalizer applies before
+# using the URL as a dedup key (utm_* per Google Analytics, the
+# click-id families, mailchimp ids). Case-sensitive, as the params
+# are specified. The oracle SQL inlines the same alternation.
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)"
+    r"(=.*)?$"
+)
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL for identity comparison — the key the
+    CCNet-style first-stage dedup groups on BEFORE any content
+    hashing (the same page is crawled under www/non-www, http/https,
+    tracking-parameter, fragment, and trailing-slash variants; URL
+    canonicalization collapses those for free, content dedup then
+    handles the rest).
+
+    Steps (standard whatwg/rfc3986-flavored normalization, the subset
+    that is deterministic without fetching): strip the fragment;
+    lowercase scheme and host; drop a leading ``www.``; drop the
+    scheme's default port (``:80`` http / ``:443`` https); drop
+    trailing slashes on the path; drop tracking query parameters
+    (:data:`TRACKING_PARAM_RE`) and SORT the survivors (param order
+    is not identity). Path case and remaining param values are
+    preserved — they ARE identity. Inputs with no ``scheme://``
+    (scheme-relative junk, bare hosts) fall back to
+    ``lower(trim(input))`` with the fragment stripped — no structure
+    to normalize, but at least case- and fragment-insensitive. NULL
+    in, NULL out.
+
+    Pure codegen (regexp extraction + higher-order array ops), zero
+    shuffle — pipelines into the scan like every other text function
+    here; the oracle replays each step in DuckDB SQL term for term."""
+    u = F.regexp_replace(F.trim(_col(url)), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    rest = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return F.when(scheme != "", canon).otherwise(F.lower(u))

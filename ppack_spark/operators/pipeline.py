@@ -102,6 +102,7 @@ __all__ = [
     "psi_report_categorical",
     "distinct_count_sketches",
     "merge_distinct_count_sketches",
+    "dedup_corpus_by_url",
 ]
 
 
@@ -500,6 +501,40 @@ def pack_sequences(
         F.floor((cum - F.col("n_tokens")) / budget).alias("seq_id"),
         ((cum - F.col("n_tokens")) % budget).alias("seq_offset"),
     )
+
+
+def dedup_corpus_by_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-keyed exact dedup — the CCNet-style FIRST dedup stage, run
+    before any content hashing: the same page is crawled under
+    www/non-www, http/https, tracking-parameter, fragment, and
+    trailing-slash variants, and collapsing those needs only the URL
+    string, never the payload. Keeps the min-``id_col`` document per
+    :func:`~ppack_spark.functions.text.canonical_url` key; rows whose
+    canonical key is NULL (NULL url) all SURVIVE — no key is no
+    evidence of duplication, the exact-dedup NULL convention.
+
+    Scale shape: only (id, ~60-byte canonical key) shuffles through a
+    map-side-partial groupBy; document text never leaves the scan —
+    the winners come back as a broadcast-or-shuffle left-semi join on
+    the id. Same shape as :func:`exact_dedup_keep_first` with the
+    32-byte content hash swapped for the canonical URL."""
+    from ..functions.text import canonical_url
+
+    keyed = df.select(
+        F.col(id_col).alias("__id"), canonical_url(url_col).alias("__k")
+    )
+    winners = (
+        keyed.filter(F.col("__k").isNotNull())
+        .groupBy("__k")
+        .agg(F.min("__id").alias("__id"))
+        .select("__id")
+    )
+    keep = winners.unionAll(
+        keyed.filter(F.col("__k").isNull()).select("__id")
+    ).select(F.col("__id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
 
 
 def dedup_corpus_lines(

@@ -4793,3 +4793,149 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         _epoch_s(F.col("ts_matched")).alias("purchase_ts_s"),
         F.round("purchase_value", 6).alias("purchase_value"),
     )
+
+
+# --------------------------------------------------------------------
+# URL canonicalization + URL-keyed dedup (round 11, E136/E137 — the
+# CCNet first-stage dedup key). The documents table carries no URL
+# column, so the gates DERIVE a deterministic messy-URL population
+# from (doc_id, source) — scheme/host case noise, www, default ports,
+# tracking params, fragments, trailing slashes, a scheme-less cohort —
+# and both engines replay the derivation term for term (the
+# oracle-the-deterministic-derivation pattern every VALUES-free
+# synthetic gate here uses). doc_id % 50 collides many docs onto one
+# canonical URL, so the dedup gate exercises real group sizes.
+# --------------------------------------------------------------------
+
+_MESSY_URL_SQL = r"""
+    with urls as (
+        select doc_id,
+               case when doc_id % 7 = 0 then
+                   'EXAMPLE.com/Plain/' || cast(doc_id % 50 as varchar) || '#x'
+               else
+                   'HTTPS://WWW.' || source || '.Example.COM'
+                   || (case when doc_id % 4 = 0 then ':443' else '' end)
+                   || '/Docs/' || cast(doc_id % 50 as varchar)
+                   || (case doc_id % 5
+                           when 0 then '/?utm_source=feed&b=2&a=1#frag'
+                           when 1 then '?gclid=xyz&z=9'
+                           when 2 then '/'
+                           when 3 then '#sec2'
+                           else '' end)
+               end as url
+        from documents
+    )
+"""
+
+_CANON_URL_SQL = r""",
+    c1 as (
+        select doc_id, url, regexp_replace(trim(url), '#.*$', '') as u
+        from urls
+    ),
+    c2 as (
+        select doc_id, url, u,
+               lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   as scheme,
+               regexp_replace(
+                   lower(regexp_extract(
+                       u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                   '^www\.', '') as hp,
+               regexp_extract(
+                   u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) as rest
+        from c1
+    ),
+    c3 as (
+        select doc_id, url, u, scheme, rest,
+               case when scheme = 'http' then regexp_replace(hp, ':80$', '')
+                    when scheme = 'https' then regexp_replace(hp, ':443$', '')
+                    else hp end as host
+        from c2
+    ),
+    c4 as (
+        select doc_id, url, u, scheme, host,
+               regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+                   as path,
+               array_to_string(list_sort(list_filter(
+                   string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+                   x -> x <> '' and not regexp_matches(x,
+                       '^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)(=.*)?$')
+               )), '&') as q
+        from c3
+    ),
+    canon as (
+        select doc_id, url,
+               case when scheme <> '' then
+                   scheme || '://' || host || path
+                   || (case when q <> '' then '?' || q else '' end)
+               else lower(u) end as canonical
+        from c4
+    )
+"""
+
+
+def _messy_urls(docs: DataFrame) -> DataFrame:
+    m5 = F.col("doc_id") % 5
+    structured = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(m5 == 0, F.lit("/?utm_source=feed&b=2&a=1#frag"))
+        .when(m5 == 1, F.lit("?gclid=xyz&z=9"))
+        .when(m5 == 2, F.lit("/"))
+        .when(m5 == 3, F.lit("#sec2"))
+        .otherwise(F.lit("")),
+    )
+    schemeless = F.concat(
+        F.lit("EXAMPLE.com/Plain/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("#x"),
+    )
+    url = F.when(F.col("doc_id") % 7 == 0, schemeless).otherwise(structured)
+    return docs.select("doc_id", url.alias("url"))
+
+
+@query(
+    "url_canonicalize",
+    _MESSY_URL_SQL + _CANON_URL_SQL + """
+    select doc_id, canonical as url from canon
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E136 — URL canonicalization
+    (functions/text.py:canonical_url): fragment strip, scheme/host
+    lowercasing, www and default-port drop, trailing-slash drop,
+    tracking-parameter strip + surviving-param sort, with a
+    lower(trim()) fallback for scheme-less inputs. Pure codegen
+    regexp/array expressions, zero shuffle; the oracle replays every
+    step in DuckDB SQL over the same derived messy-URL population."""
+    from ..functions.text import canonical_url
+
+    docs = t(spark, sf_dir, "documents")
+    u = _messy_urls(docs)
+    return u.select("doc_id", canonical_url("url").alias("url"))
+
+
+@query(
+    "url_dedup",
+    _MESSY_URL_SQL + _CANON_URL_SQL + """
+    select u.doc_id, u.url
+    from urls u
+    join (select min(doc_id) as doc_id from canon group by canonical) w
+      on u.doc_id = w.doc_id
+    """,
+)
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E137 — URL-keyed exact dedup
+    (operators/pipeline.py:dedup_corpus_by_url): keep the min-id
+    document per canonical URL — the CCNet FIRST dedup stage, run on
+    the URL string alone before any content hashing. Only (id,
+    canonical-key) pairs shuffle through a map-side-partial groupBy;
+    the winners come back as a left-semi join on the id. The derived
+    population collides ~doc_count/50 docs per canonical key, so the
+    groups are real; the oracle replays derivation, canonicalization,
+    and the min-id winner pick."""
+    from ..operators.pipeline import dedup_corpus_by_url
+
+    docs = t(spark, sf_dir, "documents")
+    u = _messy_urls(docs)
+    return dedup_corpus_by_url(u, url_col="url", id_col="doc_id")

@@ -1512,3 +1512,57 @@ def test_psi_report_categorical_planted_drift(spark):
         psi_report_categorical(ref, ref, [])
     with pytest.raises(ValueError):
         psi_report_categorical(ref, ref, ["lang"], top_k=0)
+
+
+def test_canonical_url_hand_fixture(spark):
+    """Each normalization rule on a hand case: fragment, scheme/host
+    case, www, default ports (scheme-matched), trailing slash,
+    tracking-param strip + param sort, scheme-less fallback, NULL."""
+    from ppack_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Site.COM:443/A/B/?utm_source=x&b=2&a=1#frag",
+         "https://site.com/A/B?a=1&b=2"),
+        ("http://site.com:80/path", "http://site.com/path"),
+        ("http://site.com:8080/path", "http://site.com:8080/path"),
+        ("https://site.com:80/path", "https://site.com:80/path"),
+        ("https://site.com", "https://site.com"),
+        ("https://site.com/?gclid=1&fbclid=2&ref=x", "https://site.com"),
+        ("https://site.com/Docs/?q=Keep%20Case", "https://site.com/Docs?q=Keep%20Case"),
+        ("ftp://Host.com/File", "ftp://host.com/File"),
+        ("  https://site.com/x  ", "https://site.com/x"),
+        ("Bare.HOST/path#f", "bare.host/path"),
+        ("", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_dedup_corpus_by_url(spark):
+    """Variants of one page collapse to the min-id winner; distinct
+    pages all survive; NULL-url rows all survive (no key is no
+    duplication evidence)."""
+    from ppack_spark.operators.pipeline import dedup_corpus_by_url
+
+    rows = [
+        (1, "https://site.com/a?utm_source=x"),
+        (2, "HTTP://site.com/b"),
+        (3, "https://www.site.com/a/"),       # dup of 1 -> loses to min id
+        (4, "https://site.com/a#frag"),       # dup of 1
+        (5, "http://site.com/b"),             # dup of 2
+        (6, None),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(
+        r["doc_id"] for r in dedup_corpus_by_url(df).collect()
+    )
+    assert kept == [1, 2, 6, 7]
