@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "cluster_size_histogram",
     "psi_drift_report",
     "psi_cat_drift_report",
+    "ks_drift_report",
     "bcubed_quality",
     "best_threshold",
     "key_skew_report",
@@ -158,6 +159,7 @@ BENCH_QUERIES = [
     "script_fractions",
     "line_dedup_corpus",
     "url_dedup",
+    "url_host_report",
     "repetition_signals",
     "top_term_coverage",
     "quality_classifier_score",

@@ -100,9 +100,11 @@ __all__ = [
     "profile_columns",
     "psi_report",
     "psi_report_categorical",
+    "ks_drift_report",
     "distinct_count_sketches",
     "merge_distinct_count_sketches",
     "dedup_corpus_by_url",
+    "url_host_report",
 ]
 
 
@@ -535,6 +537,54 @@ def dedup_corpus_by_url(
         keyed.filter(F.col("__k").isNull()).select("__id")
     ).select(F.col("__id").alias(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+def url_host_report(
+    df: DataFrame, url_col: str = "url", round_digits: int = 6
+) -> DataFrame:
+    """Per-host crawl-mix report over canonical URLs — the
+    observability read a web-corpus build publishes next to its
+    output ("which hosts dominate this crawl"): documents per host,
+    share of the URL-bearing corpus, and a deterministic rank
+    (count desc, host asc). Pairs with :func:`dedup_corpus_by_url`
+    the way `dup_rate_report` pairs with the content dedups — the
+    no-truth pre-flight before acting on a crawl (one host at 40 %
+    of the corpus is a crawler-trap or boilerplate signal that no
+    per-document quality score will surface).
+
+    Host = the authority of the canonical form (already lowercased,
+    www- and default-port-stripped by
+    :func:`~ppack_spark.functions.text.canonical_url`); scheme-less
+    fallback rows use everything before the first ``/``. NULL-url
+    rows carry no host and are excluded. One host-keyed groupBy
+    (map-side partial agg), then share/rank arithmetic on the
+    host-table-sized frame — a window over thousands of hosts, never
+    over documents.
+
+    Returns ``host, n_docs, share, rank`` (count desc, host asc)."""
+    from ..functions.text import canonical_url
+
+    canon = canonical_url(url_col)
+    host = F.when(
+        canon.contains("://"),
+        F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+    ).otherwise(F.regexp_extract(canon, r"^([^/?#]*)", 1))
+    counts = (
+        df.select(host.alias("host"))
+        .filter(F.col("host").isNotNull())
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("n_docs"), F.asc("host"))
+    return counts.select(
+        "host",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w_all), round_digits
+        ).alias("share"),
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+    )
 
 
 def dedup_corpus_lines(
@@ -2230,6 +2280,78 @@ def profile_columns(
     return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
 
 
+def _drift_edges(
+    reference: DataFrame,
+    cols: list[str],
+    edges: "dict[str, tuple[float, float]] | None",
+) -> "dict[str, tuple[float, float]]":
+    """Reference min/max per column for the numeric drift monitors —
+    one 1-row aggregation, skipped entirely when the caller passes
+    persisted ``edges`` (the production-monitor path)."""
+    if edges is not None:
+        return edges
+    stats_row = reference.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    return {c: (stats_row[f"__mn_{c}"], stats_row[f"__mx_{c}"]) for c in cols}
+
+
+def _drift_bucket(c: str, edges: "dict[str, tuple[float, float]]", k: int):
+    """Fixed-width bin index over the reference range (NULL for NULL
+    values; out-of-range clamps into the end bins). Degenerate
+    reference: an all-NULL column puts every non-NULL value in bin 0;
+    a CONSTANT column bins by equality to the constant (match bin 0 /
+    other bin 1 — the r11 rule that makes a shifted constant
+    register). Shared by psi_report and ks_drift_report so the two
+    monitors can never disagree about what a bin is."""
+    mn, mx = edges[c]
+    x = F.col(c).cast("double")
+    if mn is None or mx is None:
+        return F.when(x.isNotNull(), F.lit(0))
+    if mx == mn:
+        return F.when(x == float(mn), F.lit(0)).when(x.isNotNull(), F.lit(1))
+    width = (float(mx) - float(mn)) / k
+    return F.when(
+        x.isNotNull(),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(k - 1),
+                F.floor((x - F.lit(float(mn))) / F.lit(width)).cast("int"),
+            ),
+        ),
+    )
+
+
+def _drift_count_row(
+    df: DataFrame,
+    cols: list[str],
+    k: int,
+    edges: "dict[str, tuple[float, float]]",
+    tag: str,
+) -> DataFrame:
+    """ONE conditional-sum aggregation computing every column's per-bin
+    counts, NULL count, and the row total in a single pass — the
+    1-row frame both drift monitors do their arithmetic on."""
+    aggs = []
+    for c in cols:
+        b = _drift_bucket(c, edges, k)
+        for i in range(k):
+            aggs.append(
+                F.coalesce(F.sum((b == i).cast("long")), F.lit(0)).alias(
+                    f"__{tag}_{c}_{i}"
+                )
+            )
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"__{tag}_{c}_null"
+            )
+        )
+    aggs.append(F.count(F.lit(1)).alias(f"__{tag}_n"))
+    return df.agg(*aggs)
+
+
 def psi_report(
     current: DataFrame,
     reference: DataFrame,
@@ -2278,63 +2400,10 @@ def psi_report(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     if not cols:
         raise ValueError("psi_report needs at least one column")
-    if edges is None:
-        stats_row = reference.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
-            *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
-        ).collect()[0]
-        edges = {
-            c: (stats_row[f"__mn_{c}"], stats_row[f"__mx_{c}"]) for c in cols
-        }
-
-    def _bucket(c: str):
-        mn, mx = edges[c]
-        x = F.col(c).cast("double")
-        if mn is None or mx is None:
-            # all-NULL reference: every non-NULL current value lands in
-            # bin 0, where the reference has zero mass — the ε-floor
-            # makes any non-NULL current mass register as drift
-            return F.when(x.isNotNull(), F.lit(0))
-        if mx == mn:
-            # constant reference (ADVICE r10): width-0 bins can't
-            # separate values, but "equals the reference constant" vs
-            # "anything else" can — without this split a column
-            # constant at 5.0 in the reference and constant at 500.0
-            # in current scored PSI = 0
-            return F.when(x == float(mn), F.lit(0)).when(
-                x.isNotNull(), F.lit(1)
-            )
-        width = (float(mx) - float(mn)) / k
-        return F.when(
-            x.isNotNull(),
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.lit(k - 1),
-                    F.floor((x - F.lit(float(mn))) / F.lit(width)).cast("int"),
-                ),
-            ),
-        )
-
-    def _side(df: DataFrame, tag: str) -> DataFrame:
-        aggs = []
-        for c in cols:
-            b = _bucket(c)
-            for i in range(k):
-                aggs.append(
-                    F.coalesce(F.sum((b == i).cast("long")), F.lit(0)).alias(
-                        f"__{tag}_{c}_{i}"
-                    )
-                )
-            aggs.append(
-                F.coalesce(
-                    F.sum(F.col(c).isNull().cast("long")), F.lit(0)
-                ).alias(f"__{tag}_{c}_null")
-            )
-        aggs.append(F.count(F.lit(1)).alias(f"__{tag}_n"))
-        return df.agg(*aggs)
-
-    x = _side(current, "c").crossJoin(_side(reference, "r"))
+    edges = _drift_edges(reference, cols, edges)
+    x = _drift_count_row(current, cols, k, edges, "c").crossJoin(
+        _drift_count_row(reference, cols, k, edges, "r")
+    )
     parts = []
     for c in cols:
         terms = []
@@ -2356,6 +2425,83 @@ def psi_report(
                 F.col("__r_n").alias("n_ref"),
                 F.col("__c_n").alias("n_cur"),
                 F.round(psi, round_digits).alias("psi"),
+            )
+        )
+    return x.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+
+
+def ks_drift_report(
+    current: DataFrame,
+    reference: DataFrame,
+    cols: list[str],
+    n_buckets: int = 20,
+    round_digits: int = 6,
+    edges: "dict[str, tuple[float, float]] | None" = None,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov drift per numeric column —
+    the classic companion readout to :func:`psi_report`: KS is the
+    MAX gap between the two empirical CDFs (worst single quantile
+    shift, in probability units, 0-1), where PSI is a mass-weighted
+    SUM over bins (total mix movement) — a localized shift (one
+    decile moved) can read small on PSI and large on KS, and a broad
+    low-level reshuffle the other way round, so a drift monitor
+    publishes both.
+
+    Binned, not exact: the exact two-sample statistic needs both
+    samples ranked together — a global sort per column, the one thing
+    a 100 TB monitor must not do. Over ``n_buckets`` fixed-width bins
+    on the reference range (:func:`_drift_bucket` — same bins, same
+    clamping, same degenerate-reference rules as PSI, so the two
+    monitors can never disagree about what a bin is) the statistic is
+    computed from the SAME two 1-row conditional-sum aggregations,
+    and understates the exact KS by at most the largest single-bin
+    mass — tighten with more bins, they're just more codegen'd
+    counters in the same pass. CDFs are over NON-NULL values (long
+    cumulative counts, ONE division each — deterministic and
+    oracle-replayable); NULL-rate movement is reported separately as
+    ``null_delta`` (current null rate − reference null rate), because
+    folding NULLs into a CDF would order them against values.
+
+    Returns one row per column: ``column, n_ref, n_cur, ks,
+    null_delta``. NULL ks when either side has no non-NULL values;
+    NULL both metrics when either side is empty."""
+    k = int(n_buckets)
+    if k < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if not cols:
+        raise ValueError("ks_drift_report needs at least one column")
+    edges = _drift_edges(reference, cols, edges)
+    x = _drift_count_row(current, cols, k, edges, "c").crossJoin(
+        _drift_count_row(reference, cols, k, edges, "r")
+    )
+    parts = []
+    for c in cols:
+        nn_c = F.col("__c_n") - F.col(f"__c_{c}_null")
+        nn_r = F.col("__r_n") - F.col(f"__r_{c}_null")
+        cum_c = F.lit(0).cast("long")
+        cum_r = F.lit(0).cast("long")
+        gaps = []
+        # incremental cumulative LONG counts (expression tree is O(k),
+        # not O(k²)); one division per bin, then the max gap
+        for i in range(k):
+            cum_c = cum_c + F.col(f"__c_{c}_{i}")
+            cum_r = cum_r + F.col(f"__r_{c}_{i}")
+            gaps.append(F.abs(cum_c / nn_c - cum_r / nn_r))
+        ks = F.when(
+            (nn_c > 0) & (nn_r > 0), F.greatest(*gaps)
+        )
+        null_delta = F.when(
+            (F.col("__c_n") > 0) & (F.col("__r_n") > 0),
+            F.col(f"__c_{c}_null") / F.col("__c_n")
+            - F.col(f"__r_{c}_null") / F.col("__r_n"),
+        )
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__r_n").alias("n_ref"),
+                F.col("__c_n").alias("n_cur"),
+                F.round(ks, round_digits).alias("ks"),
+                F.round(null_delta, round_digits).alias("null_delta"),
             )
         )
     return x.select(F.explode(F.array(*parts)).alias("p")).select("p.*")

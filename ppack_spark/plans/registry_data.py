@@ -4939,3 +4939,128 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     u = _messy_urls(docs)
     return dedup_corpus_by_url(u, url_col="url", id_col="doc_id")
+
+
+@query(
+    "url_host_report",
+    _MESSY_URL_SQL + _CANON_URL_SQL + """,
+    hosts as (
+        select case when canonical like '%://%'
+                    then regexp_extract(canonical,
+                             '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+                    else regexp_extract(canonical, '^([^/?#]*)', 1)
+               end as host
+        from canon
+    ),
+    hc as (
+        select host, count(*) as n_docs
+        from hosts where host is not null group by 1
+    )
+    select host, n_docs,
+           round(n_docs * 1.0 / (select sum(n_docs) from hc), 6) as share,
+           cast(row_number() over (order by n_docs desc, host asc) as bigint)
+               as rank
+    from hc
+    """,
+)
+def url_host_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E139 — per-host crawl-mix report
+    (operators/pipeline.py:url_host_report): documents per canonical
+    host, corpus share, deterministic rank — the no-truth pre-flight a
+    web-corpus build reads before acting on a crawl (a host at 40 %
+    of the corpus is a crawler-trap signal no per-document score
+    surfaces). One host-keyed groupBy, share/rank windows on the
+    host-table-sized frame; the oracle replays canonicalization, host
+    extraction, and the share/rank arithmetic."""
+    from ..operators.pipeline import url_host_report
+
+    docs = t(spark, sf_dir, "documents")
+    return url_host_report(_messy_urls(docs), url_col="url")
+
+
+def _ks_sql(cols: "tuple[str, ...]" = ("value", "user_id"), k: int = 20) -> str:
+    """Binned-KS oracle generator: the SAME bucket CASE as the PSI
+    oracle (shared degenerate rules), per-side bin counts, cumulative
+    CDFs over a dense bin grid (long cumulative counts, one division
+    each), the max absolute gap, and the signed null-rate delta."""
+    blocks, selects = [], []
+    for c in cols:
+        bucket = (
+            f"case when {c} is null then -1 "
+            f"when st.mn_{c} is null then 0 "
+            f"when st.mx_{c} = st.mn_{c} then "
+            f"(case when cast({c} as double) = st.mn_{c} then 0 else 1 end) "
+            f"else least(greatest(cast(floor((cast({c} as double) - st.mn_{c}) "
+            f"/ ((st.mx_{c} - st.mn_{c}) / {k}.0)) as int), 0), {k - 1}) end"
+        )
+        blocks.append(
+            f"""rb_{c} as (
+        select {bucket} as b, count(*) as n
+        from ref cross join st group by 1
+    ),
+    cb_{c} as (
+        select {bucket} as b, count(*) as n
+        from cur cross join st group by 1
+    ),
+    cdf_{c} as (
+        select g.b,
+               sum(coalesce(r.n, 0)) over (order by g.b) * 1.0
+                   / nullif((select count({c}) from ref), 0) as fr,
+               sum(coalesce(cb.n, 0)) over (order by g.b) * 1.0
+                   / nullif((select count({c}) from cur), 0) as fc
+        from (select unnest(generate_series(0, {k - 1})) as b) g
+        left join (select b, n from rb_{c} where b >= 0) r using (b)
+        left join (select b, n from cb_{c} where b >= 0) cb using (b)
+    ),
+    ks_{c} as (select max(abs(fc - fr)) as ks from cdf_{c})"""
+        )
+        selects.append(
+            f"select '{c}' as \"column\", (select n from rn) as n_ref, "
+            f"(select n from cn) as n_cur, "
+            f"round((select ks from ks_{c}), 6) as ks, "
+            f"round((select count(*) - count({c}) from cur) * 1.0 "
+            f"      / nullif((select n from cn), 0) "
+            f"    - (select count(*) - count({c}) from ref) * 1.0 "
+            f"      / nullif((select n from rn), 0), 6) as null_delta"
+        )
+    mn_mx = ", ".join(
+        f"min(cast({c} as double)) as mn_{c}, max(cast({c} as double)) as mx_{c}"
+        for c in cols
+    )
+    return (
+        "with ref as (select * from events),\n"
+        "    cur as (select * from events where event_type = 'purchase'),\n"
+        f"    st as (select {mn_mx} from ref),\n"
+        "    rn as (select count(*) as n from ref),\n"
+        "    cn as (select count(*) as n from cur),\n    "
+        + ",\n    ".join(blocks)
+        + "\n    "
+        + "\n    union all\n    ".join(selects)
+    )
+
+
+@query("ks_drift_report", _ks_sql())
+def ks_drift_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E138 — binned two-sample Kolmogorov-Smirnov drift monitor
+    (operators/pipeline.py:ks_drift_report): the max CDF gap per
+    numeric column between the purchase-event slice and the full
+    stream, over 20 reference-range fixed-width bins — the classic
+    worst-single-quantile companion to `psi_drift_report`'s
+    mass-weighted sum, computed from the SAME two 1-row
+    conditional-sum aggregations (no global sort — the binned
+    statistic understates exact KS by at most one bin's mass).
+    NULL-rate movement reported separately as a signed delta. The
+    oracle replays the shared bucket CASE, both count passes, the
+    long-cumulative CDFs, the max gap, and the null-delta arithmetic.
+    On this synthetic stream purchases are an unbiased slice, so both
+    columns read ~0 — the gate pins the arithmetic; planted-drift
+    behavior is unit-tested."""
+    from ..operators.pipeline import ks_drift_report
+
+    ev = t(spark, sf_dir, "events")
+    return ks_drift_report(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev,
+        ["value", "user_id"],
+        n_buckets=20,
+    )

@@ -1566,3 +1566,80 @@ def test_dedup_corpus_by_url(spark):
         r["doc_id"] for r in dedup_corpus_by_url(df).collect()
     )
     assert kept == [1, 2, 6, 7]
+
+
+def test_ks_drift_report_planted_drift(spark):
+    """Identical populations score 0; a shifted population scores ~1
+    (every value clamps past the reference CDF); a median shift scores
+    ~the moved mass; NULL-rate drift shows in null_delta, not ks;
+    all-NULL side -> NULL ks; constant-reference shift registers;
+    validation errors."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.pipeline import ks_drift_report
+
+    ref = spark.range(0, 1000).select(
+        F.col("id").alias("rid"), (F.col("id") % 100).cast("double").alias("x")
+    )
+    same = ks_drift_report(ref, ref, ["x"]).collect()[0]
+    assert same["ks"] == 0.0 and same["null_delta"] == 0.0
+
+    shifted = ref.select("rid", (F.col("x") + 500.0).alias("x"))
+    big = ks_drift_report(shifted, ref, ["x"]).collect()[0]
+    assert big["ks"] > 0.9
+
+    # upper half only: CDF gap peaks at ~0.5 around the median
+    upper = ref.filter(F.col("x") >= 50.0)
+    half = ks_drift_report(upper, ref, ["x"]).collect()[0]
+    assert 0.4 < half["ks"] < 0.6
+
+    # null pattern orthogonal to the value (rid < 500 keeps x = rid%100
+    # uniform), so the non-NULL distribution is unchanged
+    nulled = ref.select(
+        "rid", F.when(F.col("rid") < 500, F.col("x")).alias("x")
+    )
+    nd = ks_drift_report(nulled, ref, ["x"]).collect()[0]
+    assert nd["ks"] == 0.0  # same value distribution among non-NULLs
+    assert abs(nd["null_delta"] - 0.5) < 0.01
+
+    allnull = ref.select("rid", F.lit(None).cast("double").alias("x"))
+    an = ks_drift_report(allnull, ref, ["x"]).collect()[0]
+    assert an["ks"] is None and an["null_delta"] == 1.0
+
+    const_ref = ref.select("rid", F.lit(5.0).alias("x"))
+    const_cur = ref.select("rid", F.lit(500.0).alias("x"))
+    cc = ks_drift_report(const_cur, const_ref, ["x"]).collect()[0]
+    assert cc["ks"] == 1.0  # match-bin vs other-bin separates them
+
+    pinned = ks_drift_report(
+        shifted, ref, ["x"], edges={"x": (0.0, 99.0)}
+    ).collect()[0]
+    assert pinned["ks"] == big["ks"]
+
+    with pytest.raises(ValueError):
+        ks_drift_report(ref, ref, [])
+    with pytest.raises(ValueError):
+        ks_drift_report(ref, ref, ["x"], n_buckets=1)
+
+
+def test_url_host_report(spark):
+    """Hosts aggregate under their canonical form (www/port/case
+    collapse), shares sum to 1, rank is count-desc host-asc, NULL
+    urls are excluded."""
+    from ppack_spark.operators.pipeline import url_host_report
+
+    rows = [
+        (1, "https://WWW.a.com/x"),
+        (2, "https://a.com:443/y?utm_source=z"),
+        (3, "http://a.com/z"),
+        (4, "https://b.com/1"),
+        (5, "bare.host/p"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["host"]: r for r in url_host_report(df).collect()}
+    assert set(out) == {"a.com", "b.com", "bare.host"}
+    assert out["a.com"]["n_docs"] == 3 and out["a.com"]["rank"] == 1
+    assert out["b.com"]["rank"] == 2 and out["bare.host"]["rank"] == 3  # tie -> host asc
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-6
