@@ -23,28 +23,31 @@ every registered query, board or not — is verified against the same
 oracle at the same scale by ``tests/test_registry_oracle.py``; board
 rotation only changes which 50 rows the driver snapshot shows.
 
-Round-10 rotation policy (r9 verdict item 6 — "re-seat the r7-stale
-cohort the r9 new-gate seats displaced, plus fresh rows for anything
-item 1-5 touches; overlap with r9 < 50%, no gate older than r7"):
-slots go first to this round's NEW gates (``linkage_eval_report`` —
-the one-execution eval facade, ``linkage_ab_clusters_scaled`` — the
-A-B cluster chain on the linear banded spec, plus the r10 coverage
-additions ``snm_pairs``/``ari_quality``/``psi_drift_report``), then
-to gates items 1-5 TOUCHED (``ann_pq_topk_scan``/
-``ann_ivfpq_topk_scan`` — the pq_train GEMM fix changes the
-production codebooks, so their rows-only records need refreshing;
-``best_threshold`` — its kernel now routes through the shared
-``_weight_counts`` helpers; ``near_dedup_corpus``/
-``corpus_split_leakage_safe``/``match_weight_scoring`` — the
-bench-regression adjudication cohort; ``linkage_ab_clusters`` — the
-chain E128 re-specs), then to the ENTIRE r7-stale cohort (38 gates —
-every name whose last driver row the r9 new-gate seats pushed to
-three rounds old).  After this board
-no gate's last driver row is older than r8 except the deliberate
-``linkage_em_end_to_end`` carry (no-oracle by design, property-tested
-in tests/test_em.py).  Overlap with the r9 board: 1 of 50
-(``best_threshold``, re-boarded because its implementation changed).
-The complete all-gate artifact is published alongside the board
+Round-11 rotation policy (r10 verdict item 6 — "re-seat anything
+items 1-5 touch plus the stalest cohort; overlap with r10 < 50%"):
+slots go first to this round's NEVER-BOARDED gates (the r11 additions
+``linkage_eval_report_scaled``/``corpus_stage_report_reuse``/
+``url_canonicalize``/``url_dedup``/``url_host_report``/
+``ks_drift_report``, plus the two late-r10 gates whose registration
+postdated the r10 board snapshot, ``cluster_size_histogram``/
+``psi_cat_drift_report``), then to gates r11 items TOUCHED
+(``ari_quality`` — the grouping-sets single-execution rewrite;
+``psi_drift_report`` — the constant-reference degenerate rule changed
+in engine AND oracle; ``corpus_stage_report`` — the reuse-mode edit
+shares its function body; ``near_dedup_keep_best``/
+``corpus_delta_merge_fuzzy`` — the r10 bench-drift adjudication
+cohort, now also on the scale-proof roster), then to 37 of the 42
+r8-stale gates (every name whose last driver row is two-plus rounds
+old; the 4 deferred to r12 — ``jsonl_roundtrip``/``corpus_shuffle``/
+``events_funnel``/``events_cohort_retention`` — are untouched
+pure-relational gates with no changed code path anywhere near them).
+Overlap with the r10 board: 4 of 50 (``ari_quality``/
+``psi_drift_report``/``corpus_stage_report``/
+``corpus_delta_merge_fuzzy``, each re-boarded because its
+implementation or oracle changed this round).
+``linkage_em_end_to_end`` stays a deliberate off-board carry
+(no-oracle by design, property-tested in tests/test_em.py).  The
+complete all-gate artifact is published alongside the board
 (verify_all.py → CORRECTNESS_full.json, commit-stamped since r9) so
 off-board gates stay externally auditable.
 """
@@ -53,59 +56,59 @@ from __future__ import annotations
 
 # The 50 queries the driver board records this round, in order.
 BOARD: list[str] = [
-    # -- new this round (never recorded on any board) --
-    "linkage_eval_report",
-    "linkage_ab_clusters_scaled",
-    "snm_pairs",
+    # -- new this round / never recorded on any board --
+    "linkage_eval_report_scaled",
+    "corpus_stage_report_reuse",
+    "url_canonicalize",
+    "url_dedup",
+    "url_host_report",
+    "ks_drift_report",
+    "cluster_size_histogram",
+    "psi_cat_drift_report",
+    # -- touched by r11 items (fresh rows vs changed code) --
     "ari_quality",
     "psi_drift_report",
-    # -- touched by r10 items 1-5 (fresh rows vs changed code) --
-    "ann_pq_topk_scan",
-    "ann_ivfpq_topk_scan",
-    "best_threshold",
-    "near_dedup_corpus",
-    "corpus_split_leakage_safe",
-    "match_weight_scoring",
-    "linkage_ab_clusters",
-    # -- the full r7-stale cohort (displaced by the r9 new-gate seats) --
-    "suffix_projection",
-    "blocking_pass_counts",
-    "blocking_salted_pass",
-    "levenshtein_comparator",
-    "soundex_comparator",
-    "segment_revenue",
-    "top_orders_per_customer",
-    "events_window_agg",
-    "events_sessionize",
-    "events_json_extract",
-    "events_sliding_window",
-    "events_value_quantiles",
-    "events_range_join",
-    "events_rollup",
-    "events_asof_join",
-    "dedup_keep_first",
-    "token_stats",
-    "quality_scores",
-    "lang_id",
-    "tfidf_top_terms",
-    "doc_fingerprints",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_fingerprints",
-    "media_metadata",
-    "media_phash_near_dup",
-    "embedding_cosine_topk",
-    "embedding_near_dup",
-    "ann_ivf_topk",
-    "eval_decontamination",
-    "bloom_decontamination",
-    "corpus_delta_merge",
-    "corpus_pipeline_e2e",
     "corpus_stage_report",
+    "near_dedup_keep_best",
     "corpus_delta_merge_fuzzy",
-    "corpus_split",
-    "dsir_importance",
-    "dedup_keep_best",
+    # -- 37 of the r8-stale cohort --
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "blocking_estimate_scaled",
+    "blocking_multi_pass",
+    "blocking_multi_pass_scaled",
+    "comparison_vectors",
+    "comparison_vectors_scaled",
+    "dedup_clusters",
+    "dedup_clusters_adaptive",
+    "dedup_clusters_star",
+    "dup_rate_report",
+    "jw_comparator_buckets",
+    "jw_scaled_buckets",
+    "jw_sql_buckets",
+    "line_dedup_corpus",
+    "linkage_em_params",
+    "lm_bigram_score",
+    "lm_perplexity_buckets",
+    "lm_quality_score",
+    "match_weight_scoring_scaled",
+    "media_near_dedup",
+    "minhash_jaccard_est",
+    "minhash_lsh_pairs_ab",
+    "minhash_lsh_pairs_wide",
+    "near_dedup_corpus_wide",
+    "pii_stats",
+    "quality_filter_flags",
+    "remove_repeated_spans",
+    "repeated_spans",
+    "repetition_signals",
+    "sample_stratified_quota",
+    "sample_uniform_hash",
+    "simhash_near_dup_wide64",
+    "temperature_mix",
+    "threshold_rank",
+    "threshold_topk",
+    "top_term_coverage",
 ]
 
 
