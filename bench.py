@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_asof_join",
     "events_asof_forward",
+    "events_asof_tolerance",
     "events_range_join",
     "events_value_quantiles",
     "events_trailing_agg",
@@ -152,6 +153,7 @@ BENCH_QUERIES = [
     "salted_join_orders",
     "sample_uniform_hash",
     "sample_stratified_quota",
+    "weighted_sample",
     "stratified_topk",
     "curriculum_order",
     "sequence_packing",

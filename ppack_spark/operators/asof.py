@@ -37,6 +37,7 @@ def asof_join(
     ts_matched: str | None = None,
     how: str = "inner",
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Join each left row to the most recent right row with
     ``right.ts <= left.ts`` within the same ``on`` key(s)
@@ -53,6 +54,18 @@ def asof_join(
     ``ASOF JOIN``); ``how='left'`` keeps them with nulls (``ASOF LEFT
     JOIN``). Forward is the same union-sort plan with the sort
     reversed — one shuffle, no range fan-out, either way.
+
+    ``tolerance`` (pandas ``merge_asof`` surface) bounds the match
+    gap: a nearest match farther than ``tolerance`` from the left
+    timestamp counts as NO match (dropped under ``how='inner'``,
+    NULLed under ``how='left'``) — a click should not join a purchase
+    from last month just because nothing newer exists. Correct as a
+    post-predicate on the carried match: the as-of match is the
+    NEAREST right row, so if it misses the window every other
+    candidate misses by more. Units: seconds for timestamp columns
+    (TIMESTAMP_NTZ compared under the session zone), the column's own
+    units for numeric ``ts``. The plan gains one codegen'd filter —
+    no extra shuffle.
     """
     from pyspark.sql import types as T
 
@@ -103,6 +116,24 @@ def asof_join(
     )
     u = u.withColumn("__carry", F.last("__carry", ignorenulls=True).over(w))
     out = u.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        if tolerance < 0:
+            raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+
+        def _num(col: "F.Column", dtype) -> "F.Column":
+            # TIMESTAMP_NTZ casts to double only via timestamp_ltz
+            # (the sources/etl.py _normalize_nanos gotcha)
+            if isinstance(dtype, T.TimestampNTZType):
+                col = col.cast("timestamp_ltz")
+            return col.cast("double")
+
+        lt = _num(F.col(ts), left.schema[ts].dataType)
+        rt = _num(F.col(f"__carry.{ts_matched}"), right.schema[ts].dataType)
+        gap = lt - rt if direction == "backward" else rt - lt
+        out = out.withColumn(
+            "__carry",
+            F.when(gap <= float(tolerance), F.col("__carry")),
+        )
     if how == "inner":
         out = out.filter(F.col("__carry").isNotNull())
     elif how != "left":

@@ -105,6 +105,7 @@ __all__ = [
     "merge_distinct_count_sketches",
     "dedup_corpus_by_url",
     "url_host_report",
+    "weighted_hash_sample",
 ]
 
 
@@ -321,6 +322,60 @@ def hash_sample(
     # 4-hex-digit md5 prefix < the 4-hex-digit cut, compared as strings
     # (same-length hex strings order identically to their numeric value).
     return df.filter(_id_hash(id_col, 4, salt) < F.lit(format(cut_int, "04x")))
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata: list[str] | None = None,
+    salt: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006 A-ES): draw ``k`` rows where each row's inclusion
+    odds are proportional to ``weight_col`` — the quality-weighted
+    subset selection a training-data pipeline runs when it wants "k
+    documents, preferring high scores" rather than a hard top-k (a
+    hard top-k is deterministic CENSORING; weighted sampling keeps
+    tail diversity in proportion to merit).
+
+    A-ES keys each row with ``u^(1/w)`` for a uniform ``u`` and takes
+    the k largest; here ``u`` derives from ``md5(id ∥ salt)`` (the
+    module's deterministic-sampler convention — reproducible across
+    runs, engines, and partition layouts, decorrelated from the other
+    samplers by the salt), and the ordering key is the monotone
+    transform ``ln(u)/w`` — one log, no pow, replayable in the SQL
+    oracle. Rows with NULL or non-positive weight are excluded (a
+    zero-weight row has zero inclusion odds; A-ES is undefined below
+    that). Ties break on id.
+
+    Scale shape: the key is a codegen'd expression on the scan.
+    Global draws use ``orderBy(...).limit(k)`` — Spark's distributed
+    TakeOrdered, per-partition top-k then a k-row merge, NO full
+    sort. Stratified draws (``strata``) use a rank-pruned window
+    (WindowGroupLimit keeps k per stratum inside the sort, the
+    stratified_quota_sample shape). Returns the sampled rows of
+    ``df`` unchanged."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # 8-hex md5 prefix -> uniform in (0, 1]; +1 keeps ln() finite
+    v = F.conv(_id_hash(id_col, 8, salt), 16, 10).cast("long")
+    u = (v + F.lit(1).cast("long")) / F.lit(float(0x100000000 + 1))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    eligible = df.filter(w.isNotNull() & (w > 0)).withColumn("__aes", key)
+    if strata:
+        rank = F.row_number().over(
+            Window.partitionBy(*strata).orderBy(
+                F.desc("__aes"), F.asc(id_col)
+            )
+        )
+        out = eligible.withColumn("__rn", rank).filter(F.col("__rn") <= k)
+        return out.drop("__aes", "__rn")
+    return (
+        eligible.orderBy(F.desc("__aes"), F.asc(id_col)).limit(k).drop("__aes")
+    )
 
 
 def stratified_quota_sample(

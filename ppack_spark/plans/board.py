@@ -36,10 +36,12 @@ postdated the r10 board snapshot, ``cluster_size_histogram``/
 in engine AND oracle; ``corpus_stage_report`` — the reuse-mode edit
 shares its function body; ``near_dedup_keep_best``/
 ``corpus_delta_merge_fuzzy`` — the r10 bench-drift adjudication
-cohort, now also on the scale-proof roster), then to 37 of the 42
+cohort, now also on the scale-proof roster), then to 35 of the 42
 r8-stale gates (every name whose last driver row is two-plus rounds
-old; the 4 deferred to r12 — ``jsonl_roundtrip``/``corpus_shuffle``/
-``events_funnel``/``events_cohort_retention`` — are untouched
+old; the 7 deferred to r12 — ``jsonl_roundtrip``/``corpus_shuffle``/
+``events_funnel``/``events_cohort_retention``/``temperature_mix``/
+``top_term_coverage`` (displaced late by the r11 additions
+``events_asof_tolerance``/``weighted_sample``) — are untouched
 pure-relational gates with no changed code path anywhere near them).
 Overlap with the r10 board: 4 of 50 (``ari_quality``/
 ``psi_drift_report``/``corpus_stage_report``/
@@ -63,6 +65,8 @@ BOARD: list[str] = [
     "url_dedup",
     "url_host_report",
     "ks_drift_report",
+    "events_asof_tolerance",
+    "weighted_sample",
     "cluster_size_histogram",
     "psi_cat_drift_report",
     # -- touched by r11 items (fresh rows vs changed code) --
@@ -71,7 +75,7 @@ BOARD: list[str] = [
     "corpus_stage_report",
     "near_dedup_keep_best",
     "corpus_delta_merge_fuzzy",
-    # -- 37 of the r8-stale cohort --
+    # -- 35 of the r8-stale cohort --
     "ann_ivfpq_topk",
     "ann_pq_topk",
     "blocking_estimate_scaled",
@@ -105,10 +109,8 @@ BOARD: list[str] = [
     "sample_stratified_quota",
     "sample_uniform_hash",
     "simhash_near_dup_wide64",
-    "temperature_mix",
     "threshold_rank",
     "threshold_topk",
-    "top_term_coverage",
 ]
 
 

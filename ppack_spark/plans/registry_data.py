@@ -5064,3 +5064,99 @@ def ks_drift_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value", "user_id"],
         n_buckets=20,
     )
+
+
+@query(
+    "events_asof_tolerance",
+    """
+    with clicks as (
+        select user_id, event_id, ts from events where event_type = 'click'
+    ),
+    purch as (
+        select user_id, ts, max(value) as purchase_value
+        from events where event_type = 'purchase'
+        group by user_id, ts
+    )
+    select c.user_id, c.event_id,
+           cast(floor(epoch(c.ts)) as bigint) as click_ts_s,
+           cast(floor(epoch(p.ts)) as bigint) as purchase_ts_s,
+           round(p.purchase_value, 6) as purchase_value
+    from clicks c
+    asof join purch p on c.user_id = p.user_id and c.ts >= p.ts
+    where epoch(c.ts) - epoch(p.ts) <= 86400
+    """,
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E140 — bounded-gap as-of join (operators/asof.py,
+    ``tolerance``, the pandas merge_asof surface): each click joined
+    to the user's most recent purchase AT MOST ONE DAY older — a
+    nearest match farther than the window counts as no match, since
+    attribution to last month's purchase is noise, not signal.
+    Correct as a post-predicate on the carried match (the as-of match
+    is the nearest row; if it misses the window, every other
+    candidate misses by more), so the plan is the same one-shuffle
+    union-sort with one extra codegen'd filter. Oracle: DuckDB native
+    ASOF JOIN plus the same epoch-gap predicate."""
+    from ..operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purch, on="user_id", ts="ts",
+        right_cols=["purchase_value"], tolerance=86400.0,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        _epoch_s(F.col("ts")).alias("click_ts_s"),
+        _epoch_s(F.col("ts_matched")).alias("purchase_ts_s"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+@query(
+    "weighted_sample",
+    """
+    with u as (
+        select doc_id, lang, n_chars,
+               (cast(('0x' || substr(md5(cast(doc_id as varchar) || 'ws1'),
+                                     1, 8)) as bigint) + 1)
+                   / 4294967297.0 as u
+        from documents
+    ),
+    keyed as (
+        select doc_id, lang, n_chars, ln(u) / cast(n_chars as double) as k
+        from u where n_chars is not null and n_chars > 0
+    )
+    select doc_id, lang, n_chars
+    from (
+        select doc_id, lang, n_chars,
+               row_number() over (partition by lang
+                                  order by k desc, doc_id asc) as rn
+        from keyed
+    ) where rn <= 30
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E141 — deterministic weighted sampling without replacement
+    (operators/pipeline.py:weighted_hash_sample, Efraimidis-Spirakis
+    A-ES on a hash-derived uniform): 30 documents per language with
+    inclusion odds proportional to document length — "k per stratum,
+    preferring long documents" without the tail censoring of a hard
+    top-k. The ordering key ln(u)/w is a codegen'd expression on the
+    scan; the stratified draw is a rank-pruned window
+    (WindowGroupLimit). Oracle replays the md5-uniform, the key, and
+    the per-stratum rank."""
+    from ..operators.pipeline import weighted_hash_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_hash_sample(
+        docs, k=30, weight_col="n_chars", strata=["lang"]
+    )

@@ -149,3 +149,49 @@ def test_asof_forward_semantics(spark):
 
     with pytest.raises(ValueError):
         asof_join(l, r, on="k", ts="ts", direction="sideways")
+
+
+def test_asof_join_tolerance(spark):
+    """A nearest match farther than tolerance is NO match: dropped
+    under inner, NULLed under left; forward direction bounds the gap
+    the other way; negative tolerance rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (1, 200.0), (2, 50.0)], "k long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(1, 95.0, "a"), (1, 110.0, "b"), (2, 10.0, "c")],
+        "k long, ts double, v string",
+    )
+    # backward, tolerance 20: (1,100)->95 gap 5 ok; (1,200)->110 gap 90 out;
+    # (2,50)->10 gap 40 out
+    got = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", tolerance=20.0
+        ).collect()
+    }
+    assert got == {(1, 100.0): "a"}
+    # left keeps the out-of-window rows with NULLs
+    lr = {
+        (r["k"], r["ts"]): (r["v"], r["ts_matched"])
+        for r in asof_join(
+            left, right, on="k", ts="ts", how="left", tolerance=20.0
+        ).collect()
+    }
+    assert lr[(1, 200.0)] == (None, None) and lr[(2, 50.0)] == (None, None)
+    # forward, tolerance 15: (1,100)->110 gap 10 ok
+    fwd = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, on="k", ts="ts",
+            direction="forward", tolerance=15.0,
+        ).collect()
+    }
+    assert fwd == {(1, 100.0): "b"}
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="k", ts="ts", tolerance=-1.0)

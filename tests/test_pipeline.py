@@ -1643,3 +1643,58 @@ def test_url_host_report(spark):
     assert out["a.com"]["n_docs"] == 3 and out["a.com"]["rank"] == 1
     assert out["b.com"]["rank"] == 2 and out["bare.host"]["rank"] == 3  # tie -> host asc
     assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_weighted_hash_sample(spark):
+    """Determinism (same salt -> same set, layout-independent);
+    heavier rows win across salts at far-higher frequency; NULL and
+    non-positive weights excluded; k >= eligible keeps everything;
+    stratified draw takes k per stratum; validation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.pipeline import weighted_hash_sample
+
+    rows = [(i, 1000.0 if i == 7 else 1.0) for i in range(50)]
+    rows += [(50, None), (51, 0.0), (52, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    a = sorted(r["doc_id"] for r in weighted_hash_sample(df, 5, "w").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_hash_sample(df.repartition(7), 5, "w").collect()
+    )
+    assert a == b and len(a) == 5
+    assert not {50, 51, 52} & set(a)
+
+    # the 1000x-weight row should appear in nearly every 5-of-50 draw;
+    # any single light row in few (its marginal odds are ~<= 5/49 per
+    # draw even before the heavy row takes a slot)
+    heavy_hits = light_hits = 0
+    for s in range(20):
+        got = {
+            r["doc_id"]
+            for r in weighted_hash_sample(df, 5, "w", salt=f"s{s}").collect()
+        }
+        heavy_hits += 7 in got
+        light_hits += 13 in got
+    assert heavy_hits >= 18
+    assert light_hits <= 6
+
+    allk = weighted_hash_sample(df, 100, "w").collect()
+    assert len(allk) == 50  # every positive-weight row
+
+    sdf = spark.createDataFrame(
+        [(i, "g" + str(i % 2), float(1 + i)) for i in range(40)],
+        "doc_id long, g string, w double",
+    )
+    per = (
+        weighted_hash_sample(sdf, 3, "w", strata=["g"])
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    assert sorted((r["g"], r["count"]) for r in per) == [("g0", 3), ("g1", 3)]
+
+    with pytest.raises(ValueError):
+        weighted_hash_sample(df, 0, "w")
