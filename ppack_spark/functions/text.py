@@ -35,6 +35,7 @@ __all__ = [
     "script_fractions",
     "SCRIPT_RANGES",
     "canonical_url",
+    "canonical_host",
     "TRACKING_PARAM_RE",
 ]
 
@@ -59,9 +60,16 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count; 0 for empty/blank text."""
+    """Whitespace token count; 0 for empty/blank text, NULL for NULL
+    text (explicitly — the naive ``size(split(...))`` form returns -1
+    for NULL under Spark's legacy sizeOfNull, which silently CORRUPTS
+    any SUM/AVG over a corpus with NULL documents)."""
     t = F.trim(_col(text))
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return (
+        F.when(t.isNull(), F.lit(None).cast("int"))
+        .when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+    )
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
@@ -402,3 +410,20 @@ def canonical_url(url: Column | str) -> Column:
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
     return F.when(scheme != "", canon).otherwise(F.lower(u))
+
+
+def canonical_host(url: Column | str) -> Column:
+    """The canonical authority of a URL — :func:`canonical_url`'s
+    host component (already lowercased, ``www.``- and default-port-
+    stripped). Scheme-less fallback rows use everything before the
+    first ``/``/``?``/``#``. NULL in, NULL out; the empty string (no
+    recognizable host) comes back as NULL so host-keyed aggregations
+    never build an ``''`` group. Shared by the crawl-mix report and
+    the per-host boilerplate removal so "host" can never drift
+    between the two."""
+    canon = canonical_url(url)
+    host = F.when(
+        canon.contains("://"),
+        F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+    ).otherwise(F.regexp_extract(canon, r"^([^/?#]*)", 1))
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)

@@ -49,6 +49,7 @@ __all__ = [
     "minhash_lsh_pairs_ab",
     "jaccard_similarity",
     "ngram_jaccard_pairs",
+    "jaccard_prefix_join",
     "simhash_df",
     "simhash_pairs",
     "near_dup_components",
@@ -1081,4 +1082,99 @@ def tfidf_cosine_pairs(
             ),
         )
         .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+    )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join at ``threshold`` via prefix
+    filtering (Chaudhuri/Ganti/Kaushik SSJoin 2006; Xiao et al.
+    PPJoin 2008) — the deterministic complement to MinHash LSH: LSH
+    is probabilistic (misses pairs at a tunable rate) and this is
+    exact, finding EVERY pair with J ≥ threshold, with no blocking
+    key required.
+
+    The filter: order each document's distinct ``k``-shingle set by
+    global rarity (document frequency asc, shingle asc — a total
+    order both engines can replay), and keep only the first
+    ``|S| − ceil(t·|S|) + 1`` shingles as the document's PREFIX. If
+    J(A,B) ≥ t then |A∩B| ≥ t·|A∪B| ≥ ceil(t·max(|A|,|B|)), and by
+    the prefix-filter lemma the two prefixes must share a shingle —
+    so an equi-join on prefix shingles alone produces a candidate
+    superset. Because prefixes hold each document's RAREST shingles,
+    the join keys are by construction the low-frequency end of the
+    vocabulary: hot shingles (boilerplate n-grams shared by
+    everything) never become join keys, which is what kills the
+    quadratic blow-up a naive token-join has at 100 TB. A length
+    filter (t·|A| ≤ |B| ≤ |A|/t, a necessary condition for J ≥ t)
+    prunes candidates before verification; survivors verify exactly
+    with one JVM-side array_intersect over the full shingle sets.
+
+    Shuffle shape: one explode+groupBy for document frequencies
+    (map-side partial agg over shingle hashes), one per-document
+    collect_list to order shingles (keyed by doc id — linear), the
+    prefix equi-join (keyed by rare shingles), and the verification
+    join carrying the full shingle arrays only for candidate ids.
+    Pairs are verified once (id_left < id_right).
+
+    Returns (id_left, id_right, jaccard ≥ threshold), jaccard exact
+    and rounded to 6. Cross-checked against the brute-force
+    ``ngram_jaccard_pairs`` in tests/test_dedup.py.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+    sh = spread(df).select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("sh")
+    )
+    sh = sh.filter(F.size("sh") > 0).withColumn("sz", F.size("sh"))
+    ex = sh.select("__id", "sz", F.explode("sh").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    pref_len = (
+        F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + F.lit(1)
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("df"), F.col("tok")))),
+        lambda s: s["tok"],
+    )
+    prefixes = (
+        ex.join(dfreq, "tok")
+        .groupBy("__id", "sz")
+        .agg(ordered.alias("__ord"))
+        .select(
+            "__id", "sz", F.slice(F.col("__ord"), 1, pref_len).alias("prefix")
+        )
+    )
+    pex = prefixes.select("__id", "sz", F.explode("prefix").alias("tok"))
+    a, b = pex.alias("a"), pex.alias("b")
+    cand = (
+        a.join(b, F.col("a.tok") == F.col("b.tok"))
+        .filter(
+            (F.col("a.__id") < F.col("b.__id"))
+            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(t) * F.col("b.sz"))
+        )
+        .select(
+            F.col("a.__id").alias("id_left"), F.col("b.__id").alias("id_right")
+        )
+        .distinct()
+    )
+    left = sh.select(F.col("__id").alias("id_left"), F.col("sh").alias("sh_l"))
+    right = sh.select(
+        F.col("__id").alias("id_right"), F.col("sh").alias("sh_r")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_l"), F.col("sh_r")))
+    union = F.size("sh_l") + F.size("sh_r") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(left, "id_left")
+        .join(right, "id_right")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select("id_left", "id_right", F.round("jaccard", 6).alias("jaccard"))
     )

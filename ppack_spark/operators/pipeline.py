@@ -106,6 +106,8 @@ __all__ = [
     "dedup_corpus_by_url",
     "url_host_report",
     "weighted_hash_sample",
+    "remove_host_boilerplate",
+    "heavy_hitter_terms",
 ]
 
 
@@ -617,15 +619,10 @@ def url_host_report(
     over documents.
 
     Returns ``host, n_docs, share, rank`` (count desc, host asc)."""
-    from ..functions.text import canonical_url
+    from ..functions.text import canonical_host
 
-    canon = canonical_url(url_col)
-    host = F.when(
-        canon.contains("://"),
-        F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
-    ).otherwise(F.regexp_extract(canon, r"^([^/?#]*)", 1))
     counts = (
-        df.select(host.alias("host"))
+        df.select(canonical_host(url_col).alias("host"))
         .filter(F.col("host").isNotNull())
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2723,4 +2720,208 @@ def merge_distinct_count_sketches(*sketch_dfs: DataFrame) -> DataFrame:
         "column",
         "sketch",
         F.hll_sketch_estimate("sketch").alias("estimate"),
+    )
+
+
+def remove_host_boilerplate(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_frac: float = 0.5,
+    min_host_docs: int = 5,
+) -> DataFrame:
+    """Per-host boilerplate line removal — the RefinedWeb/trafilatura
+    cleanup step between URL dedup and content dedup (Penedo et al.
+    2023 §3: nav menus, cookie banners, footer legalese repeat across
+    most pages OF ONE SITE; removing them globally would also delete
+    legitimately popular sentences, so the document frequency is
+    measured within the host).
+
+    A line is host-boilerplate when it appears (at least once) in
+    ≥ ``min_frac`` of the host's documents AND the host has ≥
+    ``min_host_docs`` documents (below that, "half the host" is two
+    pages and the estimate is noise — small-host docs pass through
+    untouched). Host = the canonical authority of ``url_col``
+    (:func:`~ppack_spark.functions.text.canonical_host`, the same
+    derivation the crawl-mix report ranks on). Documents keep
+    surviving lines in original order; NULL text stays NULL; a
+    NULL-host document passes through with its text unchanged; a
+    document whose every line is boilerplate comes back with empty
+    text, not dropped.
+
+    Returns the input columns with ``text_col`` replaced by the
+    cleaned text, plus ``host`` and ``n_lines_kept``.
+
+    Scale shape (100 TB): the same three minimal shuffles as the
+    corpus-wide line dedup (:func:`dedup_corpus_lines`), with every
+    key prefixed by host — (1) distinct-doc counts per (host,
+    md5(line)) with map-side partial aggregation (only 32-byte hashes
+    and the host shuffle, never line text), (2) the per-host doc
+    totals are a host-table-sized frame joined broadcast, (3) the
+    boilerplate (host, hash) set is far smaller than the distinct-line
+    set and anti-joins the exploded lines; reassembly is a per-document
+    array_sort, no global sort. Nothing here is keyed on anything
+    bigger than (host, line-hash), so a crawler-trap host with
+    millions of pages splits across its line hashes, not one key.
+    """
+    from ..functions.text import canonical_host
+
+    host = canonical_host(F.col(url_col))
+    base = df.withColumn("__host", host)
+    hosted = base.filter(
+        F.col("__host").isNotNull() & F.col(text_col).isNotNull()
+    )
+    host_docs = hosted.groupBy("__host").agg(
+        F.count(F.lit(1)).alias("__host_n")
+    )
+    lines = hosted.select(
+        F.col(id_col).alias("__id"),
+        F.col("__host"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    h = F.md5(F.col("line"))
+    line_docfreq = (
+        lines.groupBy("__host", h.alias("__h"))
+        .agg(F.count_distinct(F.col("__id")).alias("__n_docs_with"))
+    )
+    boiler = (
+        line_docfreq.join(F.broadcast(host_docs), "__host")
+        .filter(
+            (F.col("__host_n") >= F.lit(int(min_host_docs)))
+            & (
+                F.col("__n_docs_with")
+                >= F.lit(float(min_frac)) * F.col("__host_n")
+            )
+        )
+        .select("__host", "__h")
+    )
+    kept = lines.join(
+        boiler,
+        (lines["__host"] == boiler["__host"]) & (h == boiler["__h"]),
+        "left_anti",
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+        lambda s: s["line"],
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws("\n", ordered).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    out = base.join(rebuilt, base[id_col] == rebuilt["__id"], "left")
+    untouched = F.col("__host").isNull()
+    clean = (
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .when(untouched, F.col(text_col))
+        .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+    )
+    n_kept = (
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+        .when(untouched, F.size(F.split(F.col(text_col), "\n", -1)).cast("long"))
+        .otherwise(F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long"))
+    )
+    keep_cols = [
+        clean.alias(text_col) if c == text_col else F.col(c) for c in df.columns
+    ]
+    return out.select(
+        *keep_cols,
+        F.col("__host").alias("host"),
+        n_kept.alias("n_lines_kept"),
+    )
+
+
+def heavy_hitter_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phi: float = 0.01,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact φ-heavy-hitter terms at bounded memory — every token
+    whose corpus-wide occurrence count strictly exceeds ``phi`` ×
+    total tokens, via the two-pass Misra-Gries + exact-recount scheme
+    (Misra & Gries 1982; mergeable-summaries form per Agarwal et al.
+    2012): the full term vocabulary never shuffles, which is the
+    whole point at 100 TB — a web corpus has billions of distinct
+    tokens and a plain groupBy ships all of them.
+
+    Pass 1 runs a Misra-Gries summary of ``capacity`` (default
+    ceil(1/phi)) counters per partition inside one Arrow-batched
+    mapInPandas: each batch's value_counts merges into the running
+    counter map, then the map compacts by subtracting its (k+1)-th
+    largest count (the mergeable-summaries merge rule) — so at most
+    ``capacity`` candidate terms leave each partition. Any term with
+    global count > n/(capacity+1) is guaranteed to survive in at
+    least one partition (pigeonhole: a term below every partition's
+    local threshold is below the global one), so with capacity ≥
+    ceil(1/phi) the union of partition candidates is a SUPERSET of
+    the true φ-heavy set. Pass 2 recounts only the candidates exactly
+    (broadcast semi-join, map-side partial agg — at most
+    capacity × partitions groups) and applies the exact threshold, so
+    the output is EXACT and independent of partition layout — the
+    summary's approximation error only ever adds pass-2 work, never
+    rows. Empty/NULL text contributes no tokens.
+
+    Returns (term, n_occurrences, share), share rounded to 6.
+    DuckDB oracle: the plain group-by-count with
+    ``having count(*) > phi * total`` — the oracle pays the full
+    vocabulary shuffle this operator exists to avoid.
+    """
+    import math as _math
+
+    import pandas as _pd
+
+    from .util import spread
+
+    if not (0.0 < phi < 1.0):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    k = int(capacity) if capacity is not None else int(_math.ceil(1.0 / phi))
+    if k < int(_math.ceil(1.0 / phi)):
+        raise ValueError(
+            f"capacity {k} < ceil(1/phi) = {_math.ceil(1.0 / phi)}: the "
+            "superset guarantee needs at least 1/phi counters"
+        )
+    from ..functions.text import tokens
+
+    toks = (
+        spread(df)
+        .select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["term"].value_counts()
+            for term, cnt in vc.items():
+                counters[term] = counters.get(term, 0) + int(cnt)
+            if len(counters) > k:
+                # mergeable-summaries compaction: subtract the
+                # (k+1)-th largest count, drop non-positive
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        yield _pd.DataFrame({"term": _pd.Series(list(counters), dtype="str")})
+
+    candidates = toks.mapInPandas(_mg, "term string").distinct()
+    total = df.agg(
+        F.coalesce(F.sum(token_count(text_col)), F.lit(0)).alias("__n_total")
+    )
+    counts = (
+        toks.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.lit(float(phi)) * F.col("__n_total"))
+        .select(
+            "term",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("__n_total"), 6).alias(
+                "share"
+            ),
+        )
     )

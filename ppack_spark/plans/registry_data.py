@@ -5160,3 +5160,316 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_hash_sample(
         docs, k=30, weight_col="n_chars", strata=["lang"]
     )
+
+
+# --------------------------------------------------------------------
+# E142-E145: BM25 ranked retrieval, per-host boilerplate removal,
+# exact prefix-filter Jaccard join, bounded-memory heavy hitters
+# --------------------------------------------------------------------
+
+# Fixed query workload for the BM25 gate: three queries over the
+# corpus vocabulary — common terms (high df, low idf), plus 'dup'
+# (the one rare vocabulary word, ~0.09 % of tokens) so the idf term
+# actually separates scores.
+_BM25_QUERIES: "list[tuple[int, str]]" = [
+    (1, "hash"), (1, "join"), (1, "table"),
+    (2, "window"), (2, "agg"), (2, "spark"),
+    (3, "dup"), (3, "merge"), (3, "customer"),
+]
+
+_BM25_Q_SQL = "values " + ", ".join(
+    f"({qid}, '{term}')" for qid, term in _BM25_QUERIES
+)
+
+
+@query(
+    "bm25_search",
+    f"""
+    with q as (
+        select cast(query_id as bigint) as query_id, term
+        from ({_BM25_Q_SQL}) as v(query_id, term)
+    ),
+    tok as (
+        select doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) as term
+        from documents
+    ),
+    tf as (
+        select doc_id, term, count(*) as tf
+        from tok
+        where term <> '' and term in (select distinct term from q)
+        group by doc_id, term
+    ),
+    dl as (
+        select doc_id,
+               case when text is null then null
+                    when length(trim(text)) = 0 then 0.0
+                    else len(string_split_regex(lower(trim(text)),
+                                                '\\s+'))::double
+               end as dl
+        from documents
+    ),
+    stats as (
+        select (select count(*) from documents)::double as n_docs,
+               (select avg(dl) from dl) as avgdl
+    ),
+    dfreq as (select term, count(*) as df from tf group by term),
+    scored as (
+        select q.query_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+               ), 6) as score
+        from tf
+        join dl on tf.doc_id = dl.doc_id
+        join dfreq d on tf.term = d.term
+        cross join stats s
+        join q on tf.term = q.term
+        group by q.query_id, tf.doc_id
+    )
+    select query_id, doc_id, score, cast(rank as bigint) as rank
+    from (
+        select *, row_number() over (
+            partition by query_id order by score desc, doc_id asc
+        ) as rank
+        from scored
+    ) where rank <= 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E142 — BM25 ranked keyword retrieval
+    (operators/search.py:bm25_topk): top-10 documents per query under
+    Okapi BM25 (k1=1.2, b=0.75, Lucene-smoothed idf). The corpus
+    token stream prunes through a broadcast semi-join on the query
+    terms before anything shuffles; N/avgdl/df are broadcast one-row
+    or query-term-sized frames; the final per-query top-k is a
+    rank-pruned window. The oracle replays tokenization, statistics,
+    and the scoring arithmetic term for term on the same fixed query
+    workload."""
+    from ..operators.search import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, term string")
+    return bm25_topk(docs, q, k=10)
+
+
+# Host-boilerplate fixture: ride the messy-URL population (hosts =
+# 21 canonical authorities) and plant two per-host banner lines at
+# controlled document frequencies — 80 % (above the 50 % threshold →
+# removed) and ~33 % (below → kept) — on top of the 8-word-rewrapped
+# document body. Both engines replay the derivation.
+_HOST_FX_SQL = _MESSY_URL_SQL + _CANON_URL_SQL + r""",
+    hostx as (
+        select doc_id,
+               case when canonical like '%://%'
+                    then regexp_extract(canonical,
+                             '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+                    else regexp_extract(canonical, '^([^/?#]*)', 1)
+               end as host
+        from canon
+    ),
+    hosts as (
+        select doc_id, case when host = '' then null else host end as host
+        from hostx
+    ),
+    fx as (
+        select d.doc_id, h.host,
+               concat_ws(chr(10),
+                   case when d.doc_id % 5 <> 0
+                        then 'cookie consent required on ' || h.host end,
+                   case when d.doc_id % 3 = 0
+                        then 'subscribe to ' || h.host || ' newsletter' end,
+                   array_to_string(
+                     list_transform(
+                       generate_series(0,
+                         cast(ceil(len(string_split(d.text, ' ')) / 8.0)
+                              as int) - 1),
+                       i -> array_to_string(
+                              list_slice(string_split(d.text, ' '),
+                                         i*8+1, i*8+8), ' ')),
+                     chr(10))
+               ) as text
+        from documents d join hosts h using (doc_id)
+    )
+"""
+
+
+@query(
+    "host_boilerplate",
+    _HOST_FX_SQL + r""",
+    hostn as (
+        select host, count(*) as host_n
+        from fx where host is not null and text is not null
+        group by host
+    ),
+    withls as (
+        select doc_id, host, string_split(text, chr(10)) as ls
+        from fx where host is not null and text is not null
+    ),
+    exploded as (
+        select doc_id, host, ls,
+               unnest(generate_series(1, len(ls))) as i
+        from withls
+    ),
+    lines as (
+        select doc_id, host, i - 1 as pos, ls[i] as line from exploded
+    ),
+    ldf as (
+        select host, md5(line) as h, count(distinct doc_id) as n_docs_with
+        from lines group by 1, 2
+    ),
+    boiler as (
+        select l.host, l.h
+        from ldf l join hostn n using (host)
+        where n.host_n >= 5 and l.n_docs_with >= 0.5 * n.host_n
+    ),
+    kept as (
+        select ln.doc_id, ln.pos, ln.line
+        from lines ln
+        anti join boiler b on ln.host = b.host and md5(ln.line) = b.h
+    ),
+    rebuilt as (
+        select doc_id, string_agg(line, chr(10) order by pos) as clean,
+               count(*) as n_kept
+        from kept group by doc_id
+    )
+    select f.doc_id, f.host,
+           case when f.text is null then null
+                when f.host is null then f.text
+                else coalesce(r.clean, '') end as text,
+           cast(case when f.text is null then null
+                     when f.host is null
+                     then len(string_split(f.text, chr(10)))
+                     else coalesce(r.n_kept, 0) end as bigint)
+               as n_lines_kept
+    from fx f left join rebuilt r using (doc_id)
+    """,
+)
+def host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E143 — per-host boilerplate line removal
+    (operators/pipeline.py:remove_host_boilerplate): lines appearing
+    in ≥ 50 % of a host's documents (hosts with ≥ 5 docs) vanish from
+    that host's documents only — the RefinedWeb cleanup between URL
+    dedup and content dedup. The fixture plants per-host banners at
+    80 % (removed) and ~33 % (kept) document frequency over the
+    rewrapped body; the oracle replays URL canonicalization, host
+    extraction, banner planting, the per-(host, line-hash) distinct-
+    doc counts, the threshold, and the reassembly."""
+    from ..functions.text import canonical_host, rewrap_lines
+    from ..operators.pipeline import remove_host_boilerplate
+
+    docs = t(spark, sf_dir, "documents")
+    u = _messy_urls(docs)
+    base = docs.select("doc_id", "text").join(u, "doc_id")
+    host_fx = canonical_host(F.col("url"))
+    fixture = base.select(
+        "doc_id",
+        "url",
+        F.concat_ws(
+            "\n",
+            F.when(
+                F.col("doc_id") % 5 != 0,
+                F.concat(F.lit("cookie consent required on "), host_fx),
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("subscribe to "), host_fx, F.lit(" newsletter")
+                ),
+            ),
+            rewrap_lines("text", 8),
+        ).alias("text"),
+    )
+    out = remove_host_boilerplate(
+        fixture, url_col="url", min_frac=0.5, min_host_docs=5
+    )
+    return out.select("doc_id", "host", "text", "n_lines_kept")
+
+
+@query(
+    "jaccard_prefix_pairs",
+    _SHINGLE_SQL + r""",
+    ssz as (
+        select doc_id, shingles, len(shingles) as sz
+        from sh where len(shingles) > 0
+    ),
+    ex as (select doc_id, sz, unnest(shingles) as tok from ssz),
+    dfq as (select tok, count(*) as df from ex group by tok),
+    ordr as (
+        select e.doc_id, e.sz, list(e.tok order by d.df, e.tok) as ord
+        from ex e join dfq d using (tok)
+        group by e.doc_id, e.sz
+    ),
+    pref as (
+        select doc_id, sz,
+               unnest(ord[1 : sz - cast(ceil(0.5 * sz) as int) + 1]) as tok
+        from ordr
+    ),
+    cand as (
+        select distinct a.doc_id as id_left, b.doc_id as id_right
+        from pref a join pref b on a.tok = b.tok
+        where a.doc_id < b.doc_id
+          and b.sz >= 0.5 * a.sz and a.sz >= 0.5 * b.sz
+    ),
+    ver as (
+        select c.id_left, c.id_right,
+               len(list_intersect(l.shingles, r.shingles))::double
+               / (len(l.shingles) + len(r.shingles)
+                  - len(list_intersect(l.shingles, r.shingles))) as jaccard
+        from cand c
+        join ssz l on c.id_left = l.doc_id
+        join ssz r on c.id_right = r.doc_id
+    )
+    select id_left, id_right, round(jaccard, 6) as jaccard
+    from ver where jaccard >= 0.5
+    """,
+)
+def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E144 — exact all-pairs Jaccard join via prefix filtering
+    (operators/dedup.py:jaccard_prefix_join, SSJoin/PPJoin): every
+    document pair with 3-gram Jaccard ≥ 0.5, found with NO blocking
+    key and NO LSH miss rate — candidates come from an equi-join on
+    each document's globally-rarest shingles (prefix-filter lemma),
+    length-filtered, then verified exactly JVM-side. The oracle
+    replays the rarity ordering, prefix extraction, candidate join,
+    and verification; the brute-force cross-check lives in
+    tests/test_dedup.py."""
+    from ..operators.dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(
+        t(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+
+
+@query(
+    "heavy_hitters",
+    r"""
+    with tok as (
+        select unnest(string_split_regex(lower(trim(text)), '\s+')) as term
+        from documents
+    ),
+    tokf as (select term from tok where term <> ''),
+    tot as (select count(*) as n from tokf)
+    select term, count(*) as n_occurrences,
+           round(count(*) * 1.0 / (select n from tot), 6) as share
+    from tokf group by term
+    having count(*) > 0.01 * (select n from tot)
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E145 — exact φ-heavy-hitter terms at bounded memory
+    (operators/pipeline.py:heavy_hitter_terms, Misra-Gries 1982 +
+    exact recount): every token above 1 % of the corpus token stream,
+    computed without ever shuffling the full vocabulary — per-
+    partition MG summaries (≤ ceil(1/φ) counters) union into a
+    candidate superset, candidates recount exactly via broadcast
+    semi-join. Output is exact and partition-layout-invariant; the
+    corpus vocabulary splits 30 common terms (~3.3 %, kept) vs 'dup'
+    (~0.09 %, dropped), so the threshold actually selects. The oracle
+    pays the full group-by-count this operator avoids."""
+    from ..operators.pipeline import heavy_hitter_terms
+
+    return heavy_hitter_terms(
+        t(spark, sf_dir, "documents"), phi=0.01
+    )

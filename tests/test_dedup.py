@@ -648,3 +648,92 @@ def test_lsh_bucket_cap_bounds_hot_bucket_fanout(spark):
 
     with pytest.raises(ValueError):
         minhash_lsh_pairs(df, max_bucket_size=1)
+
+
+# ---------------------------------------------------------- prefix join
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.strip().lower().split()
+    if len(toks) >= k:
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    return {" ".join(toks)}
+
+
+def test_prefix_join_matches_bruteforce_at_sf0001(spark):
+    """EXACTNESS: the prefix-filtered join must find every pair the
+    brute-force all-pairs Jaccard finds at the same threshold — no
+    LSH-style misses — on the real sf0.001 corpus."""
+    from conftest import SF_DIR
+
+    from ppack_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r["id_left"], r["id_right"]): r["jaccard"]
+        for r in jaccard_prefix_join(df, k=3, threshold=0.5).collect()
+    }
+    docs = [(r["doc_id"], r["text"]) for r in df.select("doc_id", "text").collect()]
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            (ia, ta), (ib, tb) = docs[i], docs[j]
+            sa, sb = _py_shingles(ta), _py_shingles(tb)
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= 0.5:
+                key = (min(ia, ib), max(ia, ib))
+                want[key] = round(jac, 6)
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key] - want[key]) < 1e-6
+
+
+def test_prefix_join_threshold_inclusive(spark):
+    """J exactly at the threshold is INCLUDED (>=): with k=1 token
+    sets, {'x'} vs {'x','y'} has J = 0.5 exactly."""
+    from ppack_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x y"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_left"], r["id_right"]): r["jaccard"]
+        for r in jaccard_prefix_join(df, k=1, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 0.5}
+
+
+def test_prefix_join_identical_docs(spark):
+    from ppack_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "completely different words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = jaccard_prefix_join(df, k=3, threshold=0.9).collect()
+    assert [(r["id_left"], r["id_right"], r["jaccard"]) for r in rows] == [
+        (1, 2, 1.0)
+    ]
+
+
+def test_prefix_join_null_text_dropped(spark):
+    from ppack_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a b c")], "doc_id long, text string"
+    )
+    assert jaccard_prefix_join(df, k=3, threshold=0.5).count() == 0
+
+
+def test_prefix_join_threshold_validated(spark):
+    import pytest
+
+    from ppack_spark.operators.dedup import jaccard_prefix_join
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        jaccard_prefix_join(df, threshold=0.0)

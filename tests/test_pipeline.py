@@ -1698,3 +1698,176 @@ def test_weighted_hash_sample(spark):
 
     with pytest.raises(ValueError):
         weighted_hash_sample(df, 0, "w")
+
+
+# ------------------------------------------------- host boilerplate
+def _hb_fixture(spark):
+    """Host A (6 docs): banner in 4/6 (>= 0.5, removed), minor line
+    in 2/6 (< 0.5, kept). Host B (3 docs < min_host_docs): a 100 %
+    line that must survive. Plus a null-url row and a null-text row."""
+    a = "https://a.example.com/p"
+    b = "https://b.example.com/p"
+    rows = [
+        (1, a + "1", "BANNER\nbody one"),
+        (2, a + "2", "BANNER\nbody two\nMINOR"),
+        (3, a + "3", "BANNER\nbody three"),
+        (4, a + "4", "BANNER\nbody four\nMINOR"),
+        (5, a + "5", "body five"),
+        (6, a + "6", "BANNER"),  # all-boilerplate doc -> empty text
+        (7, b + "1", "SMALLHOST\nbody seven"),
+        (8, b + "2", "SMALLHOST\nbody eight"),
+        (9, b + "3", "SMALLHOST\nbody nine"),
+        (10, None, "BANNER\nuntouched body"),
+        (11, a + "7", None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_host_boilerplate_removal_and_thresholds(spark):
+    from ppack_spark.operators.pipeline import remove_host_boilerplate
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_host_boilerplate(
+            _hb_fixture(spark), min_frac=0.5, min_host_docs=5
+        ).collect()
+    }
+    # BANNER appears in 5 of host A's 6 docs WITH text (doc 11's NULL
+    # text must not count toward the host doc total)
+    assert out[1]["text"] == "body one"
+    assert out[2]["text"] == "body two\nMINOR"  # MINOR at 2/6 kept
+    assert out[5]["text"] == "body five"
+    assert out[6]["text"] == ""  # every line was boilerplate
+    assert out[6]["n_lines_kept"] == 0
+    # host B below min_host_docs: untouched even at 100 % frequency
+    assert out[7]["text"] == "SMALLHOST\nbody seven"
+    # null url -> no host -> untouched, line count still reported
+    assert out[10]["host"] is None
+    assert out[10]["text"] == "BANNER\nuntouched body"
+    assert out[10]["n_lines_kept"] == 2
+    # null text stays null
+    assert out[11]["text"] is None
+    assert out[11]["n_lines_kept"] is None
+    assert out[1]["host"] == "a.example.com"
+
+
+def test_host_boilerplate_is_host_scoped(spark):
+    """A line boilerplate on host A must survive on host C even when
+    host C is large enough to qualify."""
+    from ppack_spark.operators.pipeline import remove_host_boilerplate
+
+    rows = [(i, f"https://a.ex.com/{i}", "SHARED\nbody a" + str(i)) for i in range(5)]
+    rows += [(100 + i, f"https://c.ex.com/{i}", f"unique {i} line") for i in range(4)]
+    rows += [(200, "https://c.ex.com/x", "SHARED\nbody c")]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_host_boilerplate(
+            df, min_frac=0.5, min_host_docs=5
+        ).collect()
+    }
+    assert out[0] == "body a0"  # removed on host A (5/5)
+    assert out[200] == "SHARED\nbody c"  # kept on host C (1/5)
+
+
+def test_host_boilerplate_preserves_row_count_and_columns(spark):
+    from ppack_spark.operators.pipeline import remove_host_boilerplate
+
+    df = _hb_fixture(spark)
+    out = remove_host_boilerplate(df, min_frac=0.5, min_host_docs=5)
+    assert out.count() == df.count()
+    assert out.columns == ["doc_id", "url", "text", "host", "n_lines_kept"]
+
+
+# ---------------------------------------------------- heavy hitters
+def _hh_tokens_df(spark, counts: dict[str, int], parts: int = 8):
+    words = []
+    for term, n in counts.items():
+        words.extend([term] * n)
+    # interleave deterministically so heavy terms spread across docs
+    words.sort()
+    docs = [
+        (i, " ".join(words[i::16])) for i in range(16) if words[i::16]
+    ]
+    return spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).repartition(parts)
+
+
+def test_heavy_hitters_exact_vs_plain_groupby(spark):
+    from ppack_spark.operators.pipeline import heavy_hitter_terms
+
+    counts = {"alpha": 400, "beta": 150, "gamma": 90}
+    counts.update({f"rare{i}": 3 for i in range(120)})
+    df = _hh_tokens_df(spark, counts)
+    total = sum(counts.values())
+    phi = 0.05
+    got = {
+        r["term"]: r["n_occurrences"]
+        for r in heavy_hitter_terms(df, phi=phi).collect()
+    }
+    want = {t: n for t, n in counts.items() if n > phi * total}
+    assert got == want
+
+
+def test_heavy_hitters_partition_layout_invariant(spark):
+    """The MG candidate SUPERSET varies with partitioning; the exact
+    recount + threshold must make the OUTPUT invariant."""
+    from ppack_spark.operators.pipeline import heavy_hitter_terms
+
+    counts = {"hot": 300, "warm": 60}
+    counts.update({f"noise{i}": 2 for i in range(200)})
+    results = []
+    for parts in (1, 5, 32):
+        df = _hh_tokens_df(spark, counts, parts=parts)
+        results.append(
+            sorted(
+                (r["term"], r["n_occurrences"], r["share"])
+                for r in heavy_hitter_terms(df, phi=0.1).collect()
+            )
+        )
+    assert results[0] == results[1] == results[2]
+    assert [t for t, _, _ in results[0]] == ["hot"]
+
+
+def test_heavy_hitters_capacity_guard(spark):
+    import pytest
+
+    from ppack_spark.operators.pipeline import heavy_hitter_terms
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        heavy_hitter_terms(df, phi=0.01, capacity=10)
+    with pytest.raises(ValueError):
+        heavy_hitter_terms(df, phi=1.5)
+
+
+def test_heavy_hitters_adversarial_singleton_flood(spark):
+    """Many distinct singletons force constant MG compaction; the
+    heavy term must still surface with its exact count (the classic
+    MG stress: decrements happen ~n/k times, never enough to erase a
+    term above n/(k+1))."""
+    from ppack_spark.operators.pipeline import heavy_hitter_terms
+
+    counts = {f"s{i}": 1 for i in range(3000)}
+    counts["heavy"] = 400
+    df = _hh_tokens_df(spark, counts, parts=4)
+    got = {
+        r["term"]: r["n_occurrences"]
+        for r in heavy_hitter_terms(df, phi=0.1).collect()
+    }
+    assert got == {"heavy": 400}
+
+
+def test_heavy_hitters_null_and_empty_text(spark):
+    from ppack_spark.operators.pipeline import heavy_hitter_terms
+
+    df = spark.createDataFrame(
+        [(1, "x x x"), (2, None), (3, ""), (4, "  ")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["term"], r["n_occurrences"], r["share"])
+        for r in heavy_hitter_terms(df, phi=0.5).collect()
+    ]
+    assert got == [("x", 3, 1.0)]
