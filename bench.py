@@ -199,6 +199,10 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs_ab",
     "corpus_delta_merge_fuzzy",
     "corpus_split",
+    "bm25_search",
+    "host_boilerplate",
+    "jaccard_prefix_pairs",
+    "heavy_hitters",
 ]
 
 

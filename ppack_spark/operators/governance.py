@@ -1,0 +1,192 @@
+"""Data-governance operators: privacy audits and release-gate
+validation for large-scale training-data pipelines.
+
+Three release pre-flights a dataset publisher runs before shipping:
+
+* **k-anonymity** (Sweeney 2002): does any quasi-identifier
+  combination isolate fewer than k records? ``k_anonymity_report``
+  audits, ``suppress_rare_groups`` enforces by suppression (drop the
+  rows whose quasi-identifier group is smaller than k — the standard
+  baseline treatment when generalization hierarchies aren't
+  available).
+* **expectation validation** (the Great-Expectations-style release
+  gate): declarative per-row predicates evaluated corpus-wide in ONE
+  aggregation pass, reported as violation counts/rates per rule.
+* **referential integrity**: orphan foreign keys between two tables
+  (the classic ETL regression a 100 TB ingest must catch before
+  training joins silently drop rows).
+
+Scale notes: the k-anonymity group table is keyed on the quasi
+columns (map-side partial agg; the violating-group set is tiny and
+broadcasts back for suppression); expectation validation is a single
+full scan folded into one 1-row aggregate — adding rules adds
+columns, not passes; the orphan check is one left-anti join on the
+key, AQE-broadcast when the parent's distinct key set fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "k_anonymity_report",
+    "suppress_rare_groups",
+    "validate_expectations",
+    "fk_orphans_report",
+]
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """One-row k-anonymity audit over the quasi-identifier columns.
+
+    A dataset is k-anonymous when every combination of the quasi
+    identifiers matches at least k records (Sweeney 2002). NULLs
+    group together (a NULL ZIP code is itself a quasi-identifier
+    value — both engines' GROUP BY agrees on that).
+
+    Returns one row: ``k, n_rows, n_groups, n_violating_groups,
+    rows_at_risk, min_group_size, is_k_anonymous`` — ``rows_at_risk``
+    is the number of records whose group is smaller than k (the rows
+    suppression would remove).
+
+    One groupBy on the quasi columns (map-side partial agg), then a
+    group-table-sized aggregate — the second pass never touches the
+    data again.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return groups.agg(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.coalesce(
+            F.sum((F.col("__n") < k).cast("long")), F.lit(0)
+        ).alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).cast("long").alias("rows_at_risk"),
+        F.min("__n").cast("long").alias("min_group_size"),
+        F.coalesce(F.min("__n") >= k, F.lit(True)).alias("is_k_anonymous"),
+    )
+
+
+def suppress_rare_groups(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Drop every row whose quasi-identifier group has fewer than
+    ``k`` members — suppression, the baseline k-anonymity treatment
+    when no generalization hierarchy is defined. Returns the input
+    columns unchanged for surviving rows.
+
+    The violating-group set (quasi values of groups with < k rows) is
+    small by construction at any realistic k; it comes back as a
+    left-anti join on the quasi columns. NULL-safe equality is used
+    in the join predicate so NULL-valued groups are suppressed
+    correctly too (a plain ``=`` would never match the NULL group and
+    silently keep it).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rare = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") < k)
+        .select(*[F.col(c).alias(f"__r_{c}") for c in quasi_cols])
+    )
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(rare[f"__r_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    return df.join(F.broadcast(rare), cond, "left_anti")
+
+
+def validate_expectations(
+    df: DataFrame, rules: "list[tuple[str, str | Column]]"
+) -> DataFrame:
+    """Evaluate declarative per-row expectations corpus-wide in ONE
+    aggregation pass — the release gate a dataset build runs last
+    ("no NULL keys, prices positive, quantities in range").
+
+    ``rules`` is a list of (rule_name, predicate) where the predicate
+    is a SQL boolean expression string (or a Column). A row VIOLATES
+    a rule when the predicate is not TRUE for it — NULL predicate
+    results count as violations (unknown is not a pass; this is the
+    conservative gate semantics, and both engines agree on it via an
+    explicit ``IS NOT TRUE``-shaped count).
+
+    Returns one row per rule: ``rule, n_rows, n_violations,
+    violation_rate`` (rate rounded to 6, 0.0 on an empty input).
+    The plan is a single scan folded into a 1-row conditional-sum
+    aggregate (adding rules adds COLUMNS, not passes), unpivoted to
+    the per-rule shape with ``stack`` — no shuffle at all beyond the
+    final 1-row exchange.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    names = [name for name, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names in {names}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n_rows")]
+    for i, (_, pred) in enumerate(rules):
+        p = F.expr(pred) if isinstance(pred, str) else pred
+        viol = F.when(p, F.lit(0)).otherwise(F.lit(1))
+        aggs.append(F.coalesce(F.sum(viol), F.lit(0)).alias(f"__v{i}"))
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{name}', __v{i}" for i, (name, _) in enumerate(rules)
+    )
+    return one.select(
+        F.expr(f"stack({len(rules)}, {pairs}) as (rule, n_violations)"),
+        F.col("__n_rows").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.when(F.col("n_rows") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_violations") / F.col("n_rows"), 6))
+        .alias("violation_rate"),
+    )
+
+
+def fk_orphans_report(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str | None = None,
+) -> DataFrame:
+    """Referential-integrity check: one row with the child's row
+    count, the number of ORPHAN rows (child key matches no parent
+    row), and the orphan rate (rounded to 6).
+
+    NULL child keys count as orphans — a NULL foreign key also drops
+    out of the training join this check exists to protect, and the
+    gate's job is to count every silently-lost row, whatever the
+    cause. One left-anti join on the key (AQE broadcasts the parent
+    key set when it fits) folded into a 1-row count.
+    """
+    pk = parent_key or child_key
+    orphans = child.select(F.col(child_key).alias("__k")).join(
+        parent.select(F.col(pk).alias("__k")).distinct(),
+        "__k",
+        "left_anti",
+    )
+    n_child = child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    n_orph = orphans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphans")
+    )
+    return n_child.crossJoin(n_orph).select(
+        "n_rows",
+        "n_orphans",
+        F.when(F.col("n_rows") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_orphans") / F.col("n_rows"), 6))
+        .alias("orphan_rate"),
+    )

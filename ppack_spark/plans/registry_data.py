@@ -5473,3 +5473,149 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitter_terms(
         t(spark, sf_dir, "documents"), phi=0.01
     )
+
+
+# --------------------------------------------------------------------
+# E146-E149: governance pre-flights — k-anonymity audit/suppression,
+# expectation validation, referential-integrity orphans
+# --------------------------------------------------------------------
+
+@query(
+    "k_anonymity_report",
+    """
+    with g as (
+        select c_nationkey, c_mktsegment, count(*) as n
+        from customer group by 1, 2
+    )
+    select cast(10 as bigint) as k,
+           cast(sum(n) as bigint) as n_rows,
+           cast(count(*) as bigint) as n_groups,
+           cast(sum(case when n < 10 then 1 else 0 end) as bigint)
+               as n_violating_groups,
+           cast(sum(case when n < 10 then n else 0 end) as bigint)
+               as rows_at_risk,
+           cast(min(n) as bigint) as min_group_size,
+           min(n) >= 10 as is_k_anonymous
+    from g
+    """,
+)
+def k_anonymity_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E146 — k-anonymity audit
+    (operators/governance.py:k_anonymity_report, Sweeney 2002): does
+    any (nationkey, mktsegment) quasi-identifier combination isolate
+    fewer than 10 customers? One groupBy on the quasi columns then a
+    group-table-sized rollup; 35 of the 125 groups violate at k=10 so
+    every output column carries signal. The oracle replays the group
+    table and the rollup arithmetic."""
+    from ..operators.governance import k_anonymity_report
+
+    c = t(spark, sf_dir, "customer")
+    return k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+@query(
+    "k_anonymity_suppress",
+    """
+    with g as (
+        select c_nationkey, c_mktsegment
+        from customer group by 1, 2 having count(*) < 10
+    )
+    select c.*
+    from customer c
+    anti join g
+      on c.c_nationkey is not distinct from g.c_nationkey
+     and c.c_mktsegment is not distinct from g.c_mktsegment
+    """,
+)
+def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E147 — k-anonymity suppression
+    (operators/governance.py:suppress_rare_groups): drop every row
+    whose quasi-identifier group has < 10 members — the baseline
+    treatment when no generalization hierarchy exists. The violating-
+    group set broadcasts back as a NULL-safe left-anti join; the
+    oracle replays the group filter and the anti join."""
+    from ..operators.governance import suppress_rare_groups
+
+    c = t(spark, sf_dir, "customer")
+    return suppress_rare_groups(c, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+_EXPECT_RULES: "list[tuple[str, str]]" = [
+    ("quantity_in_range", "l_quantity between 1 and 50"),
+    ("discount_le_6pct", "l_discount <= 0.06"),
+    ("tax_lt_discount", "l_tax < l_discount"),
+    ("shipdate_not_null", "l_shipdate is not null"),
+]
+
+
+@query(
+    "expectation_report",
+    f"""
+    with agg as (
+        select count(*) as n_rows,
+               {", ".join(
+                   f"sum(case when ({pred}) then 0 else 1 end) as v{i}"
+                   for i, (_, pred) in enumerate(_EXPECT_RULES)
+               )}
+        from lineitem
+    )
+    select rule, cast(n_rows as bigint) as n_rows,
+           cast(n_violations as bigint) as n_violations,
+           round(n_violations * 1.0 / n_rows, 6) as violation_rate
+    from (
+        {" union all ".join(
+            f"select '{name}' as rule, n_rows, v{i} as n_violations from agg"
+            for i, (name, _) in enumerate(_EXPECT_RULES)
+        )}
+    )
+    """,
+)
+def expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E148 — declarative expectation validation
+    (operators/governance.py:validate_expectations): four release-
+    gate rules over lineitem evaluated corpus-wide in ONE conditional-
+    sum aggregation pass (adding rules adds columns, not passes),
+    unpivoted to a per-rule report. Two rules pass clean and two
+    carry real violation rates, so the gate checks both tails. NULL
+    predicate results count as violations in both engines (explicit
+    not-TRUE counting). The oracle replays each rule's conditional
+    sum and the rate arithmetic."""
+    from ..operators.governance import validate_expectations
+
+    li = t(spark, sf_dir, "lineitem")
+    return validate_expectations(li, _EXPECT_RULES)
+
+
+@query(
+    "fk_orphans",
+    """
+    with par as (
+        select distinct o_orderkey from orders where o_orderkey % 10 <> 0
+    ),
+    orph as (
+        select count(*) as n
+        from lineitem l
+        anti join par p on l.l_orderkey = p.o_orderkey
+    )
+    select cast((select count(*) from lineitem) as bigint) as n_rows,
+           cast((select n from orph) as bigint) as n_orphans,
+           round((select n from orph) * 1.0
+                 / (select count(*) from lineitem), 6) as orphan_rate
+    """,
+)
+def fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E149 — referential-integrity orphan check
+    (operators/governance.py:fk_orphans_report): lineitem rows whose
+    order key matches no parent order — the ETL regression a 100 TB
+    ingest must catch before training joins silently drop rows. The
+    fixture drops every 10th order from the parent side so ~10 % of
+    lineitems are genuinely orphaned; one left-anti join on the key
+    folded into a 1-row count. NULL child keys count as orphans. The
+    oracle replays the parent filter, the anti join, and the rate."""
+    from ..operators.governance import fk_orphans_report
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 != 0
+    )
+    return fk_orphans_report(li, orders, "l_orderkey", "o_orderkey")

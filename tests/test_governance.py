@@ -1,0 +1,124 @@
+"""Governance-operator invariants (operators/governance.py): NULL
+quasi-identifier groups, empty inputs, violation semantics on NULL
+predicates — the edges the TPC-H-shaped oracle fixtures don't hold."""
+
+from __future__ import annotations
+
+import pytest
+
+from ppack_spark.operators.governance import (
+    fk_orphans_report,
+    k_anonymity_report,
+    suppress_rare_groups,
+    validate_expectations,
+)
+
+
+def _people(spark):
+    # (zip, age) quasi: group A has 3 rows, group B 1, NULL-zip 2
+    rows = [
+        (1, "111", 30),
+        (2, "111", 30),
+        (3, "111", 30),
+        (4, "222", 40),
+        (5, None, 50),
+        (6, None, 50),
+    ]
+    return spark.createDataFrame(rows, "id long, zip string, age long")
+
+
+def test_k_anonymity_report_counts(spark):
+    r = k_anonymity_report(_people(spark), ["zip", "age"], k=3).collect()[0]
+    assert r["n_rows"] == 6
+    assert r["n_groups"] == 3
+    assert r["n_violating_groups"] == 2  # ('222',40) size 1, (NULL,50) size 2
+    assert r["rows_at_risk"] == 3
+    assert r["min_group_size"] == 1
+    assert r["is_k_anonymous"] is False
+
+
+def test_k_anonymity_report_all_anonymous(spark):
+    r = k_anonymity_report(_people(spark), ["zip", "age"], k=1).collect()[0]
+    assert r["n_violating_groups"] == 0
+    assert r["rows_at_risk"] == 0
+    assert r["is_k_anonymous"] is True
+
+
+def test_k_anonymity_empty_input(spark):
+    df = spark.createDataFrame([], "id long, zip string, age long")
+    r = k_anonymity_report(df, ["zip"], k=5).collect()[0]
+    assert r["n_rows"] == 0 and r["n_groups"] == 0
+    assert r["is_k_anonymous"] is True
+    assert r["min_group_size"] is None
+
+
+def test_suppress_rare_groups_drops_null_group_too(spark):
+    """The NULL-zip group (size 2 < 3) must be suppressed — a plain
+    equality join would never match NULL and silently keep it."""
+    out = suppress_rare_groups(_people(spark), ["zip", "age"], k=3)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+    assert out.columns == ["id", "zip", "age"]
+
+
+def test_suppress_validates_args(spark):
+    df = _people(spark)
+    with pytest.raises(ValueError):
+        suppress_rare_groups(df, [], k=3)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ["zip"], k=0)
+
+
+def test_validate_expectations_null_predicate_is_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "id long, v double"
+    )
+    got = {
+        r["rule"]: (r["n_violations"], r["violation_rate"])
+        for r in validate_expectations(df, [("v_pos", "v > 0")]).collect()
+    }
+    # row 2 (NULL v) and row 3 (-1.0) both violate
+    assert got == {"v_pos": (2, round(2 / 3, 6))}
+
+
+def test_validate_expectations_multiple_rules_one_pass(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 500.0)], "id long, v double"
+    )
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in validate_expectations(
+            df, [("lt_100", "v < 100"), ("id_nn", "id is not null")]
+        ).collect()
+    }
+    assert got == {"lt_100": 1, "id_nn": 0}
+
+
+def test_validate_expectations_empty_input_rate_zero(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    r = validate_expectations(df, [("v_pos", "v > 0")]).collect()[0]
+    assert (r["n_rows"], r["n_violations"], r["violation_rate"]) == (0, 0, 0.0)
+
+
+def test_validate_expectations_guards(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        validate_expectations(df, [])
+    with pytest.raises(ValueError):
+        validate_expectations(df, [("a", "id > 0"), ("a", "id < 9")])
+
+
+def test_fk_orphans_nulls_count_as_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 99)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = fk_orphans_report(child, parent, "fk", "pk").collect()[0]
+    assert (r["n_rows"], r["n_orphans"]) == (4, 2)  # NULL fk + 99
+    assert r["orphan_rate"] == 0.5
+
+
+def test_fk_orphans_clean(spark):
+    child = spark.createDataFrame([(1, 10)], "id long, fk long")
+    parent = spark.createDataFrame([(10,), (10,)], "pk long")
+    r = fk_orphans_report(child, parent, "fk", "pk").collect()[0]
+    assert (r["n_orphans"], r["orphan_rate"]) == (0, 0.0)

@@ -129,6 +129,14 @@ QUERIES = [
     "ann_ivf_topk",
     "ann_pq_topk_scan",
     "ann_ivfpq_topk_scan",
+    # round-11 additions: BM25 retrieval (broadcast-pruned, linear),
+    # per-host boilerplate removal (host+line-hash keyed, linear),
+    # exact prefix-filter Jaccard join (candidates bounded by rare-
+    # shingle collisions), bounded-memory heavy hitters (MG + recount)
+    "bm25_search",
+    "host_boilerplate",
+    "jaccard_prefix_pairs",
+    "heavy_hitters",
     # relational / events
     "q1_pricing_summary",
     "top_orders_per_customer",
