@@ -203,6 +203,12 @@ BENCH_QUERIES = [
     "host_boilerplate",
     "jaccard_prefix_pairs",
     "heavy_hitters",
+    "k_anonymity_report",
+    "k_anonymity_suppress",
+    "expectation_report",
+    "fk_orphans",
+    "corpus_diff",
+    "join_size_estimate",
 ]
 
 

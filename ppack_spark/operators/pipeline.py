@@ -108,6 +108,8 @@ __all__ = [
     "weighted_hash_sample",
     "remove_host_boilerplate",
     "heavy_hitter_terms",
+    "corpus_diff",
+    "join_size_estimate",
 ]
 
 
@@ -2923,5 +2925,146 @@ def heavy_hitter_terms(
             F.round(F.col("n_occurrences") / F.col("__n_total"), 6).alias(
                 "share"
             ),
+        )
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the data-versioning
+    read an incremental pipeline publishes with every refresh ("what
+    changed since the last crawl"): per document id, whether it was
+    ``added``, ``removed``, ``changed`` (same id, different content),
+    or ``unchanged``.
+
+    Content identity is the same whitespace-normalized md5 the exact-
+    dedup family keys on (operators/dedup.py:content_hash), so "the
+    same text re-wrapped" reads unchanged, and a NULL text is its own
+    identity (two NULLs compare unchanged via NULL-safe equality).
+
+    Returns (id, status, old_hash, new_hash). Scale shape: each side
+    reduces to (id, 32-byte hash) in a map pass before the single
+    full-outer join on the id — document text never shuffles; the
+    summary ``groupBy status`` downstream is a 4-group aggregate.
+    Pairs with :func:`merge_corpus_delta` (which APPLIES a delta)
+    the way `dup_rate_report` pairs with the dedups — this one
+    EXPLAINS a delta.
+    """
+    from .dedup import content_hash
+
+    o = old.select(
+        F.col(id_col).alias("__id"), content_hash(text_col).alias("old_hash")
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"), content_hash(text_col).alias("new_hash")
+    )
+    joined = o.join(n, "__id", "full_outer")
+    # presence must be judged by side-membership, not hash nullness —
+    # a NULL-text doc has a NULL hash but IS present
+    o_present = old.select(F.col(id_col).alias("__id"), F.lit(True).alias("__in_old"))
+    n_present = new.select(F.col(id_col).alias("__id"), F.lit(True).alias("__in_new"))
+    full = (
+        o_present.join(n_present, "__id", "full_outer")
+        .join(joined, "__id", "left")
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return full.select(
+        F.col("__id").alias(id_col),
+        status.alias("status"),
+        "old_hash",
+        "new_hash",
+    )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: "list[str]",
+    right_keys: "list[str] | None" = None,
+) -> DataFrame:
+    """EXACT output-size prediction for an inner equi-join, computed
+    WITHOUT running the join — the pre-flight before a potentially
+    exploding join at 100 TB (|A ⋈ B| = Σ_k n_A(k)·n_B(k): a single
+    hot key with a million rows on each side is a 10¹²-row output no
+    cluster survives, and this 1-row report costs two key-table-sized
+    aggregations instead).
+
+    Returns one row: ``est_rows`` (exact for inner equi-join
+    semantics, NULL keys never match), ``n_keys_left/right/matching``
+    (distinct non-NULL key counts), ``max_key_rows`` (the hottest
+    key's contribution), and ``skew_ratio`` = max_key_rows/est_rows
+    rounded to 6 (≈1 means one key IS the join — salt it; ≈1/n_keys
+    means uniform). Sister to the single-table ``key_skew_report``
+    (blocking.py): that ranks one table's hot keys, this prices the
+    two-sided product.
+
+    Scale shape: one groupBy per side on the join keys (map-side
+    partial agg), an inner join of the two KEY TABLES (each far
+    smaller than its source), one 1-row rollup. NULL-keyed rows drop
+    before counting, matching inner-join semantics.
+    """
+    if not left_keys:
+        raise ValueError("left_keys must be non-empty")
+    rk = right_keys or left_keys
+    if len(rk) != len(left_keys):
+        raise ValueError(
+            f"key lists differ in length: {left_keys} vs {rk}"
+        )
+
+    def _counts(df: DataFrame, keys: "list[str]") -> DataFrame:
+        cond = None
+        for c in keys:
+            nn = F.col(c).isNotNull()
+            cond = nn if cond is None else (cond & nn)
+        return (
+            df.filter(cond)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+
+    lc = _counts(left, left_keys)
+    rc = _counts(right, rk).select(
+        *[F.col(c).alias(f"__rk_{i}") for i, c in enumerate(rk)],
+        F.col("__n").alias("__rn"),
+    )
+    on = None
+    for i, c in enumerate(left_keys):
+        eq = lc[c] == rc[f"__rk_{i}"]
+        on = eq if on is None else (on & eq)
+    matched = lc.join(rc, on).select(
+        (F.col("__n") * F.col("__rn")).alias("__contrib")
+    )
+    summary = matched.agg(
+        F.coalesce(F.sum("__contrib"), F.lit(0)).cast("long").alias("est_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys_matching"),
+        F.max("__contrib").cast("long").alias("max_key_rows"),
+    )
+    nl = lc.agg(F.count(F.lit(1)).cast("long").alias("n_keys_left"))
+    nr = rc.agg(F.count(F.lit(1)).cast("long").alias("n_keys_right"))
+    return (
+        summary.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "est_rows",
+            "n_keys_left",
+            "n_keys_right",
+            "n_keys_matching",
+            "max_key_rows",
+            F.when(F.col("est_rows") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("max_key_rows") / F.col("est_rows"), 6)
+            )
+            .alias("skew_ratio"),
         )
     )

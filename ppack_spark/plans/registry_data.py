@@ -5619,3 +5619,109 @@ def fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey") % 10 != 0
     )
     return fk_orphans_report(li, orders, "l_orderkey", "o_orderkey")
+
+
+# --------------------------------------------------------------------
+# E150-E151: corpus snapshot diff, exact join-size pre-flight
+# --------------------------------------------------------------------
+
+@query(
+    "corpus_diff",
+    r"""
+    with newt as (
+        select doc_id,
+               case when doc_id % 7 = 0 then text || ' appended-revision'
+                    else text end as text
+        from documents where doc_id % 11 <> 0
+        union all
+        select doc_id + 10000000 as doc_id, text
+        from documents where doc_id % 13 = 0
+    ),
+    oh as (
+        select doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   as old_hash
+        from documents
+    ),
+    nh as (
+        select doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                   as new_hash
+        from newt
+    )
+    select coalesce(o.doc_id, n.doc_id) as doc_id,
+           case when o.doc_id is null then 'added'
+                when n.doc_id is null then 'removed'
+                when o.old_hash is not distinct from n.new_hash
+                     then 'unchanged'
+                else 'changed' end as status,
+           o.old_hash, n.new_hash
+    from oh o full outer join nh n on o.doc_id = n.doc_id
+    """,
+)
+def corpus_diff_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E150 — corpus snapshot diff
+    (operators/pipeline.py:corpus_diff): per-document added / removed
+    / changed / unchanged between two corpus versions, keyed on the
+    same whitespace-normalized content hash the exact-dedup family
+    uses. The fixture derives the "new" snapshot deterministically
+    (every 11th doc removed, every 7th survivor edited, every 13th
+    re-added under a shifted id); each side reduces to (id, 32-byte
+    hash) in a map pass before the one full-outer join — text never
+    shuffles. The oracle replays derivation, hashing, and the status
+    CASE."""
+    from ..operators.pipeline import corpus_diff
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter(F.col("doc_id") % 11 != 0)
+    mutated = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" appended-revision")),
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+    )
+    return corpus_diff(docs, mutated.unionAll(added))
+
+
+@query(
+    "join_size_estimate",
+    """
+    with lc as (
+        select o_custkey as k, count(*) as n
+        from orders where o_custkey is not null group by 1
+    ),
+    rc as (
+        select user_id as k, count(*) as n
+        from events where user_id is not null group by 1
+    ),
+    m as (select lc.n * rc.n as contrib from lc join rc using (k))
+    select cast(coalesce((select sum(contrib) from m), 0) as bigint)
+               as est_rows,
+           cast((select count(*) from lc) as bigint) as n_keys_left,
+           cast((select count(*) from rc) as bigint) as n_keys_right,
+           cast((select count(*) from m) as bigint) as n_keys_matching,
+           cast((select max(contrib) from m) as bigint) as max_key_rows,
+           round((select max(contrib) from m) * 1.0
+                 / (select sum(contrib) from m), 6) as skew_ratio
+    """,
+)
+def join_size_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E151 — exact join-size pre-flight
+    (operators/pipeline.py:join_size_estimate): |orders ⋈ events on
+    custkey=user_id| predicted WITHOUT running the join — Σ_k
+    n_A(k)·n_B(k) over the two key tables, plus the hottest key's
+    contribution and skew ratio (the "salt this before it explodes"
+    number). Both sides have real per-key multiplicities so the
+    product sum is a genuine two-sided estimate; the oracle replays
+    both key tables, the product join, and the rollup."""
+    from ..operators.pipeline import join_size_estimate
+
+    orders = t(spark, sf_dir, "orders")
+    events = t(spark, sf_dir, "events")
+    return join_size_estimate(
+        orders, events, ["o_custkey"], ["user_id"]
+    )

@@ -1871,3 +1871,106 @@ def test_heavy_hitters_null_and_empty_text(spark):
         for r in heavy_hitter_terms(df, phi=0.5).collect()
     ]
     assert got == [("x", 3, 1.0)]
+
+
+# ------------------------------------------------------ corpus diff
+def test_corpus_diff_statuses(spark):
+    from ppack_spark.operators.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish"), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (4, "brand new"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",  # NULL text on both sides: same (absent) identity
+    }
+
+
+def test_corpus_diff_null_to_text_is_changed(spark):
+    from ppack_spark.operators.pipeline import corpus_diff
+
+    old = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "now real")], "doc_id long, text string")
+    assert corpus_diff(old, new).collect()[0]["status"] == "changed"
+
+
+def test_corpus_diff_whitespace_normalized_unchanged(spark):
+    from ppack_spark.operators.pipeline import corpus_diff
+
+    old = spark.createDataFrame([(1, "a  b\tc")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert corpus_diff(old, new).collect()[0]["status"] == "unchanged"
+
+
+# --------------------------------------------------- join size estimate
+def test_join_size_estimate_matches_actual_join(spark):
+    from ppack_spark.operators.pipeline import join_size_estimate
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "e")],
+        "k long, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "z"), (3, "w"), (None, "q")],
+        "k long, v string",
+    )
+    r = join_size_estimate(left, right, ["k"]).collect()[0]
+    actual = left.join(right.withColumnRenamed("v", "v2"), "k").count()
+    assert r["est_rows"] == actual == 7  # 2*3 + 1*1; NULLs never match
+    assert r["n_keys_left"] == 3 and r["n_keys_right"] == 2
+    assert r["n_keys_matching"] == 2
+    assert r["max_key_rows"] == 6
+    assert r["skew_ratio"] == round(6 / 7, 6)
+
+
+def test_join_size_estimate_disjoint_keys(spark):
+    from ppack_spark.operators.pipeline import join_size_estimate
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(2, "x")], "k long, v string")
+    r = join_size_estimate(left, right, ["k"]).collect()[0]
+    assert (r["est_rows"], r["n_keys_matching"], r["skew_ratio"]) == (
+        0,
+        0,
+        0.0,
+    )
+    assert r["max_key_rows"] is None
+
+
+def test_join_size_estimate_multi_key_and_renamed(spark):
+    from ppack_spark.operators.pipeline import join_size_estimate
+
+    left = spark.createDataFrame(
+        [(1, "p", "a"), (1, "p", "b"), (1, "q", "c")],
+        "k1 long, k2 string, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, "p", "x"), (1, "r", "y")], "j1 long, j2 string, v string"
+    )
+    r = join_size_estimate(
+        left, right, ["k1", "k2"], ["j1", "j2"]
+    ).collect()[0]
+    assert r["est_rows"] == 2  # (1,'p'): 2*1
+
+
+def test_join_size_estimate_key_length_guard(spark):
+    import pytest
+
+    from ppack_spark.operators.pipeline import join_size_estimate
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError):
+        join_size_estimate(df, df, ["k"], ["k", "v"])
+    with pytest.raises(ValueError):
+        join_size_estimate(df, df, [])
