@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "fk_orphans",
     "corpus_diff",
     "join_size_estimate",
+    "ann_ivf_append",
 ]
 
 

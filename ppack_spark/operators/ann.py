@@ -50,6 +50,8 @@ __all__ = [
     "cosine_topk_pq",
     "cosine_topk_ivfpq",
     "ivf_index_fixed",
+    "ivf_index_append",
+    "assign_to_centroids",
     "pq_train_fixed",
     "cosine_topk_pq_fixed",
     "cosine_topk_ivfpq_fixed",
@@ -262,6 +264,40 @@ def _assign_broadcast(base: DataFrame, cents: dict[int, list[float]], id_col: st
     return base.join(best, id_col).select(id_col, "__v", "centroid")
 
 
+def assign_to_centroids(
+    base: DataFrame,
+    cents: dict[int, list[float]],
+    id_col: str,
+    use_literal: bool | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment (argmin squared-L2, centroid-id
+    tie-break) against a driver-side centroid dict, routed by k: up
+    to ``LITERAL_ASSIGN_MAX_K`` centroids the distances unroll as
+    plan literals — a ZERO-SHUFFLE codegen projection (argmin via
+    array_min over (d2, centroid) structs, whose lexicographic
+    ordering IS the (d2 asc, centroid asc) tie-break the SQL oracle's
+    row_number replays); above, the broadcast-join + map-side-combined
+    min path (same zip_with+aggregate fold, so distances are
+    bit-identical either way). ``base`` carries (id, ``__v``
+    array<double>); returns (id, __v, centroid)."""
+    if use_literal is None:
+        use_literal = len(cents) <= LITERAL_ASSIGN_MAX_K
+    if not use_literal:
+        return _assign_broadcast(base, cents, id_col)
+    structs = []
+    for cid, vec in sorted(cents.items()):
+        lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+        d2 = F.aggregate(
+            F.zip_with(F.col("__v"), lit_vec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d2.alias("d"), F.lit(cid).alias("c")))
+    return base.withColumn(
+        "centroid", F.array_min(F.array(*structs))["c"]
+    ).select(id_col, "__v", "centroid")
+
+
 def ivf_index_fixed(
     corpus: DataFrame,
     dims: int,
@@ -330,32 +366,9 @@ def ivf_index_fixed(
     )
 
     def _assign(cents: dict[int, list[float]]) -> DataFrame:
-        if not use_literal:
-            return _assign_broadcast(base, cents, id_col)
-        # centroids are driver-side literals, so nearest-centroid is a
-        # ZERO-SHUFFLE projection: one codegen'd squared-L2 fold per
-        # centroid, argmin via array_min over (distance, centroid)
-        # structs — struct ordering is lexicographic, exactly the
-        # (d2 asc, centroid asc) tie-break the SQL oracle's row_number
-        # replays. The earlier crossJoin + per-vector-id window paid a
-        # join AND a full shuffle per round. BOUNDED BY
-        # ``LITERAL_ASSIGN_MAX_K``: the unrolled expression is
-        # n_centroids fold chains of dims literals each, and past a
-        # few hundred lists Catalyst analysis/codegen on the
-        # O(k·dims) tree stops being free — IVF-realistic k (4k-65k
-        # lists) routes to the broadcast-join assignment instead.
-        structs = []
-        for cid, vec in sorted(cents.items()):
-            lit_vec = F.array(*[F.lit(float(x)) for x in vec])
-            d2 = F.aggregate(
-                F.zip_with(F.col("__v"), lit_vec, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            structs.append(F.struct(d2.alias("d"), F.lit(cid).alias("c")))
-        return base.withColumn(
-            "centroid", F.array_min(F.array(*structs))["c"]
-        ).select(id_col, "__v", "centroid")
+        # shared with ivf_index_append — the k-routed (literal vs
+        # broadcast) argmin projection; see assign_to_centroids
+        return assign_to_centroids(base, cents, id_col, use_literal)
 
     prev = {i: list(r["__v"]) for i, r in enumerate(seed_rows)}
     for _ in range(iters):
@@ -393,6 +406,52 @@ def ivf_index_fixed(
         .select(*corpus.columns, "centroid")
     )
     return assigned, cent_df
+
+
+def ivf_index_append(
+    index,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incremental IVF maintenance: extend an existing index with a
+    batch of new vectors WITHOUT retraining — the FAISS ``add()``
+    contract (centroids frozen, new vectors routed to their nearest
+    existing list). A daily embedding ingest appends its delta in one
+    broadcast nearest-centroid map pass over the DELTA ONLY, instead
+    of re-running ``iters`` Lloyd rounds over the whole corpus — at
+    100 TB the retrain is O(iters × corpus) full scans and the append
+    is O(delta).
+
+    The assignment is the SAME k-routed argmin projection the trainer
+    uses (:func:`assign_to_centroids` — identical fp fold, identical
+    tie-break), so an appended index is bit-identical to what the
+    trainer would have assigned for those vectors against the same
+    centroids, and a SQL oracle can replay it. The quantizer does NOT
+    adapt: after appending a distribution-shifted delta comparable in
+    size to the training corpus, rebuild (standard IVF guidance; the
+    recall gate in tests/test_ann.py covers the appended path).
+
+    ``index`` is the ``(assigned, centroids)`` pair from
+    :func:`ivf_index` / :func:`ivf_index_fixed` (or a previous
+    append); returns the extended pair, centroids unchanged.
+    """
+    assigned, cent_df = index
+    cents = {
+        r["centroid"]: [float(x) for x in r["centroid_vec"]]
+        for r in cent_df.collect()
+    }
+    if not cents:
+        raise ValueError("ivf_index_append: index has no centroids")
+    base = new_vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    newly = (
+        assign_to_centroids(base, cents, id_col)
+        .join(new_vectors, id_col)
+        .select(*new_vectors.columns, "centroid")
+    )
+    return assigned.unionByName(newly), cent_df
 
 
 def cosine_topk_ivf(

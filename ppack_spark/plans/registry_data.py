@@ -5725,3 +5725,99 @@ def join_size_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_estimate(
         orders, events, ["o_custkey"], ["user_id"]
     )
+
+
+# --------------------------------------------------------------------
+# E152: incremental IVF index maintenance (append without retrain)
+# --------------------------------------------------------------------
+
+@query(
+    "ann_ivf_append",
+    f"""
+    with eall as (select vec_id, embedding from embeddings),
+    e as (select vec_id, embedding from eall where vec_id % 10 <> 0),
+    en as (select vec_id, embedding from eall where vec_id % 10 = 0),
+    c0 as (
+        select cast(rn - 1 as int) as centroid, cvec from (
+            select row_number() over (
+                       order by md5(cast(vec_id as varchar) || ':ivfseed'),
+                                vec_id
+                   ) as rn,
+                   list_transform(embedding, x -> x::double) as cvec
+            from e
+        ) where rn <= 8
+    ),{_ivf_assign_sql('c0', 'a1')},{_ivf_update_sql('a1', 'c0', 'c1')},
+    {_ivf_assign_sql('c1', 'a2')},{_ivf_update_sql('a2', 'c1', 'c2')},
+    {_ivf_assign_sql('c2', 'af')},
+    an as (
+        select vec_id, centroid from (
+            select n.vec_id, c.centroid,
+                   row_number() over (
+                       partition by n.vec_id order by
+                       list_reduce(list_transform(generate_series(1, 64),
+                           i -> (n.embedding[i]::double - c.cvec[i])
+                              * (n.embedding[i]::double - c.cvec[i])),
+                           (x, y) -> x + y) asc,
+                       c.centroid asc
+                   ) as rn
+            from en n cross join c2 c
+        ) where rn = 1
+    ),
+    lists as (select * from af union all select * from an),
+    qc as (
+        select q.vec_id as query_id, c.centroid,
+               {_cos_sql('q.embedding', 'c.cvec')} as cd
+        from eall q cross join c2 c
+        where q.vec_id < 5
+    ),
+    pr as (
+        select query_id, centroid from (
+            select *, row_number() over (
+                partition by query_id order by cd desc, centroid
+            ) as rn from qc
+        ) where rn <= 5
+    ),
+    scored as (
+        select p.query_id, l.vec_id as neighbor_id,
+               round({_cos_sql('qe.embedding', 'ce.embedding')}, 6) as cos_sim
+        from pr p
+        join lists l on p.centroid = l.centroid
+        join eall qe on qe.vec_id = p.query_id
+        join eall ce on ce.vec_id = l.vec_id
+        where p.query_id <> l.vec_id
+    )
+    select query_id, neighbor_id, cos_sim, rank from (
+        select *, row_number() over (
+            partition by query_id order by cos_sim desc, neighbor_id
+        ) as rank
+        from scored
+    ) where rank <= 10
+    """,
+)
+def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E152 — incremental IVF maintenance
+    (operators/ann.py:ivf_index_append, the FAISS add() contract):
+    train the deterministic quantizer on 90 % of the vectors, append
+    the other 10 % in ONE nearest-centroid map pass over the delta
+    (centroids frozen — no Lloyd retrain), then serve queries off the
+    merged inverted lists. The oracle replays the full train-side
+    index build, the delta assignment against the FINAL centroids,
+    the list union, probe selection, and re-rank — so 'appending is
+    bit-identical to what the trainer would have assigned' is
+    hash-checked, not asserted."""
+    from ..operators.ann import cosine_topk_ivf, ivf_index_append, ivf_index_fixed
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).select("vec_id", "embedding")
+    train = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    idx = ivf_index_fixed(train, dims=64, n_centroids=8, iters=2)
+    idx2 = ivf_index_append(idx, delta)
+    queries = e.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(
+        queries, e, k=10, n_probe=5, index=idx2
+    ).select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )

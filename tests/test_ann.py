@@ -405,3 +405,75 @@ def test_pq_fixed_trainer_bounds():
         ann.pq_train_fixed(None, m=7, k=4, dims=64)
     with pytest.raises(ValueError, match="literal projection bounded"):
         ann.pq_train_fixed(None, m=8, k=1000, dims=64)
+
+
+# ---------------------------------------------------------- ivf append
+def test_ivf_append_preserves_centroids_and_old_assignments(spark):
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.ann import ivf_index_append, ivf_index_fixed
+
+    from conftest import SF_DIR
+
+    e = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+    )
+    train = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    idx = ivf_index_fixed(train, dims=64, n_centroids=4, iters=1)
+    asg2, cents2 = ivf_index_append(idx, delta)
+    # centroids frozen
+    assert sorted(
+        (r["centroid"], tuple(r["centroid_vec"])) for r in idx[1].collect()
+    ) == sorted(
+        (r["centroid"], tuple(r["centroid_vec"])) for r in cents2.collect()
+    )
+    # original assignments unchanged, delta fully routed
+    old = {r["vec_id"]: r["centroid"] for r in idx[0].collect()}
+    new = {r["vec_id"]: r["centroid"] for r in asg2.collect()}
+    assert all(new[k] == v for k, v in old.items())
+    assert set(new) == {r["vec_id"] for r in e.collect()}
+
+
+def test_ivf_append_matches_trainer_assignment(spark):
+    """Appending a vector routes it to the SAME list the trainer's
+    final assignment pass would pick against the same centroids —
+    bit-identical argmin, not merely close."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.ann import ivf_index_append, ivf_index_fixed
+
+    from conftest import SF_DIR
+
+    e = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 60)
+    )
+    idx_full = ivf_index_fixed(e, dims=64, n_centroids=4, iters=0)
+    # iters=0: centroids are the raw seeds on any subset containing
+    # the same seed winners -> build on full, re-append a slice
+    sl = e.filter(F.col("vec_id") % 5 == 0)
+    base_wo = (idx_full[0].join(sl, "vec_id", "left_anti"), idx_full[1])
+    asg, _ = ivf_index_append(base_wo, sl)
+    full = {r["vec_id"]: r["centroid"] for r in idx_full[0].collect()}
+    got = {r["vec_id"]: r["centroid"] for r in asg.collect()}
+    assert got == full
+
+
+def test_ivf_append_empty_index_raises(spark):
+    import pytest
+
+    from ppack_spark.operators.ann import ivf_index_append
+
+    e = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [], "centroid int, centroid_vec array<double>"
+    )
+    with pytest.raises(ValueError):
+        ivf_index_append((e, cents), e)
