@@ -28,21 +28,31 @@ items 1-5 touch plus the stalest cohort; overlap with r10 < 50%"):
 slots go first to this round's NEVER-BOARDED gates (the r11 additions
 ``linkage_eval_report_scaled``/``corpus_stage_report_reuse``/
 ``url_canonicalize``/``url_dedup``/``url_host_report``/
-``ks_drift_report``, plus the two late-r10 gates whose registration
-postdated the r10 board snapshot, ``cluster_size_histogram``/
-``psi_cat_drift_report``), then to gates r11 items TOUCHED
-(``ari_quality`` — the grouping-sets single-execution rewrite;
-``psi_drift_report`` — the constant-reference degenerate rule changed
-in engine AND oracle; ``corpus_stage_report`` — the reuse-mode edit
-shares its function body; ``near_dedup_keep_best``/
+``ks_drift_report``/``events_asof_tolerance``/``weighted_sample``,
+the two late-r10 gates whose registration postdated the r10 board
+snapshot, ``cluster_size_histogram``/``psi_cat_drift_report``, and
+the eleven operators added mid-r11 after the first rotation pass —
+``bm25_search``/``host_boilerplate``/``jaccard_prefix_pairs``/
+``heavy_hitters``/``k_anonymity_report``/``k_anonymity_suppress``/
+``expectation_report``/``fk_orphans``/``corpus_diff``/
+``join_size_estimate``/``ann_ivf_append``), then to gates r11 items
+TOUCHED (``ari_quality`` — the grouping-sets single-execution
+rewrite; ``psi_drift_report`` — the constant-reference degenerate
+rule changed in engine AND oracle; ``corpus_stage_report`` — the
+reuse-mode edit shares its function body; ``near_dedup_keep_best``/
 ``corpus_delta_merge_fuzzy`` — the r10 bench-drift adjudication
-cohort, now also on the scale-proof roster), then to 35 of the 42
-r8-stale gates (every name whose last driver row is two-plus rounds
-old; the 7 deferred to r12 — ``jsonl_roundtrip``/``corpus_shuffle``/
+cohort, now also on the scale-proof roster), then to 24 of the 42
+r8-stale gates.  18 stale names defer to r12: the 7 from the first
+rotation pass (``jsonl_roundtrip``/``corpus_shuffle``/
 ``events_funnel``/``events_cohort_retention``/``temperature_mix``/
-``top_term_coverage`` (displaced late by the r11 additions
-``events_asof_tolerance``/``weighted_sample``) — are untouched
-pure-relational gates with no changed code path anywhere near them).
+``top_term_coverage``/...) plus the 11 displaced by the mid-round
+additions (``ann_ivfpq_topk``/``ann_pq_topk``/
+``blocking_estimate_scaled``/``blocking_multi_pass``/
+``comparison_vectors``/``dedup_clusters_star``/``dup_rate_report``/
+``jw_comparator_buckets``/``minhash_jaccard_est``/
+``sample_uniform_hash``/``threshold_rank``) — all untouched
+pure-relational gates with no changed code path anywhere near them,
+still covered by the full census every round.
 Overlap with the r10 board: 4 of 50 (``ari_quality``/
 ``psi_drift_report``/``corpus_stage_report``/
 ``corpus_delta_merge_fuzzy``, each re-boarded because its
@@ -69,25 +79,28 @@ BOARD: list[str] = [
     "weighted_sample",
     "cluster_size_histogram",
     "psi_cat_drift_report",
+    "bm25_search",
+    "host_boilerplate",
+    "jaccard_prefix_pairs",
+    "heavy_hitters",
+    "k_anonymity_report",
+    "k_anonymity_suppress",
+    "expectation_report",
+    "fk_orphans",
+    "corpus_diff",
+    "join_size_estimate",
+    "ann_ivf_append",
     # -- touched by r11 items (fresh rows vs changed code) --
     "ari_quality",
     "psi_drift_report",
     "corpus_stage_report",
     "near_dedup_keep_best",
     "corpus_delta_merge_fuzzy",
-    # -- 35 of the r8-stale cohort --
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "blocking_estimate_scaled",
-    "blocking_multi_pass",
+    # -- 24 of the r8-stale cohort --
     "blocking_multi_pass_scaled",
-    "comparison_vectors",
     "comparison_vectors_scaled",
     "dedup_clusters",
     "dedup_clusters_adaptive",
-    "dedup_clusters_star",
-    "dup_rate_report",
-    "jw_comparator_buckets",
     "jw_scaled_buckets",
     "jw_sql_buckets",
     "line_dedup_corpus",
@@ -97,7 +110,6 @@ BOARD: list[str] = [
     "lm_quality_score",
     "match_weight_scoring_scaled",
     "media_near_dedup",
-    "minhash_jaccard_est",
     "minhash_lsh_pairs_ab",
     "minhash_lsh_pairs_wide",
     "near_dedup_corpus_wide",
@@ -107,9 +119,7 @@ BOARD: list[str] = [
     "repeated_spans",
     "repetition_signals",
     "sample_stratified_quota",
-    "sample_uniform_hash",
     "simhash_near_dup_wide64",
-    "threshold_rank",
     "threshold_topk",
 ]
 

@@ -362,6 +362,10 @@ def test_registry_wide_plan_invariants(spark, tables, queries):
         "ann_pq_topk_scan", "ann_ivfpq_topk_scan",
         # JW approx tier: prefilter feeds the same Arrow kernel
         "jw_approx_buckets", "jw_scaled_buckets",
+        # Misra-Gries summary pass: Arrow-batched by design — the
+        # bounded-memory candidate sweep IS the operator (E145); the
+        # exact recount that follows is pure codegen
+        "heavy_hitters",
     }
     failures = []
     for name, fn in queries.items():
@@ -398,3 +402,33 @@ def test_plan_cost_report_census(spark, tables, queries):
     assert blocking["n_shuffles"] >= 1
     assert not blocking["has_python_udf"]
     assert blocking["n_scans"] >= 1
+
+
+def test_bm25_plan_shape(spark, tables, queries):
+    """BM25's top-k must be rank-pruned (WindowGroupLimit, never a
+    full per-query sort); the query-term prune and the stats frames
+    must arrive as broadcasts; no Python anywhere in the plan."""
+    plan = _plan(queries["bm25_search"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_host_boilerplate_plan_broadcasts_host_totals(spark, tables, queries):
+    """The per-host doc totals are a host-table-sized frame and must
+    broadcast into the boilerplate filter, not shuffle the line
+    table."""
+    plan = _plan(queries["host_boilerplate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark, tables, queries):
+    """Pass 2's candidate recount must reach the token stream as a
+    broadcast join (candidates are <= capacity x partitions rows) —
+    the full-vocabulary shuffle this operator exists to avoid must
+    not appear as a sort-merge join on the term."""
+    plan = _plan(queries["heavy_hitters"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
