@@ -31,7 +31,11 @@ round-5/6 verdicts traced to the harness itself):
   round — the round-8 verdict traced a 1.2-1.4x FS-spine drift to
   exactly that (5 new roster entries shifted the heavy linkage gates
   into different groups). With name-hashed groups, adding a query
-  perturbs only the one group it hashes into.
+  perturbs only the one FIRST-LEVEL group it hashes into — but if
+  that group is oversized, the second-level sub-split's bucket count
+  depends on group size, so co-residency inside that one group can
+  still reshuffle when the addition crosses a size bracket (see the
+  sub-split stability caveat at the `_split` definition below).
 * **quarantined stderr** — the driver's tail capture merges stdout
   and stderr, so a JVM stack trace (task retry, benign) could bury
   the metric line or mask a real failure. Child stderr is captured by

@@ -1091,6 +1091,9 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    block_col: str | None = None,
+    df_buckets: int | None = 1 << 16,
+    strict: bool = False,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard join at ``threshold`` via prefix
     filtering (Chaudhuri/Ganti/Kaushik SSJoin 2006; Xiao et al.
@@ -1100,41 +1103,81 @@ def jaccard_prefix_join(
     key required.
 
     The filter: order each document's distinct ``k``-shingle set by
-    global rarity (document frequency asc, shingle asc — a total
-    order both engines can replay), and keep only the first
+    a global rarity proxy (frequency asc, shingle asc — a consistent
+    total order), and keep only the first
     ``|S| − ceil(t·|S|) + 1`` shingles as the document's PREFIX. If
     J(A,B) ≥ t then |A∩B| ≥ t·|A∪B| ≥ ceil(t·max(|A|,|B|)), and by
     the prefix-filter lemma the two prefixes must share a shingle —
     so an equi-join on prefix shingles alone produces a candidate
-    superset. Because prefixes hold each document's RAREST shingles,
-    the join keys are by construction the low-frequency end of the
-    vocabulary: hot shingles (boilerplate n-grams shared by
-    everything) never become join keys, which is what kills the
-    quadratic blow-up a naive token-join has at 100 TB. A length
+    superset. The lemma holds for ANY consistent total order of the
+    shingle universe; frequency-ascending is purely a candidate-
+    quality heuristic, so the OUTPUT (every pair with J ≥ t, exactly
+    verified) is invariant to how frequencies are obtained. A length
     filter (t·|A| ≤ |B| ≤ |A|/t, a necessary condition for J ≥ t)
     prunes candidates before verification; survivors verify exactly
     with one JVM-side array_intersect over the full shingle sets.
 
-    Shuffle shape: one explode+groupBy for document frequencies
-    (map-side partial agg over shingle hashes), one per-document
-    collect_list to order shingles (keyed by doc id — linear), the
-    prefix equi-join (keyed by rare shingles), and the verification
-    join carrying the full shingle arrays only for candidate ids.
-    Pairs are verified once (id_left < id_right).
+    ``df_buckets`` (default 2^16) bounds the frequency pass for 100 TB:
+    instead of a groupBy over the FULL shingle vocabulary (billions of
+    distinct k-grams in a web corpus — the one stage of the r11 plan
+    that was not sublinear-by-key), shingles hash into ``df_buckets``
+    buckets and the ordering key is the BUCKET count — the group table
+    is fixed-size (map-side partial agg emits ≤ df_buckets rows per
+    task), it BROADCASTS back (so the corpus token stream never
+    shuffles for the df join either — two full-vocabulary shuffles
+    removed), and hot shingles still sort last because their buckets
+    are hot. Rare shingles colliding with a hot bucket merely fall out
+    of the prefix in favor of other rare shingles — candidate quality
+    degrades gracefully with bucket count, correctness not at all.
+    Pass ``df_buckets=None`` for the exact-df ordering (small corpora
+    / the tightest prefixes).
 
-    Returns (id_left, id_right, jaccard ≥ threshold), jaccard exact
-    and rounded to 6. Cross-checked against the brute-force
+    ``block_col`` optionally restricts pairs to equal blocking keys:
+    the key joins into the candidate equi-join (tok AND block must
+    match), so prefix filtering and blocking compose — strictly fewer
+    candidates than either alone, the scale-safe replacement for a
+    within-block all-pairs join.
+
+    Shuffle shape: one fixed-size bucket-count aggregate (broadcast
+    back), one per-document collect_list to order shingles (keyed by
+    doc id — linear), the prefix equi-join (keyed by rare shingles),
+    and the verification join carrying the full shingle arrays only
+    for candidate ids. Pairs are verified once (id_left < id_right).
+
+    Returns (id_left, id_right, jaccard ≥ threshold — or > threshold
+    when ``strict``, applied to the UNROUNDED value so the boundary
+    matches an oracle's open interval), jaccard exact and rounded
+    to 6. Cross-checked against the brute-force
     ``ngram_jaccard_pairs`` in tests/test_dedup.py.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = float(threshold)
+    blk = [F.col(block_col).alias("__blk")] if block_col else []
     sh = spread(df).select(
-        F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("sh")
+        F.col(id_col).alias("__id"), *blk, word_shingles(text_col, k).alias("sh")
     )
     sh = sh.filter(F.size("sh") > 0).withColumn("sz", F.size("sh"))
-    ex = sh.select("__id", "sz", F.explode("sh").alias("tok"))
-    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    bcols = ["__blk"] if block_col else []
+    ex = sh.select("__id", *bcols, "sz", F.explode("sh").alias("tok"))
+    if df_buckets is None:
+        dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        with_df = ex.join(dfreq, "tok")
+    else:
+        b = int(df_buckets)
+        if b < 2:
+            raise ValueError(f"df_buckets must be >= 2, got {df_buckets}")
+        bucket = F.pmod(F.crc32(F.col("tok")), F.lit(b))
+        bfreq = (
+            ex.select(bucket.alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        with_df = (
+            ex.withColumn("__b", bucket)
+            .join(F.broadcast(bfreq), "__b")
+            .drop("__b")
+        )
     pref_len = (
         F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + F.lit(1)
     )
@@ -1143,17 +1186,21 @@ def jaccard_prefix_join(
         lambda s: s["tok"],
     )
     prefixes = (
-        ex.join(dfreq, "tok")
-        .groupBy("__id", "sz")
+        with_df
+        .groupBy("__id", *bcols, "sz")
         .agg(ordered.alias("__ord"))
         .select(
-            "__id", "sz", F.slice(F.col("__ord"), 1, pref_len).alias("prefix")
+            "__id", *bcols, "sz",
+            F.slice(F.col("__ord"), 1, pref_len).alias("prefix"),
         )
     )
-    pex = prefixes.select("__id", "sz", F.explode("prefix").alias("tok"))
-    a, b = pex.alias("a"), pex.alias("b")
+    pex = prefixes.select("__id", *bcols, "sz", F.explode("prefix").alias("tok"))
+    a, b2 = pex.alias("a"), pex.alias("b")
+    on = F.col("a.tok") == F.col("b.tok")
+    if block_col:
+        on = on & (F.col("a.__blk") == F.col("b.__blk"))
     cand = (
-        a.join(b, F.col("a.tok") == F.col("b.tok"))
+        a.join(b2, on)
         .filter(
             (F.col("a.__id") < F.col("b.__id"))
             & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
@@ -1175,6 +1222,8 @@ def jaccard_prefix_join(
         cand.join(left, "id_left")
         .join(right, "id_right")
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= F.lit(t))
+        .filter(
+            F.col("jaccard") > F.lit(t) if strict else F.col("jaccard") >= F.lit(t)
+        )
         .select("id_left", "id_right", F.round("jaccard", 6).alias("jaccard"))
     )

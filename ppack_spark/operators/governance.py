@@ -17,8 +17,10 @@ Three release pre-flights a dataset publisher runs before shipping:
   training joins silently drop rows).
 
 Scale notes: the k-anonymity group table is keyed on the quasi
-columns (map-side partial agg; the violating-group set is tiny and
-broadcasts back for suppression); expectation validation is a single
+columns (map-side partial agg; the violating-group set rejoins via a
+left-anti join whose strategy AQE picks at runtime — it can be nearly
+the whole table when quasi-identifiers are near-unique, so it is
+never force-broadcast); expectation validation is a single
 full scan folded into one 1-row aggregate — adding rules adds
 columns, not passes; the orphan check is one left-anti join on the
 key, AQE-broadcast when the parent's distinct key set fits.
@@ -85,12 +87,15 @@ def suppress_rare_groups(
     when no generalization hierarchy is defined. Returns the input
     columns unchanged for surviving rows.
 
-    The violating-group set (quasi values of groups with < k rows) is
-    small by construction at any realistic k; it comes back as a
-    left-anti join on the quasi columns. NULL-safe equality is used
-    in the join predicate so NULL-valued groups are suppressed
-    correctly too (a plain ``=`` would never match the NULL group and
-    silently keep it).
+    The violating-group frame comes back as a left-anti join on the
+    quasi columns. No broadcast hint: for realistic quasi-identifiers
+    (the Sweeney zip+DOB+sex case, where most groups are near-unique)
+    the <k set is nearly the WHOLE table, so forcing a broadcast would
+    OOM exactly on the datasets this audit exists to catch — AQE picks
+    broadcast at runtime when (and only when) the set is actually
+    small. NULL-safe equality is used in the join predicate so
+    NULL-valued groups are suppressed correctly too (a plain ``=``
+    would never match the NULL group and silently keep it).
     """
     if not quasi_cols:
         raise ValueError("quasi_cols must be non-empty")
@@ -106,7 +111,7 @@ def suppress_rare_groups(
     for c in quasi_cols:
         eq = df[c].eqNullSafe(rare[f"__r_{c}"])
         cond = eq if cond is None else (cond & eq)
-    return df.join(F.broadcast(rare), cond, "left_anti")
+    return df.join(rare, cond, "left_anti")
 
 
 def validate_expectations(
@@ -135,6 +140,13 @@ def validate_expectations(
     names = [name for name, _ in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names in {names}")
+    for name in names:
+        # rule names are interpolated into the stack() unpivot below;
+        # quotes/backslashes would break (or inject into) that SQL
+        if "'" in name or "\\" in name:
+            raise ValueError(
+                f"rule name {name!r} must not contain quotes or backslashes"
+            )
     aggs = [F.count(F.lit(1)).cast("long").alias("__n_rows")]
     for i, (_, pred) in enumerate(rules):
         p = F.expr(pred) if isinstance(pred, str) else pred

@@ -2896,6 +2896,17 @@ def heavy_hitter_terms(
         counters: dict[str, int] = {}
         for pdf in batches:
             vc = pdf["term"].value_counts()
+            # compact the batch's own exact summary to <= k entries
+            # BEFORE merging, so the running dict stays O(capacity)
+            # rather than O(distinct terms per Arrow batch): value_counts
+            # is sorted descending, so subtracting its (k+1)-th largest
+            # count is the same mergeable-summaries rule applied to the
+            # batch summary — the removed mass comes out of the same
+            # n/(k+1) budget, so the superset guarantee is unchanged
+            if len(vc) > k:
+                cut = int(vc.iloc[k])
+                vc = vc - cut
+                vc = vc[vc > 0]
             for term, cnt in vc.items():
                 counters[term] = counters.get(term, 0) + int(cnt)
             if len(counters) > k:
@@ -2956,21 +2967,21 @@ def corpus_diff(
     """
     from .dedup import content_hash
 
+    # presence flags ride the hash frames, so ONE full-outer join on
+    # the id decides membership and content identity together — a
+    # NULL-text doc has a NULL hash but IS present, which is why
+    # presence is judged by the flag, not by hash nullness
     o = old.select(
-        F.col(id_col).alias("__id"), content_hash(text_col).alias("old_hash")
+        F.col(id_col).alias("__id"),
+        content_hash(text_col).alias("old_hash"),
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
-        F.col(id_col).alias("__id"), content_hash(text_col).alias("new_hash")
+        F.col(id_col).alias("__id"),
+        content_hash(text_col).alias("new_hash"),
+        F.lit(True).alias("__in_new"),
     )
-    joined = o.join(n, "__id", "full_outer")
-    # presence must be judged by side-membership, not hash nullness —
-    # a NULL-text doc has a NULL hash but IS present
-    o_present = old.select(F.col(id_col).alias("__id"), F.lit(True).alias("__in_old"))
-    n_present = new.select(F.col(id_col).alias("__id"), F.lit(True).alias("__in_new"))
-    full = (
-        o_present.join(n_present, "__id", "full_outer")
-        .join(joined, "__id", "left")
-    )
+    full = o.join(n, "__id", "full_outer")
     status = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))
         .when(F.col("__in_new").isNull(), F.lit("removed"))

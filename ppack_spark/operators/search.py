@@ -53,8 +53,10 @@ def bm25_topk(
         score(q, d) = Σ_{t ∈ q}  idf(t) · tf(t,d)·(k1+1)
                                  / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
 
-    with N = corpus size, df = documents containing the term, |d| =
-    document length in tokens, avgdl the corpus mean length. The
+    with N = searchable corpus size (non-NULL-text documents — the
+    same population avgdl averages), df = documents containing the
+    term, |d| = document length in tokens, avgdl the corpus mean
+    length over non-NULL docs. The
     +0.5/+1 smoothing is the Lucene/standard variant whose idf stays
     positive for any df. Documents matching no query term score 0 and
     are not returned; NULL text never matches.
@@ -87,8 +89,12 @@ def bm25_topk(
     dl = docs.select(
         F.col(id_col), token_count(text_col).cast("double").alias("dl")
     )
+    # N counts non-NULL-text documents only, so it describes the same
+    # population avgdl averages over (token_count is NULL for NULL
+    # text, and F.avg skips NULLs): a corpus with many NULL-text rows
+    # must not inflate idf relative to the searchable corpus
     stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.count(F.col(text_col)).cast("double").alias("n_docs"),
         F.avg(token_count(text_col)).alias("avgdl"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -21,9 +21,9 @@ from ..functions.text import (
 from ..operators.ann import cosine, cosine_topk, embedding_near_dup_pairs
 from ..operators.dedup import (
     exact_dedup_groups,
+    jaccard_prefix_join,
     minhash_lsh_pairs,
     minhash_signature,
-    ngram_jaccard_pairs,
     simhash_df,
     simhash_pairs,
 )
@@ -683,9 +683,23 @@ _register_dedup_clusters_adaptive()
     """,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs within source blocks."""
-    return ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), block_col="source", k=3, threshold=0.5
+    """Exact 3-gram Jaccard near-dup pairs within source blocks.
+
+    Since r12 the registered plan is the PPJoin prefix-filter join
+    with the source block composed into the candidate equi-join
+    (operators/dedup.py:jaccard_prefix_join, block_col="source") —
+    candidate generation is keyed on rare shingles AND the block, not
+    block-quadratic. The brute-force within-block all-pairs variant
+    (ngram_jaccard_pairs) remains the parity oracle in
+    tests/test_dedup.py. Output is identical by the prefix-filter
+    lemma (exact verify; strict=True applies the oracle's open
+    interval > 0.5 on the unrounded value)."""
+    return jaccard_prefix_join(
+        t(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+        block_col="source",
+        strict=True,
     ).select("id_left", "id_right", "jaccard")
 
 
@@ -5210,7 +5224,7 @@ _BM25_Q_SQL = "values " + ", ".join(
         from documents
     ),
     stats as (
-        select (select count(*) from documents)::double as n_docs,
+        select (select count(text) from documents)::double as n_docs,
                (select avg(dl) from dl) as avgdl
     ),
     dfreq as (select term, count(*) as df from tf group by term),

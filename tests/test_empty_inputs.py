@@ -28,6 +28,7 @@ REQUIRES_DATA = {
     # empty query set should not pay for (or crash on) codebook
     # training. Its corpus-empty/queries-nonempty path still raises.
     "ann_ivf_topk": "empty",
+    "ann_ivf_append": "empty",
     "ann_ivfpq_topk": "empty",
     "ann_pq_topk_scan": "empty",
     "ann_ivfpq_topk_scan": "empty",
