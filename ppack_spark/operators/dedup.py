@@ -50,6 +50,7 @@ __all__ = [
     "jaccard_similarity",
     "ngram_jaccard_pairs",
     "jaccard_prefix_join",
+    "jaccard_prefix_join_ab",
     "simhash_df",
     "simhash_pairs",
     "near_dup_components",
@@ -1226,4 +1227,116 @@ def jaccard_prefix_join(
             F.col("jaccard") > F.lit(t) if strict else F.col("jaccard") >= F.lit(t)
         )
         .select("id_left", "id_right", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def jaccard_prefix_join_ab(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    df_buckets: int | None = 1 << 16,
+) -> DataFrame:
+    """EXACT cross-corpus set-similarity join: every (A-doc, B-doc)
+    pair with ``k``-shingle Jaccard ≥ ``threshold`` — the
+    deterministic twin of :func:`minhash_lsh_pairs_ab` (which misses
+    pairs at the banding's miss rate) via the same prefix filter as
+    :func:`jaccard_prefix_join` (SSJoin 2006 / PPJoin 2008, here in
+    its R-S join form).
+
+    The two sides MUST order their shingles by the SAME total order
+    for the prefix lemma to hold across corpora, so the frequency
+    table is computed over the UNION of both token streams (bucketed
+    to ``df_buckets`` groups — fixed-size, broadcast back; see
+    :func:`jaccard_prefix_join` for why the ordering is free to be
+    approximate: the output is exact regardless, candidates verify
+    against the full shingle sets).
+
+    The canonical consumers: exact fuzzy decontamination (drop
+    training docs near-identical to an eval/benchmark doc — see
+    ``pipeline.decontaminate_fuzzy``) and cross-snapshot fuzzy
+    matching where a miss has compliance cost and LSH's probabilistic
+    recall is not acceptable.
+
+    Returns (id_a, id_b, jaccard) with jaccard exact, rounded to 6.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+
+    def _sh(d: DataFrame) -> DataFrame:
+        s = spread(d).select(
+            F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("sh")
+        )
+        return s.filter(F.size("sh") > 0).withColumn("sz", F.size("sh"))
+
+    sh_a, sh_b = _sh(df_a), _sh(df_b)
+    ex_a = sh_a.select("__id", "sz", F.explode("sh").alias("tok"))
+    ex_b = sh_b.select("__id", "sz", F.explode("sh").alias("tok"))
+    both = ex_a.select("tok").unionByName(ex_b.select("tok"))
+    if df_buckets is None:
+        dfreq = both.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+        def _with_df(ex: DataFrame) -> DataFrame:
+            return ex.join(dfreq, "tok")
+    else:
+        b = int(df_buckets)
+        if b < 2:
+            raise ValueError(f"df_buckets must be >= 2, got {df_buckets}")
+        bucket = F.pmod(F.crc32(F.col("tok")), F.lit(b))
+        bfreq = (
+            both.select(bucket.alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+
+        def _with_df(ex: DataFrame) -> DataFrame:
+            return (
+                ex.withColumn("__b", bucket)
+                .join(F.broadcast(bfreq), "__b")
+                .drop("__b")
+            )
+
+    pref_len = (
+        F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + F.lit(1)
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("df"), F.col("tok")))),
+        lambda s: s["tok"],
+    )
+
+    def _prefix(ex: DataFrame) -> DataFrame:
+        return (
+            _with_df(ex)
+            .groupBy("__id", "sz")
+            .agg(ordered.alias("__ord"))
+            .select(
+                "__id", "sz",
+                F.explode(F.slice(F.col("__ord"), 1, pref_len)).alias("tok"),
+            )
+        )
+
+    pa, pb = _prefix(ex_a).alias("a"), _prefix(ex_b).alias("b")
+    cand = (
+        pa.join(pb, F.col("a.tok") == F.col("b.tok"))
+        .filter(
+            (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(t) * F.col("b.sz"))
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    left = sh_a.select(F.col("__id").alias("id_a"), F.col("sh").alias("sh_l"))
+    right = sh_b.select(F.col("__id").alias("id_b"), F.col("sh").alias("sh_r"))
+    inter = F.size(F.array_intersect(F.col("sh_l"), F.col("sh_r")))
+    union = F.size("sh_l") + F.size("sh_r") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

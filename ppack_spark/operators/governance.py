@@ -1,7 +1,7 @@
 """Data-governance operators: privacy audits and release-gate
 validation for large-scale training-data pipelines.
 
-Three release pre-flights a dataset publisher runs before shipping:
+Release pre-flights a dataset publisher runs before shipping:
 
 * **k-anonymity** (Sweeney 2002): does any quasi-identifier
   combination isolate fewer than k records? ``k_anonymity_report``
@@ -9,6 +9,9 @@ Three release pre-flights a dataset publisher runs before shipping:
   rows whose quasi-identifier group is smaller than k — the standard
   baseline treatment when generalization hierarchies aren't
   available).
+* **l-diversity** (Machanavajjhala et al. 2007): k-anonymity's
+  homogeneity-attack companion — a group needs at least l distinct
+  sensitive values, not just k members. ``l_diversity_report``.
 * **expectation validation** (the Great-Expectations-style release
   gate): declarative per-row predicates evaluated corpus-wide in ONE
   aggregation pass, reported as violation counts/rates per rule.
@@ -33,6 +36,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "k_anonymity_report",
+    "l_diversity_report",
     "suppress_rare_groups",
     "validate_expectations",
     "fk_orphans_report",
@@ -76,6 +80,55 @@ def k_anonymity_report(
         ).cast("long").alias("rows_at_risk"),
         F.min("__n").cast("long").alias("min_group_size"),
         F.coalesce(F.min("__n") >= k, F.lit(True)).alias("is_k_anonymous"),
+    )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """One-row l-diversity audit: k-anonymity's necessary companion
+    (Machanavajjhala et al. 2007, "l-Diversity: Privacy Beyond
+    k-Anonymity"). A k-anonymous group whose members all share ONE
+    sensitive value still discloses that value for everyone in it
+    (the homogeneity attack); a group is l-diverse when its
+    ``sensitive_col`` takes at least ``l`` distinct values.
+
+    Distinctness counts non-NULL sensitive values (both engines'
+    COUNT(DISTINCT) semantics) — a group whose sensitive column is
+    entirely NULL has diversity 0 and violates any l ≥ 1, which is
+    the conservative read (an all-unknown group proves nothing about
+    disclosure safety). NULL quasi values group together, as in
+    :func:`k_anonymity_report`.
+
+    Returns one row: ``l, n_rows, n_groups, n_violating_groups,
+    rows_at_risk, min_diversity, is_l_diverse``. Plan: one groupBy on
+    the quasi columns computing count + count-distinct(sensitive)
+    (partial-aggregated), then a group-table-sized 1-row rollup.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(F.col(sensitive_col)).alias("__div"),
+    )
+    return groups.agg(
+        F.lit(int(l)).cast("long").alias("l"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.coalesce(
+            F.sum((F.col("__div") < l).cast("long")), F.lit(0)
+        ).alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("__div") < l, F.col("__n")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).cast("long").alias("rows_at_risk"),
+        F.min("__div").cast("long").alias("min_diversity"),
+        F.coalesce(F.min("__div") >= l, F.lit(True)).alias("is_l_diverse"),
     )
 
 

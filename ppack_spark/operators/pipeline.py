@@ -110,6 +110,8 @@ __all__ = [
     "heavy_hitter_terms",
     "corpus_diff",
     "join_size_estimate",
+    "decontaminate_fuzzy",
+    "corpus_mix_report",
 ]
 
 
@@ -3078,4 +3080,99 @@ def join_size_estimate(
             )
             .alias("skew_ratio"),
         )
+    )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    df_buckets: "int | None" = 1 << 16,
+) -> DataFrame:
+    """Whole-document fuzzy decontamination: drop every corpus
+    document whose ``k``-shingle Jaccard against ANY eval/benchmark
+    document is ≥ ``threshold`` — the near-duplicate complement of
+    the n-gram-overlap pass (:func:`eval_ngram_contamination` catches
+    verbatim spans; this catches lightly-reworded full copies, the
+    leak n-gram containment underweights when the copy is long).
+
+    EXACT by construction: contamination is found with the
+    cross-corpus prefix-filter join
+    (:func:`~ppack_spark.operators.dedup.jaccard_prefix_join_ab`),
+    not LSH — a decontamination miss is a benchmark leak into
+    training data, so a probabilistic candidate stage is the wrong
+    tool here; the prefix join finds every pair at the threshold,
+    deterministically. The contaminated-id set returns via one
+    left-anti join (ids only; AQE broadcasts it when it fits —
+    contamination is a sliver of the corpus by construction).
+
+    Returns surviving corpus rows unchanged.
+    """
+    from .dedup import jaccard_prefix_join_ab
+
+    hits = jaccard_prefix_join_ab(
+        corpus, eval_docs, text_col=text_col, id_col=id_col,
+        k=k, threshold=threshold, df_buckets=df_buckets,
+    ).select(F.col("id_a").alias(id_col)).distinct()
+    return corpus.join(hits, id_col, "left_anti")
+
+
+def corpus_mix_report(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One-row corpus-composition concentration report over a
+    grouping column (source / domain / language): the observability
+    read a data-mixing stage publishes next to its data card — "is
+    this corpus one domain wearing a trench coat?".
+
+    Shares are row counts (or ``weight_col`` sums — token counts for
+    a compute-weighted mix) per group over the total. Reports
+    ``n_groups``, ``total_weight``, Shannon ``entropy`` (nats) and
+    ``normalized_entropy`` (entropy / ln(n_groups) ∈ [0,1]; defined
+    as 0 for a single group — the degenerate mix is maximally
+    concentrated, not maximally even),
+    ``hhi`` (Herfindahl–Hirschman Σp², 1/n_groups for uniform, →1
+    concentrated), and ``top_share`` (largest group's share). All
+    rounded to 6. NULL group values form their own group (an unknown
+    source is itself a mix fact); NULL weights contribute 0.
+
+    Plan: one groupBy on the group column (map-side partial agg),
+    one broadcast of the 1-row total, one 1-row rollup — the corpus
+    is scanned once.
+    """
+    w = (
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+        if weight_col
+        else F.lit(1.0)
+    )
+    g = df.groupBy(group_col).agg(F.sum(w).alias("__w"))
+    tot = g.agg(F.sum("__w").alias("__tot"))
+    p = F.col("__w") / F.col("__tot")
+    shares = g.crossJoin(F.broadcast(tot)).select(
+        p.alias("__p")
+    ).filter(F.col("__p") > 0)
+    ent = -F.sum(F.col("__p") * F.log(F.col("__p")))
+    n_g = F.count(F.lit(1))
+    return shares.agg(
+        n_g.cast("long").alias("n_groups"),
+        ent.alias("__ent"),
+        F.sum(F.col("__p") * F.col("__p")).alias("__hhi"),
+        F.max("__p").alias("__top"),
+    ).crossJoin(F.broadcast(tot)).select(
+        "n_groups",
+        F.round(F.col("__tot"), 6).alias("total_weight"),
+        F.round(F.col("__ent"), 6).alias("entropy"),
+        F.round(
+            F.when(F.col("n_groups") <= 1, F.lit(0.0)).otherwise(
+                F.col("__ent") / F.log(F.col("n_groups").cast("double"))
+            ),
+            6,
+        ).alias("normalized_entropy"),
+        F.round(F.col("__hhi"), 6).alias("hhi"),
+        F.round(F.col("__top"), 6).alias("top_share"),
     )

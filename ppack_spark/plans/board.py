@@ -23,45 +23,29 @@ every registered query, board or not — is verified against the same
 oracle at the same scale by ``tests/test_registry_oracle.py``; board
 rotation only changes which 50 rows the driver snapshot shows.
 
-Round-11 rotation policy (r10 verdict item 6 — "re-seat anything
-items 1-5 touch plus the stalest cohort; overlap with r10 < 50%"):
-slots go first to this round's NEVER-BOARDED gates (the r11 additions
-``linkage_eval_report_scaled``/``corpus_stage_report_reuse``/
-``url_canonicalize``/``url_dedup``/``url_host_report``/
-``ks_drift_report``/``events_asof_tolerance``/``weighted_sample``,
-the two late-r10 gates whose registration postdated the r10 board
-snapshot, ``cluster_size_histogram``/``psi_cat_drift_report``, and
-the eleven operators added mid-r11 after the first rotation pass —
-``bm25_search``/``host_boilerplate``/``jaccard_prefix_pairs``/
-``heavy_hitters``/``k_anonymity_report``/``k_anonymity_suppress``/
-``expectation_report``/``fk_orphans``/``corpus_diff``/
-``join_size_estimate``/``ann_ivf_append``), then to gates r11 items
-TOUCHED (``ari_quality`` — the grouping-sets single-execution
-rewrite; ``psi_drift_report`` — the constant-reference degenerate
-rule changed in engine AND oracle; ``corpus_stage_report`` — the
-reuse-mode edit shares its function body; ``near_dedup_keep_best``/
-``corpus_delta_merge_fuzzy`` — the r10 bench-drift adjudication
-cohort, now also on the scale-proof roster), then to 24 of the 42
-r8-stale gates.  18 stale names defer to r12: the 7 from the first
-rotation pass (``jsonl_roundtrip``/``corpus_shuffle``/
-``events_funnel``/``events_cohort_retention``/``temperature_mix``/
-``top_term_coverage``/...) plus the 11 displaced by the mid-round
-additions (``ann_ivfpq_topk``/``ann_pq_topk``/
-``blocking_estimate_scaled``/``blocking_multi_pass``/
-``comparison_vectors``/``dedup_clusters_star``/``dup_rate_report``/
-``jw_comparator_buckets``/``minhash_jaccard_est``/
-``sample_uniform_hash``/``threshold_rank``) — all untouched
-pure-relational gates with no changed code path anywhere near them,
-still covered by the full census every round.
-Overlap with the r10 board: 4 of 50 (``ari_quality``/
-``psi_drift_report``/``corpus_stage_report``/
-``corpus_delta_merge_fuzzy``, each re-boarded because its
-implementation or oracle changed this round).
-``linkage_em_end_to_end`` stays a deliberate off-board carry
-(no-oracle by design, property-tested in tests/test_em.py).  The
-complete all-gate artifact is published alongside the board
-(verify_all.py → CORRECTNESS_full.json, commit-stamped since r9) so
-off-board gates stay externally auditable.
+Round-12 rotation policy (r11 verdict item 8 — "same policy, overlap
+with r11 < 50%, re-seat whatever items 1-6 touch"): slots go first to
+this round's NEVER-BOARDED gates (the r12 additions
+``jaccard_prefix_pairs_ab``/``fuzzy_decontamination``/
+``l_diversity_report``/``corpus_mix``), then to gates r12 items
+TOUCHED in engine or oracle (``ngram_jaccard_pairs`` — repointed at
+the prefix-filtered block-restricted plan, its first board seat since
+r7; ``jaccard_prefix_pairs`` — bucketed-df ordering is now the
+default; ``bm25_search`` — N counts non-NULL-text docs, oracle
+changed in lockstep; ``heavy_hitters`` — per-batch summary
+compaction; ``corpus_diff`` — single full-outer join;
+``k_anonymity_suppress`` — forced broadcast dropped;
+``expectation_report`` — rule-name validation; ``ann_ivf_append`` —
+the E103 contract fix; ``near_dedup_keep_best`` — the r11 scale-tail
+adjudication target), then to the 17 stalest gates (unboarded since
+r8: the full cohort r11 deferred, ``linkage_em_end_to_end`` excepted
+as the deliberate no-oracle off-board carry), then to 20 of the
+r9-stale cohort (unboarded since r9).  Overlap with the r11 board:
+8 of 50 (the touched cohort above minus ``ngram_jaccard_pairs``,
+which wasn't on r11's board).  The complete all-gate artifact is
+published alongside the board (verify_all.py →
+CORRECTNESS_full.json, commit-stamped since r9) so off-board gates
+stay externally auditable.
 """
 
 from __future__ import annotations
@@ -69,58 +53,59 @@ from __future__ import annotations
 # The 50 queries the driver board records this round, in order.
 BOARD: list[str] = [
     # -- new this round / never recorded on any board --
-    "linkage_eval_report_scaled",
-    "corpus_stage_report_reuse",
-    "url_canonicalize",
-    "url_dedup",
-    "url_host_report",
-    "ks_drift_report",
-    "events_asof_tolerance",
-    "weighted_sample",
-    "cluster_size_histogram",
-    "psi_cat_drift_report",
-    "bm25_search",
-    "host_boilerplate",
+    "jaccard_prefix_pairs_ab",
+    "fuzzy_decontamination",
+    "l_diversity_report",
+    "corpus_mix",
+    # -- touched by r12 items (fresh rows vs changed code/oracle) --
+    "ngram_jaccard_pairs",
     "jaccard_prefix_pairs",
+    "bm25_search",
     "heavy_hitters",
-    "k_anonymity_report",
+    "corpus_diff",
     "k_anonymity_suppress",
     "expectation_report",
-    "fk_orphans",
-    "corpus_diff",
-    "join_size_estimate",
     "ann_ivf_append",
-    # -- touched by r11 items (fresh rows vs changed code) --
-    "ari_quality",
-    "psi_drift_report",
-    "corpus_stage_report",
     "near_dedup_keep_best",
-    "corpus_delta_merge_fuzzy",
-    # -- 24 of the r8-stale cohort --
-    "blocking_multi_pass_scaled",
-    "comparison_vectors_scaled",
-    "dedup_clusters",
-    "dedup_clusters_adaptive",
-    "jw_scaled_buckets",
-    "jw_sql_buckets",
-    "line_dedup_corpus",
-    "linkage_em_params",
-    "lm_bigram_score",
-    "lm_perplexity_buckets",
-    "lm_quality_score",
-    "match_weight_scoring_scaled",
-    "media_near_dedup",
-    "minhash_lsh_pairs_ab",
-    "minhash_lsh_pairs_wide",
-    "near_dedup_corpus_wide",
-    "pii_stats",
-    "quality_filter_flags",
-    "remove_repeated_spans",
-    "repeated_spans",
-    "repetition_signals",
-    "sample_stratified_quota",
-    "simhash_near_dup_wide64",
-    "threshold_topk",
+    # -- the 17 stalest (unboarded since r8) --
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "blocking_estimate_scaled",
+    "blocking_multi_pass",
+    "comparison_vectors",
+    "corpus_shuffle",
+    "dedup_clusters_star",
+    "dup_rate_report",
+    "events_cohort_retention",
+    "events_funnel",
+    "jsonl_roundtrip",
+    "jw_comparator_buckets",
+    "minhash_jaccard_est",
+    "sample_uniform_hash",
+    "temperature_mix",
+    "threshold_rank",
+    "top_term_coverage",
+    # -- 20 of the r9-stale cohort --
+    "ann_lsh_topk",
+    "ann_recall_report",
+    "bcubed_quality",
+    "blocking_estimate",
+    "blocking_estimate_ab",
+    "blocking_spec_choice",
+    "bucketed_join_revenue",
+    "budget_mix",
+    "calibration_curve",
+    "calibration_glm",
+    "corpus_data_card",
+    "corpus_upsample",
+    "curriculum_order",
+    "dedup_exact",
+    "distinct_sketch_merge",
+    "doc_chunks",
+    "etl_roundtrip",
+    "events_anomaly_flags",
+    "events_asof_forward",
+    "events_trailing_agg",
 ]
 
 

@@ -5835,3 +5835,153 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "cos_sim",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------
+# E153-E156: exact cross-corpus similarity join, fuzzy (whole-document
+# Jaccard) decontamination, l-diversity audit, corpus mix report
+# --------------------------------------------------------------------
+
+# Brute-force A-B Jaccard pairs shared by the ab-join gate and the
+# fuzzy-decontamination gate: A = doc_id % 10 != 0 (training corpus),
+# B = doc_id % 10 == 0 (held-out eval slice) — 6 genuine cross-split
+# near-dup pairs at sf0.01, so both gates carry signal.
+_AB_JACCARD_SQL = _SHINGLE_SQL + """
+    , a as (select doc_id, shingles from sh where doc_id % 10 <> 0),
+    b as (select doc_id, shingles from sh where doc_id % 10 = 0),
+    ab as (
+        select a.doc_id as id_a, b.doc_id as id_b,
+               len(list_intersect(a.shingles, b.shingles))::double
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) as jaccard
+        from a join b on true
+    )
+"""
+
+
+@query(
+    "jaccard_prefix_pairs_ab",
+    _AB_JACCARD_SQL + """
+    select id_a, id_b, round(jaccard, 6) as jaccard
+    from ab where jaccard >= 0.5
+    """,
+)
+def jaccard_prefix_pairs_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E153 — exact cross-corpus set-similarity join
+    (operators/dedup.py:jaccard_prefix_join_ab, SSJoin/PPJoin R-S
+    form): every (train-doc, eval-doc) pair with 3-gram Jaccard ≥
+    0.5, deterministically — the no-miss-rate twin of
+    minhash_lsh_pairs_ab. Both sides order shingles by one shared
+    bucketed-frequency table (fixed-size, broadcast); candidates come
+    from the cross-side prefix equi-join and verify exactly. The
+    oracle brute-forces the A x B pair space — paying the quadratic
+    cost the prefix filter exists to avoid."""
+    from ..operators.dedup import jaccard_prefix_join_ab
+
+    d = t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 10 != 0)
+    b = d.filter(F.col("doc_id") % 10 == 0)
+    return jaccard_prefix_join_ab(a, b, k=3, threshold=0.5)
+
+
+@query(
+    "fuzzy_decontamination",
+    _AB_JACCARD_SQL + """
+    , hit as (select distinct id_a from ab where jaccard >= 0.5)
+    select d.*
+    from documents d
+    where d.doc_id % 10 <> 0
+      and d.doc_id not in (select id_a from hit)
+    """,
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E154 — whole-document fuzzy decontamination
+    (operators/pipeline.py:decontaminate_fuzzy): drop every training
+    document whose 3-gram Jaccard against ANY eval-slice document is
+    ≥ 0.5 — the near-duplicate complement of the n-gram-overlap pass
+    (eval_decontamination), catching lightly-reworded full copies.
+    Contamination is found with the EXACT prefix-filter join, not
+    LSH: a decontamination miss is a benchmark leak, so probabilistic
+    recall is the wrong tool. The oracle brute-forces the pair space
+    and replays the anti-join."""
+    from ..operators.pipeline import decontaminate_fuzzy
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    return decontaminate_fuzzy(corpus, ev, k=3, threshold=0.5)
+
+
+@query(
+    "l_diversity_report",
+    """
+    with g as (
+        select c_nationkey, c_mktsegment, count(*) as n,
+               count(distinct cast(floor(c_acctbal / 2000) as bigint))
+                   as div
+        from customer group by 1, 2
+    )
+    select cast(6 as bigint) as l,
+           cast(sum(n) as bigint) as n_rows,
+           cast(count(*) as bigint) as n_groups,
+           cast(sum(case when div < 6 then 1 else 0 end) as bigint)
+               as n_violating_groups,
+           cast(sum(case when div < 6 then n else 0 end) as bigint)
+               as rows_at_risk,
+           cast(min(div) as bigint) as min_diversity,
+           min(div) >= 6 as is_l_diverse
+    from g
+    """,
+)
+def l_diversity_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E155 — l-diversity audit
+    (operators/governance.py:l_diversity_report, Machanavajjhala et
+    al. 2007): k-anonymity's homogeneity-attack companion — does any
+    (nationkey, mktsegment) group carry fewer than 6 distinct
+    account-balance bands? 86 of the 125 groups violate at l=6 and
+    min diversity is 3, so every output column carries signal. One
+    groupBy computing count + count-distinct, then a group-table-
+    sized rollup; the oracle replays both."""
+    from ..operators.governance import l_diversity_report
+
+    c = t(spark, sf_dir, "customer").withColumn(
+        "balance_band",
+        F.floor(F.col("c_acctbal") / 2000).cast("long"),
+    )
+    return l_diversity_report(
+        c, ["c_nationkey", "c_mktsegment"], "balance_band", l=6
+    )
+
+
+@query(
+    "corpus_mix",
+    """
+    with g as (
+        select source, sum(coalesce(n_chars, 0))::double as w
+        from documents group by source
+    ),
+    tot as (select sum(w) as t from g),
+    p as (select w / t as p from g cross join tot where w > 0)
+    select cast((select count(*) from p) as bigint) as n_groups,
+           round((select t from tot), 6) as total_weight,
+           round(-sum(p * ln(p)), 6) as entropy,
+           round(case when (select count(*) from p) <= 1 then 0.0
+                 else -sum(p * ln(p)) / ln((select count(*) from p))
+                 end, 6) as normalized_entropy,
+           round(sum(p * p), 6) as hhi,
+           round(max(p), 6) as top_share
+    from p
+    """,
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E156 — corpus-composition concentration report
+    (operators/pipeline.py:corpus_mix_report): one-row domain-mix
+    observability over the source column, weighted by character
+    count — n_groups, Shannon entropy (nats), normalized entropy,
+    Herfindahl-Hirschman index, top group share. One partial-
+    aggregated groupBy, one broadcast 1-row total, one rollup; the
+    oracle replays the share table and every statistic."""
+    from ..operators.pipeline import corpus_mix_report
+
+    d = t(spark, sf_dir, "documents")
+    return corpus_mix_report(d, "source", weight_col="n_chars")

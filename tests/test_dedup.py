@@ -737,3 +737,49 @@ def test_prefix_join_threshold_validated(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         jaccard_prefix_join(df, threshold=0.0)
+
+
+def test_jaccard_prefix_join_ab_matches_brute_force(spark):
+    """The A-B prefix join must find EXACTLY the brute-force cross
+    pairs at the threshold — for every df ordering mode (the output
+    is invariant to the ordering by the prefix-filter lemma)."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.dedup import (
+        jaccard_prefix_join_ab,
+        jaccard_similarity,
+        word_shingles,
+    )
+
+    documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = documents.filter(F.col("doc_id") % 10 != 0)
+    b = documents.filter(F.col("doc_id") % 10 == 0)
+    sh = documents.select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    brute = (
+        sh.alias("l")
+        .join(sh.alias("r"), F.lit(True))
+        .filter(
+            (F.col("l.doc_id") % 10 != 0) & (F.col("r.doc_id") % 10 == 0)
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.round(
+                jaccard_similarity(F.col("l.sh"), F.col("r.sh")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    expect = {tuple(r) for r in brute.collect()}
+    for buckets in (1 << 16, 64, None):
+        got = {
+            tuple(r)
+            for r in jaccard_prefix_join_ab(
+                a, b, k=3, threshold=0.5, df_buckets=buckets
+            ).collect()
+        }
+        assert got == expect, f"df_buckets={buckets}"

@@ -122,3 +122,50 @@ def test_fk_orphans_clean(spark):
     parent = spark.createDataFrame([(10,), (10,)], "pk long")
     r = fk_orphans_report(child, parent, "fk", "pk").collect()[0]
     assert (r["n_orphans"], r["orphan_rate"]) == (0, 0.0)
+
+
+def test_l_diversity_report_counts(spark):
+    from ppack_spark.operators.governance import l_diversity_report
+
+    # group ('111',30): sensitive {a, b} -> div 2; ('222',40): {a} ->
+    # div 1; (NULL,50): one NULL + one 'c' -> div 1 (NULLs don't count)
+    rows = [
+        (1, "111", 30, "a"),
+        (2, "111", 30, "b"),
+        (3, "111", 30, "a"),
+        (4, "222", 40, "a"),
+        (5, None, 50, None),
+        (6, None, 50, "c"),
+    ]
+    df = spark.createDataFrame(rows, "id long, zip string, age long, dx string")
+    r = l_diversity_report(df, ["zip", "age"], "dx", l=2).collect()[0]
+    assert r["n_rows"] == 6
+    assert r["n_groups"] == 3
+    assert r["n_violating_groups"] == 2
+    assert r["rows_at_risk"] == 3
+    assert r["min_diversity"] == 1
+    assert r["is_l_diverse"] is False
+
+
+def test_l_diversity_all_null_sensitive_group_violates(spark):
+    from ppack_spark.operators.governance import l_diversity_report
+
+    df = spark.createDataFrame(
+        [(1, "111", None), (2, "111", None)], "id long, zip string, dx string"
+    )
+    r = l_diversity_report(df, ["zip"], "dx", l=1).collect()[0]
+    assert r["min_diversity"] == 0
+    assert r["is_l_diverse"] is False
+    assert r["n_violating_groups"] == 1
+
+
+def test_l_diversity_empty_and_validation(spark):
+    from ppack_spark.operators.governance import l_diversity_report
+
+    df = spark.createDataFrame([], "id long, zip string, dx string")
+    r = l_diversity_report(df, ["zip"], "dx", l=3).collect()[0]
+    assert r["n_rows"] == 0 and r["is_l_diverse"] is True
+    with pytest.raises(ValueError):
+        l_diversity_report(df, [], "dx")
+    with pytest.raises(ValueError):
+        l_diversity_report(df, ["zip"], "dx", l=0)

@@ -1974,3 +1974,64 @@ def test_join_size_estimate_key_length_guard(spark):
         join_size_estimate(df, df, ["k"], ["k", "v"])
     with pytest.raises(ValueError):
         join_size_estimate(df, df, [])
+
+
+def test_decontaminate_fuzzy_drops_near_copies_only(spark):
+    """A corpus doc near-identical to an eval doc is dropped; unrelated
+    docs and lightly-overlapping docs below the threshold survive."""
+    from pyspark.sql import functions as F
+
+    from ppack_spark.operators.pipeline import decontaminate_fuzzy
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "an entirely different document about spark shuffles"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    # doc 3 is a truncated copy: 7 of eval's 8 shingles -> J = 0.875
+    out = decontaminate_fuzzy(corpus, ev, k=3, threshold=0.9)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+    # lower threshold catches the truncated copy too
+    out2 = decontaminate_fuzzy(corpus, ev, k=3, threshold=0.5)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [2]
+    assert out.columns == corpus.columns
+
+
+def test_corpus_mix_report_statistics(spark):
+    """Hand-checked entropy/HHI on a 3-group weighted mix, plus the
+    degenerate single-group and NULL-group cases."""
+    import math
+
+    from ppack_spark.operators.pipeline import corpus_mix_report
+
+    df = spark.createDataFrame(
+        [("a", 50), ("a", 30), ("b", 15), (None, 5)],
+        "source string, n_chars long",
+    )
+    r = corpus_mix_report(df, "source", weight_col="n_chars").collect()[0]
+    ps = [0.8, 0.15, 0.05]
+    ent = -sum(p * math.log(p) for p in ps)
+    assert r["n_groups"] == 3
+    assert r["total_weight"] == 100.0
+    assert abs(r["entropy"] - round(ent, 6)) < 1e-6
+    assert abs(r["normalized_entropy"] - round(ent / math.log(3), 6)) < 1e-6
+    assert abs(r["hhi"] - round(sum(p * p for p in ps), 6)) < 1e-6
+    assert r["top_share"] == 0.8
+
+    one = spark.createDataFrame([("a", 10)], "source string, n_chars long")
+    r1 = corpus_mix_report(one, "source", weight_col="n_chars").collect()[0]
+    assert r1["n_groups"] == 1
+    assert r1["normalized_entropy"] == 0.0
+    assert r1["hhi"] == 1.0 and r1["top_share"] == 1.0
+
+    # unweighted: rows count equally
+    r2 = corpus_mix_report(df, "source").collect()[0]
+    assert r2["n_groups"] == 3 and r2["total_weight"] == 4.0
+    assert r2["top_share"] == 0.5

@@ -137,6 +137,16 @@ QUERIES = [
     "host_boilerplate",
     "jaccard_prefix_pairs",
     "heavy_hitters",
+    # round-12: the repointed prefix-filtered block-restricted plan
+    # (verdict item 5 — witness the non-quadratic candidate stage),
+    # and the governance release gates (verdict item 4)
+    "ngram_jaccard_pairs",
+    "k_anonymity_report",
+    "k_anonymity_suppress",
+    "expectation_report",
+    "fk_orphans",
+    "corpus_diff",
+    "join_size_estimate",
     # relational / events
     "q1_pricing_summary",
     "top_orders_per_customer",
@@ -280,11 +290,19 @@ def _suspects(raw: dict[str, dict]) -> dict[float, list[str]]:
     material excess over the right neighbor is an anomaly (the 1.1×/
     0.5 s floor only keeps sub-second planning jitter from flapping) —
     or exceeds BOTH neighbors' by >1.5× (the original rule, kept for
-    points whose right neighbor is itself inflated). End points are
-    never flagged:
-    a slow top scale is indistinguishable from genuine superlinearity
-    and must stand as measured (re-measure those by hand with
-    SPARK_GRAFT_SCALE_QUERIES + --scales when a round's verdict asks).
+    points whose right neighbor is itself inflated).
+
+    TOP endpoint (round-12, closing ADVICE r11 item 4's one-sided
+    bias: interior points got retry attempts, endpoints never did, so
+    endpoint mins stood on fewer samples — an upward bias exactly
+    where the exp_hi readout lives): the last scale point is flagged
+    when its min implies a segment exponent > 1.2 against the
+    previous point (and the excess over the exp-1.2 projection is
+    > 0.5 s). Re-measuring cannot hide GENUINE superlinearity — a
+    real superlinear point reproduces under retry and the min stands;
+    only host-window artifacts melt. The BOTTOM endpoint stays
+    unflagged (a slow smallest scale only deflates exponents —
+    conservative in the direction the readout cares about).
     """
     per_scale = {float(sf): d for sf, d in raw.items()}
     out: dict[float, set[str]] = {}
@@ -301,6 +319,11 @@ def _suspects(raw: dict[str, dict]) -> dict[float, list[str]]:
                 t > 1.5 * pts[i - 1][1] and t > 1.5 * pts[i + 1][1]
             ):
                 out.setdefault(sf, set()).add(name)
+        if len(pts) >= 2:
+            (sf_a, t_a), (sf_b, t_b) = pts[-2], pts[-1]
+            proj = t_a * (sf_b / sf_a) ** 1.2
+            if t_b > proj and t_b > proj + 0.5:
+                out.setdefault(sf_b, set()).add(name)
     return {sf: sorted(v) for sf, v in out.items()}
 
 
