@@ -432,3 +432,38 @@ def test_heavy_hitters_recount_is_broadcast_semi(spark, tables, queries):
     plan = _plan(queries["heavy_hitters"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scale_suspects_flags_top_endpoint():
+    """The r12 endpoint rule: the TOP scale point is flagged for
+    retry when its min implies a segment exponent > 1.2 (plus a 0.5 s
+    absolute floor); interior rules and the bottom endpoint are
+    unchanged."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_proof",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "scale_proof.py"),
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    def raw(points):
+        return {
+            str(sf): {"samples": {"q": [t]}, "failed": [], "calib": [1.0]}
+            for sf, t in points
+        }
+
+    # 3.13 -> 11.66 over 0.2 -> 0.5 is exp ~1.44: flagged at the top
+    sus = sp._suspects(raw([(0.1, 2.0), (0.2, 3.13), (0.5, 11.66)]))
+    assert sus.get(0.5) == ["q"]
+    # a flat tail is not flagged
+    sus = sp._suspects(raw([(0.1, 2.0), (0.2, 3.0), (0.5, 6.5)]))
+    assert 0.5 not in sus
+    # sub-second jitter stays under the 0.5 s floor
+    sus = sp._suspects(raw([(0.5, 0.2), (1.0, 0.9)]))
+    assert 1.0 not in sus
+    # the interior non-monotone rule still fires
+    sus = sp._suspects(raw([(0.1, 1.0), (0.2, 9.0), (0.5, 3.0)]))
+    assert sus.get(0.2) == ["q"]
