@@ -3139,11 +3139,16 @@ def corpus_mix_report(
     ``hhi`` (Herfindahl–Hirschman Σp², 1/n_groups for uniform, →1
     concentrated), and ``top_share`` (largest group's share). All
     rounded to 6. NULL group values form their own group (an unknown
-    source is itself a mix fact); NULL weights contribute 0.
+    source is itself a mix fact); NULL weights contribute 0. Groups
+    whose total weight is 0 (or negative) carry no probability mass
+    and are excluded from ``n_groups`` and the entropy/HHI statistics.
 
     Plan: one groupBy on the group column (map-side partial agg),
-    one broadcast of the 1-row total, one 1-row rollup — the corpus
-    is scanned once.
+    then broadcasts of the 1-row total into the share and report
+    branches. The group frame feeds two consumers, so whether the
+    underlying corpus scan runs once or twice depends on Spark
+    exchange reuse; the re-executed unit is the group-cardinality
+    aggregate, not the corpus, so the report stays cheap either way.
     """
     w = (
         F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))

@@ -768,11 +768,13 @@ def test_jaccard_prefix_join_ab_matches_brute_force(spark):
         .select(
             F.col("l.doc_id").alias("id_a"),
             F.col("r.doc_id").alias("id_b"),
-            F.round(
-                jaccard_similarity(F.col("l.sh"), F.col("r.sh")), 6
-            ).alias("jaccard"),
+            jaccard_similarity(F.col("l.sh"), F.col("r.sh")).alias("j_raw"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        # Filter on the UNROUNDED jaccard, then round — the operator's
+        # order of operations; filtering post-round would admit pairs
+        # with true J in [0.4999995, 0.5) that the operator excludes.
+        .filter(F.col("j_raw") >= 0.5)
+        .select("id_a", "id_b", F.round("j_raw", 6).alias("jaccard"))
     )
     expect = {tuple(r) for r in brute.collect()}
     for buckets in (1 << 16, 64, None):

@@ -55,13 +55,17 @@ def main() -> None:
         except Exception as exc:
             print(json.dumps({"name": name, "err": str(exc)[:120]}))
             continue
-        duck = round(min(samples), 3)
+        duck_raw = min(samples)
+        duck = round(duck_raw, 3)
         spark = bench[name]
-        ratio = round(spark / duck, 2) if duck > 0 else None
+        # Ratio from the UNROUNDED minimum: a sub-millisecond oracle
+        # rounds to 0.0, and a None ratio on a substantial row would
+        # crash the median below.
+        ratio = round(spark / duck_raw, 2) if duck_raw > 0 else None
         rows.append({"name": name, "duck_s": duck, "spark_s": spark,
                      "ratio": ratio})
         print(json.dumps(rows[-1]), flush=True)
-    subs = [r for r in rows if r["spark_s"] >= 1.5]
+    subs = [r for r in rows if r["spark_s"] >= 1.5 and r["ratio"] is not None]
     wins = [r for r in rows if r["ratio"] is not None and r["ratio"] < 1.0]
     print(json.dumps({
         "n": len(rows),

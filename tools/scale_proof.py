@@ -322,7 +322,7 @@ def _suspects(raw: dict[str, dict]) -> dict[float, list[str]]:
         if len(pts) >= 2:
             (sf_a, t_a), (sf_b, t_b) = pts[-2], pts[-1]
             proj = t_a * (sf_b / sf_a) ** 1.2
-            if t_b > proj and t_b > proj + 0.5:
+            if t_b > proj + 0.5:
                 out.setdefault(sf_b, set()).add(name)
     return {sf: sorted(v) for sf, v in out.items()}
 
