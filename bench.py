@@ -214,6 +214,17 @@ BENCH_QUERIES = [
     "corpus_diff",
     "join_size_estimate",
     "ann_ivf_append",
+    # round-13: mergeable-sketch family (HLL / CMS / histogram
+    # quantiles), link-graph family (fixed-iteration PageRank, degree
+    # census), embedding curation (cluster-balanced sample,
+    # hard-negative mining)
+    "hll_cardinality",
+    "cms_frequency",
+    "histogram_quantiles",
+    "host_pagerank",
+    "link_degree_report",
+    "cluster_balanced_sample",
+    "hard_negative_topk",
 ]
 
 

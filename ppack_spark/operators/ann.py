@@ -1554,3 +1554,100 @@ def topk_recall(
             ).alias("recall"),
         )
     )
+
+
+def cluster_balanced_sample(
+    index,
+    cap: int,
+    id_col: str = "vec_id",
+    salt: str = "cbs",
+) -> DataFrame:
+    """Embedding-cluster-balanced (diversity) sampling: keep at most
+    ``cap`` vectors per coarse-quantizer cluster, picked by a
+    deterministic md5 order — the cluster-cap step of
+    semantic-diversity corpus curation (cap the over-represented
+    semantic neighborhoods instead of sampling uniformly, the idea
+    behind SemDeDup-style pruning and DCLM's cluster-balanced picks).
+    At 100 TB the cheap uniform sample keeps ten million near-copies
+    of the same boilerplate neighborhood; capping per cluster bounds
+    every neighborhood's share with one window over (cluster, hash).
+
+    ``index`` is the ``(assigned, centroids)`` pair from
+    :func:`ivf_index` / :func:`ivf_index_fixed` / append — the sample
+    reuses the quantizer the ANN path already trained. The md5 pick
+    order (id ∥ ':salt') is engine-neutral and decorrelated from the
+    other samplers' hashes (see operators/pipeline.py:_id_hash on why
+    composed selections need distinct salts).
+
+    Returns the assigned frame's rows (id, original columns, centroid,
+    pick) with pick ∈ [1, cap] the within-cluster rank. Scale shape:
+    one hash projection + one window partitioned by centroid — a
+    per-cluster top-k (WindowGroupLimit pushes the cap below the
+    sort), shuffling (centroid, hash) keys only.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cluster_balanced_sample: need cap >= 1, got {cap}")
+    assigned, _ = index
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy("centroid").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= cap)
+    )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining: per query, the top-k most similar corpus
+    vectors whose ``label_col`` DIFFERS from the query's — the
+    standard retrieval/contrastive-training step (the best negatives
+    are the near-misses, not random draws). Self-matches are excluded
+    independently of the label test.
+
+    Returns (query_id, neighbor_id, neighbor_label, cos_sim, rank).
+    NULL labels never match each other (SQL inequality semantics drop
+    NULL-label rows from both sides) — a NULL-labeled vector has no
+    defined positives, so it yields no negatives either; label it
+    first. Scale shape: identical to :func:`cosine_topk` — broadcast
+    query batch × corpus scan with a rank-pruned window (the label
+    filter prunes before the sort); the corpus never self-joins.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cv"),
+    )
+    cos = cosine(F.col("__qv"), F.col("__cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("__ql") != F.col("neighbor_label"))
+        )
+        .select("query_id", "neighbor_id", "neighbor_label", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -23,27 +23,20 @@ every registered query, board or not — is verified against the same
 oracle at the same scale by ``tests/test_registry_oracle.py``; board
 rotation only changes which 50 rows the driver snapshot shows.
 
-Round-12 rotation policy (r11 verdict item 8 — "same policy, overlap
-with r11 < 50%, re-seat whatever items 1-6 touch"): slots go first to
-this round's NEVER-BOARDED gates (the r12 additions
-``jaccard_prefix_pairs_ab``/``fuzzy_decontamination``/
-``l_diversity_report``/``corpus_mix``), then to gates r12 items
-TOUCHED in engine or oracle (``ngram_jaccard_pairs`` — repointed at
-the prefix-filtered block-restricted plan, its first board seat since
-r7; ``jaccard_prefix_pairs`` — bucketed-df ordering is now the
-default; ``bm25_search`` — N counts non-NULL-text docs, oracle
-changed in lockstep; ``heavy_hitters`` — per-batch summary
-compaction; ``corpus_diff`` — single full-outer join;
-``k_anonymity_suppress`` — forced broadcast dropped;
-``expectation_report`` — rule-name validation; ``ann_ivf_append`` —
-the E103 contract fix; ``near_dedup_keep_best`` — the r11 scale-tail
-adjudication target), then to the 17 stalest gates (unboarded since
-r8: the full cohort r11 deferred, ``linkage_em_end_to_end`` excepted
-as the deliberate no-oracle off-board carry), then to 20 of the
-r9-stale cohort (unboarded since r9).  Overlap with the r11 board:
-8 of 50 (the touched cohort above minus ``ngram_jaccard_pairs``,
-which wasn't on r11's board).  The complete all-gate artifact is
-published alongside the board (verify_all.py →
+Round-13 rotation policy (continuing the r11 verdict item-8 policy —
+new gates first, then touched, then stalest; overlap with the prior
+board < 50%): slots go first to this round's NEVER-BOARDED gates (the
+r13 additions: the mergeable-sketch family ``hll_cardinality``/
+``cms_frequency``/``histogram_quantiles``, the link-graph family
+``host_pagerank``/``link_degree_report``, and the embedding-curation
+pair ``cluster_balanced_sample``/``hard_negative_topk``), then — r13
+touched no previously-boarded gate's engine or oracle (the advisor
+fixes were tests/tools/docstring-only) — to the ENTIRE 29-gate
+r9-stale cohort (every oracled gate unboarded since r9), then to the
+14 alphabetically-first of the r10-stale cohort.
+``linkage_em_end_to_end`` remains the deliberate no-oracle off-board
+carry. Overlap with the r12 board: 0 of 50. The complete all-gate
+artifact is published alongside the board (verify_all.py →
 CORRECTNESS_full.json, commit-stamped since r9) so off-board gates
 stay externally auditable.
 """
@@ -53,59 +46,58 @@ from __future__ import annotations
 # The 50 queries the driver board records this round, in order.
 BOARD: list[str] = [
     # -- new this round / never recorded on any board --
-    "jaccard_prefix_pairs_ab",
-    "fuzzy_decontamination",
-    "l_diversity_report",
-    "corpus_mix",
-    # -- touched by r12 items (fresh rows vs changed code/oracle) --
-    "ngram_jaccard_pairs",
-    "jaccard_prefix_pairs",
-    "bm25_search",
-    "heavy_hitters",
-    "corpus_diff",
-    "k_anonymity_suppress",
-    "expectation_report",
-    "ann_ivf_append",
-    "near_dedup_keep_best",
-    # -- the 17 stalest (unboarded since r8) --
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "blocking_estimate_scaled",
-    "blocking_multi_pass",
-    "comparison_vectors",
-    "corpus_shuffle",
-    "dedup_clusters_star",
-    "dup_rate_report",
-    "events_cohort_retention",
-    "events_funnel",
-    "jsonl_roundtrip",
-    "jw_comparator_buckets",
-    "minhash_jaccard_est",
-    "sample_uniform_hash",
-    "temperature_mix",
-    "threshold_rank",
-    "top_term_coverage",
-    # -- 20 of the r9-stale cohort --
-    "ann_lsh_topk",
-    "ann_recall_report",
-    "bcubed_quality",
-    "blocking_estimate",
-    "blocking_estimate_ab",
-    "blocking_spec_choice",
-    "bucketed_join_revenue",
-    "budget_mix",
-    "calibration_curve",
-    "calibration_glm",
-    "corpus_data_card",
-    "corpus_upsample",
-    "curriculum_order",
-    "dedup_exact",
-    "distinct_sketch_merge",
-    "doc_chunks",
-    "etl_roundtrip",
-    "events_anomaly_flags",
-    "events_asof_forward",
-    "events_trailing_agg",
+    "hll_cardinality",
+    "cms_frequency",
+    "histogram_quantiles",
+    "host_pagerank",
+    "link_degree_report",
+    "cluster_balanced_sample",
+    "hard_negative_topk",
+    # -- the full r9-stale cohort (unboarded since r9) --
+    "jw_approx_buckets",
+    "key_skew_report",
+    "lm_interp_score",
+    "lm_ref_score",
+    "minhash_lsh_pairs_capped",
+    "orc_roundtrip",
+    "pairs_dataset",
+    "pattern_counts",
+    "phash_near_dup_banded",
+    "posterior_probability",
+    "profile_columns",
+    "q1_pricing_summary",
+    "quality_classifier_score",
+    "quantile_length_filter",
+    "salted_join_orders",
+    "script_fractions",
+    "semantic_dedup",
+    "sequence_packing",
+    "simhash_near_dup",
+    "simhash_near_dup_banded",
+    "simhash_near_dup_capped",
+    "stratified_topk",
+    "tfidf_cosine_pairs",
+    "threshold_sweep",
+    "trainer_export_e2e",
+    "two_dataset_linkage",
+    "two_dataset_linkage_scaled",
+    "u_prob_frequencies",
+    "zorder_layout",
+    # -- 14 of the r10-stale cohort (alphabetical) --
+    "ann_ivf_topk",
+    "ann_ivfpq_topk_scan",
+    "ann_pq_topk_scan",
+    "best_threshold",
+    "blocking_pass_counts",
+    "blocking_salted_pass",
+    "bloom_decontamination",
+    "corpus_delta_merge",
+    "corpus_pipeline_e2e",
+    "corpus_split",
+    "corpus_split_leakage_safe",
+    "dedup_keep_best",
+    "dedup_keep_first",
+    "doc_fingerprints",
 ]
 
 

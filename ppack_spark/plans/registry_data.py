@@ -5985,3 +5985,485 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return corpus_mix_report(d, "source", weight_col="n_chars")
+
+
+# --------------------------------------------------------------------
+# mergeable sketches (operators/sketch.py): deterministic HLL /
+# Count-Min / fixed-edge histogram — E157-E159
+# --------------------------------------------------------------------
+
+# Shared token stream: whitespace tokens of lowered/trimmed text,
+# blanks dropped (same convention as the tf-idf / heavy-hitter gates).
+_TOK_SQL = """
+    toks as (
+        select source, tok from (
+            select source,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) as tok
+            from documents
+        ) where tok <> ''
+    )"""
+
+# HLL rho in SQL: leading zero bits of the 32-bit word at md5 hex
+# chars 9-16, via string ops only (no floating log2 — see
+# operators/sketch.py:_hll_rho).
+_HLL_RHO_SQL = """
+        case when regexp_replace(substr(md5(tok || ':hllr'), 9, 8), '^0*', '') = ''
+             then 33
+             else (8 - length(regexp_replace(substr(md5(tok || ':hllr'), 9, 8), '^0*', ''))) * 4
+                  + (case substr(regexp_replace(substr(md5(tok || ':hllr'), 9, 8), '^0*', ''), 1, 1)
+                     when '1' then 3 when '2' then 2 when '3' then 2
+                     when '4' then 1 when '5' then 1 when '6' then 1 when '7' then 1
+                     else 0 end)
+                  + 1
+             end"""
+
+# alpha_m·m² computed ONCE in Python and inlined as the identical
+# double literal into both engines' plans (repr round-trips exactly).
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA_MM = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+
+
+@query(
+    "hll_cardinality",
+    f"""
+    with {_TOK_SQL},
+    regs as (
+        select cast(('0x' || substr(md5(tok || ':hlli'), 1, 8)) as bigint)
+                   % {_HLL_M} as register,
+               max({_HLL_RHO_SQL}) as rho
+        from toks group by 1
+    ),
+    agg as (
+        select count(*) as nreg,
+               coalesce(sum(power(2.0, -rho)), 0.0) as spow
+        from regs
+    ),
+    est as (
+        select case when ({_HLL_ALPHA_MM!r} / (({_HLL_M}.0 - nreg) + spow))
+                         <= {2.5 * _HLL_M!r}
+                     and ({_HLL_M} - nreg) > 0
+               then {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - nreg))
+               else {_HLL_ALPHA_MM!r} / (({_HLL_M}.0 - nreg) + spow)
+               end as e
+        from agg
+    )
+    select round(e, 4) as est_distinct,
+           (select count(distinct tok) from toks) as exact_distinct,
+           round(round(e, 4) / (select count(distinct tok) from toks) - 1.0, 6)
+               as rel_err
+    from est
+    """,
+)
+def hll_cardinality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E157 — deterministic HyperLogLog cardinality
+    (operators/sketch.py): per-source register tables over the token
+    stream, merged by register-wise max, estimated with the Flajolet
+    harmonic estimator + linear-counting small-range correction — the
+    oracle-checkable twin of the DataSketches-based E97 (which stays
+    the library-grade alternative). The gate publishes the estimate
+    NEXT TO the exact distinct count and the relative error, so the
+    driver hash doubles as an accuracy record (~1 % here, inside the
+    1.04/√1024 ≈ 3.3 % bound). Sketch rows (≤1024/source), not
+    tokens, shuffle through the merge; the oracle replays hashing,
+    register max, merge (by computing the global table directly —
+    equality IS the losslessness proof), and the estimator arithmetic
+    (Σ2^-rho is dyadic-exact in any summation order)."""
+    from ..functions.text import tokens
+    from ..operators.sketch import (
+        hll_cardinality_estimate,
+        hll_registers,
+        merge_hll_registers,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_source = hll_registers(toks, "tok", p=_HLL_P, by="source")
+    merged = merge_hll_registers(per_source)
+    est = hll_cardinality_estimate(merged, p=_HLL_P)
+    exact = toks.agg(F.countDistinct("tok").cast("long").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("estimate").alias("est_distinct"),
+        "exact_distinct",
+        F.round(F.col("estimate") / F.col("exact_distinct") - 1.0, 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+@query(
+    "cms_frequency",
+    f"""
+    with {_TOK_SQL},
+    cells as (
+        select j as row,
+               cast(('0x' || substr(md5(tok || ':cms' || j), 1, 8)) as bigint)
+                   % 1024 as bucket,
+               count(*) as cnt
+        from toks cross join unnest([0, 1, 2, 3]) as tj(j)
+        group by 1, 2
+    ),
+    ex as (select tok, count(*) as exact_n from toks group by tok),
+    top as (select tok, exact_n from ex order by exact_n desc, tok asc limit 15),
+    qc as (
+        select tok, j as row,
+               cast(('0x' || substr(md5(tok || ':cms' || j), 1, 8)) as bigint)
+                   % 1024 as bucket
+        from top cross join unnest([0, 1, 2, 3]) as tj(j)
+    ),
+    est as (
+        select tok, min(coalesce(c.cnt, 0)) as est_n
+        from qc left join cells c using (row, bucket)
+        group by tok
+    )
+    select t.tok as term, t.exact_n, e.est_n, e.est_n - t.exact_n as overcount
+    from top t join est e using (tok)
+    """,
+)
+def cms_frequency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E158 — Count-Min frequency sketch (operators/sketch.py,
+    Cormode & Muthukrishnan 2005): per-source 4×1024 cell tables over
+    the token stream, merged by cell-wise sum, point-queried for the
+    15 most frequent terms. The gate publishes estimate NEXT TO exact
+    count and the overcount (always ≥ 0 — CMS never undercounts), so
+    the driver hash records the accuracy too. Only sketch cells
+    shuffle through the merge; the oracle replays the salted bucket
+    hashing, the merge (global build — losslessness proof as in
+    E157), and the min-over-rows estimate."""
+    from ..functions.text import tokens
+    from ..operators.sketch import cms_estimate, cms_sketch, merge_cms_sketches
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sk = merge_cms_sketches(
+        cms_sketch(toks, "tok", depth=4, width=1024, by="source")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(15)
+    est = cms_estimate(sk, top.select("tok"), term_col="tok", depth=4, width=1024)
+    return (
+        top.join(est, top["tok"] == est["term"])
+        .select(
+            "term",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("estimate").alias("est_n"),
+            (F.col("estimate") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+    )
+
+
+@query(
+    "histogram_quantiles",
+    """
+    with st as (
+        select min(cast(value as double)) as mn, max(cast(value as double)) as mx
+        from events
+    ),
+    b as (
+        select least(greatest(cast(floor((cast(value as double) - st.mn)
+                   / ((st.mx - st.mn) / 64)) as int), 0), 63) as bin
+        from events, st where value is not null
+    ),
+    h as (select bin, count(*) as cnt from b group by bin),
+    c as (
+        select bin, cast(cnt as double) as cnt,
+               cast(sum(cnt) over (order by bin) as double) as cum,
+               (select cast(sum(cnt) as double) from h) as total
+        from h
+    ),
+    q as (select unnest([0.25, 0.5, 0.9, 0.99]) as quantile)
+    select q.quantile,
+           round(st.mn + (c.bin + ((q.quantile * c.total) - (c.cum - c.cnt)) / c.cnt)
+                     * ((st.mx - st.mn) / 64), 6) as estimate
+    from c cross join q cross join st
+    where c.cum >= q.quantile * c.total
+      and c.cum - c.cnt < q.quantile * c.total
+    """,
+)
+def histogram_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E159 — mergeable fixed-edge histogram quantiles
+    (operators/sketch.py): one global (min, max) pass fixes the
+    64-bin edges (the shard agreement that makes the sketch
+    mergeable), per-event-type histograms merge by bin-wise sum, and
+    p25/p50/p90/p99 come from linear interpolation inside the
+    crossing bin — error bounded by one bin width, no global sort,
+    the t-digest swap the SCALE docs promise made concrete and
+    oracle-replayable. Only ≤64-row histograms shuffle; the oracle
+    computes the global histogram directly (merge losslessness, as in
+    E157/E158) and replays the interpolation arithmetic."""
+    from ..operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+        merge_histogram_sketches,
+        value_range,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    rng = value_range(ev, "value")
+    if rng is None:
+        return spark.createDataFrame([], "quantile double, estimate double")
+    lo, hi = rng
+    per_type = histogram_sketch(ev, "value", lo, hi, k=64, by="event_type")
+    merged = merge_histogram_sketches(per_type)
+    return histogram_quantiles(merged, [0.25, 0.5, 0.9, 0.99], lo, hi, k=64)
+
+
+# --------------------------------------------------------------------
+# link graph (operators/graph.py): PageRank / degree census — E160-E161
+# --------------------------------------------------------------------
+
+# Deterministic synthetic link graph over the documents corpus (the
+# parquet tables carry no native edges — same derivation pattern as
+# the _messy_urls population): page node = source '/p' (doc_id % 97);
+# every doc links to the pages of docs (id·31+7) mod n and
+# (id·17+3) mod n; self-loops dropped.
+_LINK_EDGE_SQL = """
+    pages as (
+        select doc_id, source || '/p' || cast(doc_id % 97 as varchar) as node
+        from documents
+    ),
+    nd as (select count(*) as n from documents),
+    tg as (
+        select doc_id, unnest([(doc_id * 31 + 7) % nd.n,
+                               (doc_id * 17 + 3) % nd.n]) as tgt
+        from documents cross join nd
+    ),
+    edges as (
+        select ps.node as src, pd.node as dst
+        from tg
+        join pages ps on tg.doc_id = ps.doc_id
+        join pages pd on tg.tgt = pd.doc_id
+        where ps.node <> pd.node
+    )"""
+
+
+def _link_edges(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_LINK_EDGE_SQL``."""
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("/p"), (F.col("doc_id") % 97).cast("string")
+        ).alias("node"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("__n"))
+    tg = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 31 + 7) % F.col("__n"),
+                    (F.col("doc_id") * 17 + 3) % F.col("__n"),
+                )
+            ).alias("tgt"),
+        )
+    )
+    src = pages.withColumnRenamed("node", "src")
+    dst = pages.select(F.col("doc_id").alias("tgt"), F.col("node").alias("dst"))
+    return (
+        tg.join(src, "doc_id")
+        .join(dst, "tgt")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Oracle CTE chain replaying operators/graph.py:pagerank —
+    normalized edge shares, uniform init, per-iteration dangling mass
+    + inflow + teleport, ranks rounded to 6 each iteration (the same
+    cross-engine float-collapse as the IVF trainer's rounded means)."""
+    d = damping
+    out = f""",
+    ew as (
+        select src, dst, cast(count(*) as double) as w
+        from edges group by src, dst
+    ),
+    outw as (select src, sum(w) as outw from ew group by src),
+    shares as (
+        select ew.src, ew.dst, ew.w / outw.outw as share
+        from ew join outw using (src)
+    ),
+    nodes as (select src as node from ew union select dst from ew),
+    nn as (select cast(count(*) as double) as n from nodes),
+    r0 as (select node, 1.0 / nn.n as pr from nodes cross join nn)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        out += f""",
+    dang{i} as (
+        select coalesce(sum(pr), 0.0) as dang from {prev}
+        where node not in (select src from outw)
+    ),
+    infl{i} as (
+        select s.dst as node, sum(r.pr * s.share) as infl
+        from {prev} r join shares s on r.node = s.src
+        group by s.dst
+    ),
+    r{i} as (
+        select n.node,
+               round({(1.0 - d)!r} / nn.n
+                     + {d!r} * (coalesce(i.infl, 0.0) + dg.dang / nn.n), 6) as pr
+        from (select node from {prev}) n
+        left join infl{i} i using (node)
+        cross join dang{i} dg cross join nn
+    )"""
+        prev = f"r{i}"
+    out += f"""
+    select node, pr as pagerank,
+           cast(row_number() over (order by pr desc, node asc) as bigint) as rank
+    from {prev}
+    """
+    return out
+
+
+@query("host_pagerank", "with " + _LINK_EDGE_SQL + _pagerank_sql(3, 0.85))
+def host_pagerank_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E160 — fixed-iteration PageRank link authority
+    (operators/graph.py:pagerank): 3 power iterations at damping
+    0.85 over the derived page-link graph, dangling mass
+    redistributed uniformly, ranks rounded per iteration so the
+    oracle walks the identical trajectory. Per iteration: one
+    node-keyed equi-join + one node-keyed groupBy (rank vector rows
+    only), lineage-cut between iterations (the E112 contract); the
+    oracle replays edge derivation, share normalization, and all
+    three iterations as CTEs."""
+    from ..operators.graph import pagerank
+
+    d = t(spark, sf_dir, "documents")
+    return pagerank(_link_edges(d), damping=0.85, iters=3)
+
+
+@query(
+    "link_degree_report",
+    "with " + _LINK_EDGE_SQL + """
+    select node,
+           coalesce(o.out_edges, 0) as out_edges,
+           coalesce(i.in_edges, 0) as in_edges,
+           coalesce(o.out_neighbors, 0) as out_neighbors,
+           coalesce(i.in_neighbors, 0) as in_neighbors,
+           cast(row_number() over (
+               order by coalesce(i.in_edges, 0) desc, node asc
+           ) as bigint) as rank
+    from (select src as node from edges union select dst from edges) n
+    left join (
+        select src, count(*) as out_edges, count(distinct dst) as out_neighbors
+        from edges group by src
+    ) o on n.node = o.src
+    left join (
+        select dst, count(*) as in_edges, count(distinct src) as in_neighbors
+        from edges group by dst
+    ) i on n.node = i.dst
+    """,
+)
+def link_degree_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E161 — per-node degree census (operators/graph.py:
+    degree_report): total and distinct in/out degrees over the same
+    derived link graph, ranked by in-degree — the pre-flight that
+    catches extraction bugs (a node with a six-figure out-degree)
+    before PageRank launders them into authority. Two node-keyed
+    aggregations + one outer merge; the oracle replays both."""
+    from ..operators.graph import degree_report
+
+    d = t(spark, sf_dir, "documents")
+    return degree_report(_link_edges(d))
+
+
+# --------------------------------------------------------------------
+# embedding curation (operators/ann.py): cluster-balanced sampling /
+# hard-negative mining — E162-E163
+# --------------------------------------------------------------------
+
+@query(
+    "cluster_balanced_sample",
+    f"""
+    with e as (select vec_id, embedding from embeddings),
+    c0 as (
+        select cast(rn - 1 as int) as centroid, cvec from (
+            select row_number() over (
+                       order by md5(cast(vec_id as varchar) || ':ivfseed'),
+                                vec_id
+                   ) as rn,
+                   list_transform(embedding, x -> x::double) as cvec
+            from e
+        ) where rn <= 8
+    ),{_ivf_assign_sql('c0', 'a1')},{_ivf_update_sql('a1', 'c0', 'c1')},
+    {_ivf_assign_sql('c1', 'a2')},{_ivf_update_sql('a2', 'c1', 'c2')},
+    {_ivf_assign_sql('c2', 'af')}
+    select vec_id, centroid, pick from (
+        select vec_id, centroid,
+               cast(row_number() over (
+                   partition by centroid
+                   order by md5(cast(vec_id as varchar) || ':cbs'), vec_id
+               ) as bigint) as pick
+        from af
+    ) where pick <= 10
+    """,
+)
+def cluster_balanced_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E162 — embedding-cluster-balanced diversity sample
+    (operators/ann.py:cluster_balanced_sample): cap 10 vectors per
+    coarse cluster of the deterministic IVF quantizer
+    (ivf_index_fixed — E108's md5-seeded rounded-Lloyd build), picked
+    in engine-neutral md5 order — the cluster-cap step of
+    semantic-diversity curation (bound every neighborhood's share
+    instead of uniform-sampling the over-represented one). One hash
+    projection + one per-cluster WindowGroupLimit on top of the index
+    the ANN path already trained; the oracle replays the full
+    quantizer build plus the capped pick."""
+    from ..operators.ann import cluster_balanced_sample, ivf_index_fixed
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    idx = ivf_index_fixed(e, dims=64, n_centroids=8, iters=2)
+    return cluster_balanced_sample(idx, cap=10).select(
+        "vec_id", "centroid", "pick"
+    )
+
+
+@query(
+    "hard_negative_topk",
+    f"""
+    with q as (select vec_id, label, embedding from embeddings where vec_id < 5),
+    c as (select vec_id, label, embedding from embeddings),
+    scored as (
+        select q.vec_id as query_id, c.vec_id as neighbor_id,
+               c.label as neighbor_label,
+               round({_cos_sql('q.embedding', 'c.embedding')}, 6) as cos_sim
+        from q cross join c
+        where q.vec_id <> c.vec_id and q.label <> c.label
+    )
+    select query_id, neighbor_id, neighbor_label, cos_sim, rank from (
+        select *, cast(row_number() over (
+            partition by query_id order by cos_sim desc, neighbor_id
+        ) as bigint) as rank
+        from scored
+    ) where rank <= 10
+    """,
+)
+def hard_negative_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E163 — hard-negative mining (operators/ann.py:hard_negatives):
+    per query vector, the top-10 most similar corpus vectors with a
+    DIFFERENT label — the contrastive-training negatives that
+    actually move a retrieval model (near-misses, not random draws).
+    Same broadcast-query × corpus-scan shape as the exact top-k gate
+    with the label filter pruning before the rank window; the oracle
+    replays scoring, exclusion, and ranking."""
+    from ..operators.ann import hard_negatives
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    return hard_negatives(queries, e, k=10).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )

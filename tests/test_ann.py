@@ -477,3 +477,101 @@ def test_ivf_append_empty_index_raises(spark):
     )
     with pytest.raises(ValueError):
         ivf_index_append((e, cents), e)
+
+
+def test_cluster_balanced_sample_caps_and_determinism(embeddings):
+    from ppack_spark.operators.ann import cluster_balanced_sample, ivf_index_fixed
+
+    idx = ivf_index_fixed(embeddings, dims=64, n_centroids=8, iters=2)
+    out = cluster_balanced_sample(idx, cap=10)
+    per = out.groupBy("centroid").count().collect()
+    assert per and all(r["count"] <= 10 for r in per)
+    # picks come FROM the assigned frame, with its columns + pick
+    assert {"vec_id", "centroid", "pick"} <= set(out.columns)
+    assert out.filter((F.col("pick") < 1) | (F.col("pick") > 10)).count() == 0
+    # deterministic across runs
+    a = {tuple(r) for r in out.select("vec_id", "centroid", "pick").collect()}
+    b = {
+        tuple(r)
+        for r in cluster_balanced_sample(idx, cap=10)
+        .select("vec_id", "centroid", "pick")
+        .collect()
+    }
+    assert a == b
+    # a different salt picks a different sample (decorrelated draws)
+    c = {
+        r["vec_id"]
+        for r in cluster_balanced_sample(idx, cap=10, salt="other").collect()
+    }
+    assert c != {r["vec_id"] for r in out.collect()} or len(c) == out.count()
+
+
+def test_cluster_balanced_sample_small_cluster_kept_whole(spark):
+    from ppack_spark.operators.ann import cluster_balanced_sample
+
+    assigned = spark.createDataFrame(
+        [(i, i % 3) for i in range(9)] + [(100, 7)],
+        "vec_id long, centroid int",
+    )
+    cents = spark.createDataFrame(
+        [], "centroid int, centroid_vec array<double>"
+    )
+    out = cluster_balanced_sample((assigned, cents), cap=5)
+    # every cluster under the cap survives entirely
+    assert out.count() == 10
+    with pytest.raises(ValueError, match="cap"):
+        cluster_balanced_sample((assigned, cents), cap=0)
+
+
+def test_hard_negatives_excludes_same_label_and_matches_brute_force(embeddings):
+    from ppack_spark.operators.ann import cosine, hard_negatives
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    out = hard_negatives(q, embeddings, k=5)
+    labels = {r["vec_id"]: r["label"] for r in q.collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["neighbor_label"] != labels[r["query_id"]]
+        assert r["rank"] <= 5
+    # brute-force parity: per query, the top-5 cosine among
+    # different-label corpus rows
+    brute = (
+        q.alias("q")
+        .crossJoin(embeddings.alias("c"))
+        .filter(
+            (F.col("q.vec_id") != F.col("c.vec_id"))
+            & (F.col("q.label") != F.col("c.label"))
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.round(
+                cosine(F.col("q.embedding"), F.col("c.embedding")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    expect = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"]) for r in rows} == expect
+
+
+def test_hard_negatives_null_labels_yield_nothing(spark):
+    from ppack_spark.operators.ann import hard_negatives
+
+    df = spark.createDataFrame(
+        [(1, None, [1.0, 0.0]), (2, None, [1.0, 0.1]), (3, 0, [0.9, 0.1])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = hard_negatives(df.filter("vec_id = 1"), df, k=5)
+    # NULL-label query: label <> x is never true -> no negatives
+    assert out.count() == 0

@@ -29,6 +29,7 @@ REQUIRES_DATA = {
     # training. Its corpus-empty/queries-nonempty path still raises.
     "ann_ivf_topk": "empty",
     "ann_ivf_append": "empty",
+    "cluster_balanced_sample": "empty",
     "ann_ivfpq_topk": "empty",
     "ann_pq_topk_scan": "empty",
     "ann_ivfpq_topk_scan": "empty",

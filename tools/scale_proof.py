@@ -153,6 +153,17 @@ QUERIES = [
     "salted_join_orders",
     "events_window_agg",
     "events_sessionize",
+    # round-13 additions: sketches are sketch-keyed aggregations
+    # (should read flat-to-linear), PageRank is 3 node-keyed
+    # join+agg rounds, the embedding gates ride the fixed-size
+    # embeddings table
+    "hll_cardinality",
+    "cms_frequency",
+    "histogram_quantiles",
+    "host_pagerank",
+    "link_degree_report",
+    "cluster_balanced_sample",
+    "hard_negative_topk",
 ]
 
 # pair budget is quadratic in block size: cap at sf0.2 (round-9
