@@ -501,7 +501,13 @@ def main() -> None:
         "spread": spread,
         **extra,
     }
-    with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
+    # BENCH_ONLY debugging runs write a scratch file: overwriting the
+    # full-roster BENCH_local.json with a 1-query artifact silently
+    # destroys the round's detailed record (it burned round 13 — the
+    # post-bench solo adjudication reruns clobbered the file before it
+    # was committed).
+    out_name = "BENCH_only.json" if only else "BENCH_local.json"
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(detail, f, indent=1)
         f.write("\n")
     sys.stderr.flush()
