@@ -7,25 +7,37 @@ pages. These operators take an edge list (host→host, url→url,
 doc→doc — anything with src/dst columns) and compute:
 
 * :func:`pagerank` — PageRank (Page, Brin, Motwani & Winograd 1999)
-  run for a FIXED number of power iterations from the uniform
-  vector, with the standard damping-factor teleport and dangling-mass
-  redistribution. Fixed iterations (not convergence-tested) keep the
-  operator deterministic and engine-replayable: each iteration's
-  ranks are rounded to ``round_digits``, collapsing summation-order
-  last-ulp noise exactly like the IVF trainer's rounded Lloyd means
-  (operators/ann.py:ivf_index_fixed), so a SQL oracle walks the
-  identical trajectory.
+  run for a FIXED number of power iterations, with the standard
+  damping-factor teleport and dangling-mass redistribution. Fixed
+  iterations (not convergence-tested) keep the operator
+  deterministic and engine-replayable: the trajectory is carried in
+  FIXED-POINT integer units of 10^-``round_digits``, so every
+  cross-node sum is an exact, order-independent integer sum — a
+  strictly stronger determinization than the IVF trainer's rounded
+  Lloyd means (operators/ann.py:ivf_index_fixed): decimal rounding
+  alone still flips at .5 boundaries the sparse seeded trajectory
+  systematically produces. A SQL oracle walks the identical
+  trajectory with plain floor/sum arithmetic. Pass ``seeds`` for PERSONALIZED PageRank
+  (Haveliwala 2002): teleport and dangling mass land on the seed
+  distribution instead of uniformly — the crawl-frontier operator
+  that ranks hosts by proximity to a trusted/topical seed set; with
+  uniform seeds it degenerates exactly to the unseeded result.
 * :func:`degree_report` — in/out degree and distinct-neighbor counts
   per node, the cheap pre-flight before trusting PageRank output
   (a node with out-degree 10^6 is an extraction bug signal).
 
 Scale shape: per iteration, PageRank is one equi-join of the rank
 vector with the normalized edge list plus one groupBy(dst) — both
-shuffle on node keys only (ranks are (node, double) pairs; the edge
-list is re-used with its share precomputed once). The rank frame is
-lineage-cut between iterations (operators/util.py:cut_lineage — the
-E112 iterative-loop contract) so the plan does not grow with
-``iters``. Nothing collects to the driver.
+shuffle on node keys only (ranks are (node, double, seed-share)
+rows; the edge list is re-used with its share precomputed once). The
+rank frame is lineage-cut between iterations
+(operators/util.py:cut_lineage — the E112 iterative-loop contract)
+so the plan does not grow with ``iters``. The final ``rank`` column
+is minted by operators/util.py:distributed_rank — range-partitioned
+local ranks plus bucket offsets — so NO node-table-sized frame ever
+crosses a single-partition window (the r13 advisor's doc→doc-scale
+concern); the only driver transfer anywhere is the seed-sum guard's
+1-row action when ``seeds`` is passed.
 
 Reference parity: the reference engine (nerskin/ppack) has no graph
 surface; this extends the SURVEY.md §2e pipeline families with the
@@ -37,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .util import cut_lineage
+from .util import cut_lineage, distributed_rank
 
 
 def _edge_weights(
@@ -61,29 +73,46 @@ def pagerank(
     weight: str | None = None,
     damping: float = 0.85,
     iters: int = 3,
-    round_digits: int = 6,
+    round_digits: int = 9,
+    seeds: DataFrame | None = None,
+    seed_node: str = "node",
+    seed_weight: str | None = None,
 ) -> DataFrame:
-    """Fixed-iteration PageRank over an edge list.
+    """Fixed-iteration (optionally personalized) PageRank over an
+    edge list.
 
     Nodes are the union of sources and destinations; parallel edges
     act as weights (or pass ``weight``). Each iteration computes
 
-        r'(v) = (1-d)/N + d · (Σ_{u→v} r(u)·w(u,v)/out(u) + D/N)
+        r'(v) = (1-d)·s(v) + d · (Σ_{u→v} r(u)·w(u,v)/out(u) + D·s(v))
 
-    where D is the total rank mass sitting on dangling nodes (no
-    out-edges) — redistributed uniformly, the standard convention, so
-    Σr stays 1 every iteration. Ranks are rounded to ``round_digits``
-    per iteration (see module docstring — cross-engine determinism).
+    where s is the teleport distribution and D the total rank mass
+    sitting on dangling nodes (no out-edges) — both land on s, so Σr
+    stays 1 every iteration. Without ``seeds``, s is uniform (1/N —
+    classic PageRank). With ``seeds`` (a frame of ``seed_node``
+    [+ ``seed_weight``, default 1.0 each] rows), s is the seed
+    weights normalized over the seeds that exist in the graph and 0
+    elsewhere — personalized PageRank (Haveliwala 2002); a uniform
+    all-node seed table reproduces the unseeded result exactly.
+    Iteration 0 starts at s. Non-positive seed weights are ignored;
+    if no positive-weight seed matches a graph node, raises
+    ``ValueError`` (checked with one bounded 1-row action — the
+    module's only driver transfer). The trajectory is carried in
+    fixed-point integer units of 10^-``round_digits`` (see the inline
+    comment — cross-engine determinism with no rounding-boundary
+    luck); the returned ``pagerank`` is the integer rank divided back
+    to a double.
 
     Returns ``(node, pagerank, rank)`` with rank the dense ordering
-    by descending pagerank (node tie-break). Empty edge input returns
-    an empty, well-formed frame.
+    by descending pagerank (node tie-break), minted by
+    :func:`~ppack_spark.operators.util.distributed_rank` — no
+    single-partition window over the node table (see module
+    docstring). Empty edge input returns an empty, well-formed frame.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"pagerank: damping must be in (0, 1), got {damping}")
     if iters < 1:
         raise ValueError(f"pagerank: need iters >= 1, got {iters}")
-    from pyspark.sql import Window
 
     ew = _edge_weights(edges, src, dst, weight)
     nodes = (
@@ -98,46 +127,101 @@ def pagerank(
     shares = ew.join(outw, "__src").select(
         "__src", "__dst", (F.col("__w") / F.col("__outw")).alias("__share")
     )
-    # N rides along as a column: no driver-side count, the same 1-row
-    # broadcast pattern as corpus_mix_report.
-    ncnt = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("pr"), "__n"
+    if seeds is None:
+        # N rides along as a column: no driver-side count, the same
+        # 1-row broadcast pattern as corpus_mix_report.
+        ncnt = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        svec = nodes.crossJoin(F.broadcast(ncnt)).select(
+            "node", (F.lit(1.0) / F.col("__n")).alias("__s")
+        )
+    else:
+        wcol = (
+            F.col(seed_weight).cast("double")
+            if seed_weight
+            else F.lit(1.0)
+        )
+        sw = (
+            seeds.filter(F.col(seed_node).isNotNull())
+            .select(F.col(seed_node).alias("node"), wcol.alias("__w"))
+            .filter(F.col("__w") > 0)
+            .groupBy("node")
+            .agg(F.sum("__w").alias("__w"))
+        )
+        matched = nodes.join(F.broadcast(sw), "node", "left")
+        tot = matched.agg(
+            F.coalesce(F.sum("__w"), F.lit(0.0)).alias("__tot")
+        )
+        # bounded 1-row guard action: an all-miss seed table would
+        # otherwise produce a silent all-NULL rank vector
+        if (tot.collect()[0]["__tot"] or 0.0) <= 0.0:
+            raise ValueError(
+                "pagerank: no positive-weight seed matches a graph node"
+            )
+        # the normalizing sum stays IN-PLAN (same 1-row broadcast as
+        # the unseeded N) so the oracle's SQL sum sees the identical
+        # arithmetic, not a driver-collected Python float
+        svec = matched.crossJoin(F.broadcast(tot)).select(
+            "node",
+            (F.coalesce(F.col("__w"), F.lit(0.0)) / F.col("__tot")).alias(
+                "__s"
+            ),
+        )
+    # The trajectory is carried in INTEGER units of 10^-round_digits
+    # (fixed-point): every cross-node SUM (inflow, dangling mass) is
+    # an integer sum — exact and order-independent — and every float
+    # step is a single correctly-rounded IEEE op on inputs both
+    # engines hold bit-identically (s from one division, share from
+    # one division, products of those). Rounding each value to a
+    # shared decimal grid is NOT enough: a sparse seeded trajectory
+    # systematically parks rank×share products ON the .5 rounding
+    # boundary, where engines' summation order (or their round()
+    # internals) flip the last digit — measured, not hypothetical.
+    sc = float(10**round_digits)
+    ranks = svec.select(
+        "node",
+        F.floor(F.col("__s") * F.lit(sc) + F.lit(0.5))
+        .cast("long")
+        .alias("pr_i"),
+        "__s",
     )
     has_out = outw.select(F.col("__src").alias("node"))
     for _ in range(iters):
         dang = (
             ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("__dang"))
+            .agg(F.coalesce(F.sum("pr_i"), F.lit(0).cast("long")).alias("__dang"))
         )
+        # per-edge contribution floored to an integer BEFORE the sum —
+        # the floor costs at most in-degree × 10^-round_digits of mass
+        # per node and buys an order-independent integer aggregation
         inflow = (
             ranks.join(shares, ranks["node"] == shares["__src"])
             .groupBy(F.col("__dst").alias("node"))
-            .agg(F.sum(F.col("pr") * F.col("__share")).alias("__in"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("pr_i") * F.col("__share")).cast("long")
+                ).alias("__in")
+            )
+        )
+        pre = F.lit(1.0 - damping) * F.col("__s") * F.lit(sc) + F.lit(
+            damping
+        ) * (
+            F.coalesce(F.col("__in"), F.lit(0).cast("long")).cast("double")
+            + F.col("__dang").cast("double") * F.col("__s")
         )
         ranks = cut_lineage(
             ranks.join(inflow, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
-                F.round(
-                    (F.lit(1.0) - damping) / F.col("__n")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.col("__dang") / F.col("__n")
-                    ),
-                    round_digits,
-                ).alias("pr"),
-                "__n",
+                F.floor(pre + F.lit(0.5)).cast("long").alias("pr_i"),
+                "__s",
             )
         )
-    w = Window.orderBy(F.desc("pr"), F.asc("node"))
-    return ranks.select(
-        "node",
-        F.col("pr").alias("pagerank"),
-        F.row_number().over(w).cast("long").alias("rank"),
-    )
+    return distributed_rank(
+        ranks.select("node", (F.col("pr_i") / F.lit(sc)).alias("pagerank")),
+        [F.desc("pagerank"), F.asc("node")],
+        "rank",
+    ).select("node", "pagerank", "rank")
 
 
 def degree_report(
@@ -150,9 +234,9 @@ def degree_report(
     counts. Returns ``(node, out_edges, in_edges, out_neighbors,
     in_neighbors, rank)`` ranked by descending in_edges (node
     tie-break) — the "who gets linked to" pre-flight. Two node-keyed
-    aggregations + one outer merge; shuffles node keys only."""
-    from pyspark.sql import Window
-
+    aggregations + one outer merge; shuffles node keys only, and the
+    rank is minted by ``distributed_rank`` (no single-partition
+    window over the node table — see module docstring)."""
     e = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     out_d = e.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_edges"),
@@ -169,5 +253,8 @@ def degree_report(
         F.coalesce("out_neighbors", F.lit(0)).cast("long").alias("out_neighbors"),
         F.coalesce("in_neighbors", F.lit(0)).cast("long").alias("in_neighbors"),
     )
-    w = Window.orderBy(F.desc("in_edges"), F.asc("node"))
-    return merged.withColumn("rank", F.row_number().over(w).cast("long"))
+    return distributed_rank(
+        merged, [F.desc("in_edges"), F.asc("node")], "rank"
+    ).select(
+        "node", "out_edges", "in_edges", "out_neighbors", "in_neighbors", "rank"
+    )

@@ -847,6 +847,84 @@ def budget_mix(
     )
 
 
+def authority_mix(
+    df: DataFrame,
+    authority: DataFrame,
+    group_col: str = "host",
+    weight_col: str = "authority",
+    target_total: int = 1_000_000,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "authority",
+) -> DataFrame:
+    """Authority-weighted domain mixing: like :func:`temperature_mix`
+    but group ``g``'s share of the output is proportional to an
+    EXTERNAL authority score raised to ``alpha`` —
+    ``authority(g) ** alpha`` — instead of the group's own document
+    count. This is the link-authority integration step of a web-corpus
+    recipe: feed it :func:`~ppack_spark.operators.graph.pagerank`
+    output joined through the canonical host
+    (:func:`~ppack_spark.functions.text.canonical_host`) and the mix
+    weights hosts by who LINKS to them, not by how many pages they
+    managed to serve the crawler — a million-page crawler trap with no
+    inbound authority contributes almost nothing.
+
+    ``authority`` is a small frame of ``(group_col, weight_col)``
+    rows (one per group; duplicates are summed). Groups with no
+    positive authority row are dropped — no authority, no budget.
+    ``target_total`` sets the approximate output size; a group whose
+    computed rate exceeds 1 is taken whole (down-sampling only, as in
+    the other mixers). Selection is by md5(id ∥ salt) 32-bit prefix
+    (reproducible across runs/engines/partitionings, independent of
+    the other samplers' salts — see ``_id_hash``); the per-group rate
+    is rounded to 9 decimals so both engines compare the hash against
+    bit-identical rates even though the share normalization sums
+    floating authorities.
+
+    Scale shape: one tiny per-group count aggregate joined with the
+    authority table (host-table-sized — broadcast), share/rate
+    windows over that group table only, then the broadcast rate join
+    back; the corpus itself never shuffles and the accept filter sits
+    on the scan.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_total <= 0:
+        raise ValueError(f"target_total must be positive: {target_total}")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    aw = (
+        authority.filter(
+            F.col(group_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .groupBy(group_col)
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("__w"))
+    )
+    j = counts.join(aw, group_col)
+    pw = F.pow(F.col("__w"), F.lit(float(alpha)))
+    # the share window runs over the joined group table (one row per
+    # authority-bearing group — tiny), never the corpus
+    share = pw / F.sum(pw).over(Window.partitionBy())
+    rates = j.select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_total)) * share / F.col("__n"),
+            ),
+            9,
+        ).alias("__rate"),
+    )
+    hash_u32 = F.conv(_id_hash(id_col, 8, salt), 16, 10).cast("double")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_u32 < F.col("__rate") * F.lit(4294967296.0))
+        .drop("__rate")
+        .select(*df.columns)
+    )
+
+
 def quantile_filter(
     df: DataFrame,
     col: str,

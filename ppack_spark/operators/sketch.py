@@ -24,6 +24,18 @@ provides, in a deliberately DETERMINISTIC form:
   :func:`histogram_quantiles` — fixed-edge equi-width histograms
   (shards must agree on [lo, hi] — that agreement IS the merge
   contract) with linear-interpolated quantile estimates.
+* :func:`kll_sketch` / :func:`merge_kll_sketches` /
+  :func:`kll_quantiles` — a quantile sketch with NO range contract:
+  shards need not agree on anything up front, so it covers the
+  month-spanning ingest the fixed-edge histogram can't. KLL-style
+  (Karnin, Lang & Liberty 2016) in its level/weight architecture,
+  but the sequential compactor's coin flips are replaced by each
+  item's md5-derived tier (the same determinization as the A-ES
+  weighted sampler, operators/pipeline.py:weighted_hash_sample),
+  which buys exact mergeability — merge == direct build,
+  bit-for-bit, the property the sketch-of-sketches tests pin — and
+  full SQL replayability, at the cost of the sampler's O(1/√k) rank
+  error instead of KLL's O(1/k).
 
 Unlike the Apache DataSketches binaries behind
 ``distinct_count_sketches`` (operators/pipeline.py — kept as the
@@ -145,6 +157,14 @@ def hll_cardinality_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
     in any summation order; the remaining α/ln arithmetic is a fixed
     single-expression evaluation both engines round identically at 4
     decimals. An empty sketch estimates 0.0.
+
+    Input contract: ``registers`` must be ONE sketch — register values
+    unique, so ≤ m rows. Passing an UNMERGED per-shard table (e.g.
+    ``hll_registers(..., by=...)`` output) would make the row count
+    exceed m, drive the denominator (m - nreg) + Σ2^-rho negative,
+    and silently return a wild/negative estimate — so the estimator
+    raises instead (``raise_error`` fires inside the 1-row aggregate)
+    when nreg > m: merge with :func:`merge_hll_registers` first.
     """
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
@@ -158,6 +178,19 @@ def hll_cardinality_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
     raw = F.lit(alpha * m * m) / z
     v = F.lit(m) - F.col("__nreg")
     est = F.when(
+        F.col("__nreg") > F.lit(m),
+        F.raise_error(
+            F.concat(
+                F.lit("hll_cardinality_estimate: "),
+                F.col("__nreg").cast("string"),
+                F.lit(
+                    f" register rows > m={m} — the input is not one merged"
+                    " sketch (per-shard tables must go through"
+                    " merge_hll_registers first)"
+                ),
+            )
+        ).cast("double"),
+    ).when(
         (raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(raw)
@@ -349,5 +382,199 @@ def histogram_quantiles(
     return (
         cum.select("bin", "cnt", "cum", "total", qf)
         .filter((F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target))
+        .select("quantile", F.round(est, round_digits).alias("estimate"))
+    )
+
+
+# --------------------------------------------------------------------
+# KLL-style quantile sketch (no range contract)
+# --------------------------------------------------------------------
+
+def _lz32(key: Column, salt: str) -> Column:
+    """Number of leading zero BITS in the 32-bit word at md5 hex chars
+    1-8 (32 when the word is all zeros) — each item's compaction-tier
+    coin-flip sequence, fixed by its hash. Same 4-bit CASE trick as
+    :func:`_hll_rho` (no floating log2); DuckDB replays it verbatim."""
+    hex1 = F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8)
+    rest = F.regexp_replace(hex1, "^0*", "")
+    lz_hex = F.lit(8) - F.length(rest)
+    nib = F.substring(rest, 1, 1)
+    nib_zeros = (
+        F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return (
+        F.when(rest == "", F.lit(32)).otherwise(lz_hex * 4 + nib_zeros).cast("int")
+    )
+
+
+def kll_sketch(
+    df: DataFrame,
+    value_col: Column | str,
+    id_col: Column | str,
+    k: int = 256,
+    salt: str = "kll",
+    by: str | None = None,
+) -> DataFrame:
+    """KLL-style quantile sketch with NO shard range contract:
+    ``(by?, tier, value, level)`` — at most k rows per shard no matter
+    how many values went in, mergeable without any up-front [lo, hi]
+    agreement (the fixed-edge histogram's one requirement a
+    month-spanning ingest can't always make).
+
+    Mechanics: every row's compaction ``tier`` is the number of md5
+    coin flips it survives (leading zero bits of a 32-bit hash of its
+    ``id_col`` — tier t with probability 2^-t), the md5-ranked
+    determinization of KLL's sequential compactor picks. The shard's
+    ``level`` L is the smallest tier at which ≤ k rows survive
+    (|{tier ≥ L}| ≤ k); the sketch retains exactly those rows, a
+    uniform 2^-L-rate sample. Because L is a pure function of the
+    tier multiset and every retained row's tier rides along, merging
+    per-shard sketches reproduces the direct one-pass sketch
+    BIT-FOR-BIT (:func:`merge_kll_sketches`) — the losslessness the
+    sequential compaction schedule cannot give. Rank error is the
+    uniform sampler's O(1/√k) (vs KLL's O(1/k)) — the price of exact
+    mergeability + engine replayability.
+
+    ``id_col`` must be unique per row (it IS the coin-flip source;
+    duplicated ids collapse tiers and can starve every level below
+    k). NULL values and NULL ids are skipped.
+
+    Scale shape: one zero-shuffle map pass for tiers, one
+    partial-aggregated groupBy on (shard, tier) whose key space is ≤
+    33 tiers, a broadcast of the 1-row-per-shard level pick back onto
+    the stream, and the tier ≥ L filter on the scan — the data never
+    shuffles; only ≤ k sketch rows per shard survive.
+    """
+    if k < 2:
+        raise ValueError(f"kll_sketch: need k >= 2, got {k}")
+    from pyspark.sql import Window
+
+    c = _col(value_col)
+    i = _col(id_col)
+    keys = [F.col(by)] if by else []
+    rows = df.filter(c.isNotNull() & i.isNotNull()).select(
+        *keys,
+        _lz32(i, salt).alias("tier"),
+        c.cast("double").alias("value"),
+    )
+    th = rows.groupBy(*keys, "tier").agg(F.count(F.lit(1)).alias("__c"))
+    # cumulative "rows at tier >= t" runs over <= 33 tier rows per
+    # shard — sketch-sized, never data-sized
+    w = (
+        Window.partitionBy(*([by] if by else []))
+        .orderBy(F.desc("tier"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lvl = (
+        th.select(*keys, "tier", F.sum("__c").over(w).alias("__cum"))
+        .filter(F.col("__cum") <= k)
+        .groupBy(*([by] if by else []))
+        .agg(F.min("tier").alias("level"))
+    )
+    if by:
+        sel = rows.join(F.broadcast(lvl), by)
+    else:
+        sel = rows.crossJoin(F.broadcast(lvl))
+    return sel.filter(F.col("tier") >= F.col("level")).select(
+        *keys, "tier", "value", "level"
+    )
+
+
+def merge_kll_sketches(*sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Union per-shard KLL sketches (dropping any shard column) into
+    one ``(tier, value, level)`` sketch — bit-identical to the direct
+    one-pass sketch of the concatenated data.
+
+    Every input's minimal level L_s certifies its tiers below L_s had
+    > k survivors, so the merged level starts at base = max(L_s)
+    (tiers ≥ base are COMPLETE in the union; anything lower was
+    compacted away by some shard and must not be resurrected — the
+    theta-sketch merge rule). Above that base the union's tier counts
+    equal the full data's, so re-running the level pick lands on
+    exactly the direct build's level. ``k`` must match the build's.
+    Shuffles only sketch rows (≤ k per input)."""
+    if not sketches:
+        raise ValueError("merge_kll_sketches: need at least one sketch")
+    from pyspark.sql import Window
+
+    u = sketches[0].select("tier", "value", "level")
+    for s in sketches[1:]:
+        u = u.unionByName(s.select("tier", "value", "level"))
+    base = u.agg(F.max("level").alias("__base"))
+    cand = (
+        u.crossJoin(F.broadcast(base))
+        .filter(F.col("tier") >= F.col("__base"))
+        .select("tier", "value")
+    )
+    th = cand.groupBy("tier").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(F.desc("tier")).rowsBetween(Window.unboundedPreceding, 0)
+    lvl = (
+        th.select("tier", F.sum("__c").over(w).alias("__cum"))
+        .filter(F.col("__cum") <= k)
+        .agg(F.min("tier").alias("level"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(lvl))
+        .filter(F.col("tier") >= F.col("level"))
+        .select("tier", "value", "level")
+    )
+
+
+def kll_quantiles(
+    sketch: DataFrame, qs: list[float], round_digits: int = 6
+) -> DataFrame:
+    """Quantile estimates from a (merged) KLL sketch: the retained
+    rows are a uniform equal-weight sample, so each q reads the
+    empirical quantile with linear interpolation at position
+    q·(n-1)+1 of the value-sorted sample (the standard continuous
+    rule — matches percentile/quantile_cont indexing). Returns
+    ``(quantile, estimate)``; an empty sketch returns no rows.
+
+    The rank window runs over the ≤ k-row sketch (single partition by
+    construction — sketch-sized, not data-sized; same contract as
+    :func:`histogram_quantiles`). Ties in ``value`` make the
+    row_number assignment arbitrary but the interpolated estimate
+    identical, so the read stays engine-deterministic."""
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("kll_quantiles: need at least one quantile")
+    if any(not 0.0 < q < 1.0 for q in qs):
+        raise ValueError(f"kll_quantiles: quantiles must be in (0, 1): {qs}")
+    ranked = sketch.select(
+        "value", F.row_number().over(Window.orderBy("value")).alias("__rn")
+    )
+    n1 = ranked.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    qf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("quantile")
+    targets = (
+        n1.filter(F.col("__n") > 0)
+        .select("__n", qf)
+        .select(
+            "quantile",
+            (F.col("quantile") * (F.col("__n") - 1) + 1).alias("__t"),
+        )
+        .select(
+            "quantile",
+            "__t",
+            F.floor("__t").cast("long").alias("__lo"),
+            F.ceil("__t").cast("long").alias("__hi"),
+        )
+    )
+    vlo = ranked.select(
+        F.col("__rn").alias("__lo"), F.col("value").alias("__vlo")
+    )
+    vhi = ranked.select(
+        F.col("__rn").alias("__hi"), F.col("value").alias("__vhi")
+    )
+    est = F.col("__vlo") + (F.col("__t") - F.col("__lo")) * (
+        F.col("__vhi") - F.col("__vlo")
+    )
+    return (
+        F.broadcast(targets)
+        .join(vlo, "__lo")
+        .join(vhi, "__hi")
         .select("quantile", F.round(est, round_digits).alias("estimate"))
     )

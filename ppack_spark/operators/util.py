@@ -4,7 +4,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["spread", "salted_join", "plan_cost_report", "cut_lineage"]
+__all__ = [
+    "spread",
+    "salted_join",
+    "plan_cost_report",
+    "cut_lineage",
+    "distributed_rank",
+]
 
 
 def cut_lineage(df: DataFrame) -> DataFrame:
@@ -135,3 +141,53 @@ def plan_cost_report(df: DataFrame) -> dict:
         "pushed_filters": plan.count("PushedFilters: [")
         > plan.count("PushedFilters: []"),
     }
+
+
+def distributed_rank(df, order_cols, out_col: str = "rank"):
+    """Exact global ``row_number`` over ``order_cols`` WITHOUT a
+    single-partition window: range-repartition on the order keys,
+    rank locally inside each range bucket, and add per-bucket
+    cumulative offsets. The only empty-partition window left in the
+    plan is the offset cumsum over the PER-BUCKET COUNT table — one
+    row per shuffle partition, data-independent — never the ranked
+    frame itself (the E129 distributed-order pattern; contrast
+    ``Window.orderBy`` with no partitionBy, which funnels every row
+    through one task).
+
+    Correctness does not depend on where the sampled range boundaries
+    fall: offsets come from the ACTUAL per-bucket counts, and rows
+    with equal keys land in one bucket (RangePartitioner splits
+    between distinct key values), so the ranks are the exact global
+    row numbers for any boundary placement. Ties across ``order_cols``
+    get an arbitrary-but-valid order — pass a tiebreaker column for
+    full determinism.
+
+    Cost: one range shuffle + one hash shuffle (the pid-partitioned
+    local window) + a broadcast of the offset table — vs the
+    single-task global sort it replaces.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n = max(int(spark.sparkContext.defaultParallelism), 1)
+    part = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = part.withColumn("__lrn", F.row_number().over(w))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    # cumulative offsets over the bucket-count table: <= n rows, one
+    # per shuffle partition — sketch-sized, not data-sized
+    wo = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(wo), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn")
+    )

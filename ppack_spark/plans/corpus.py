@@ -8,8 +8,10 @@ Stage order (each optional, every stage an already-gated operator):
     quality filter → corpus line dedup → exact dedup → eval
     decontamination → quantile trim → near dedup (MinHash-LSH,
     verified; min-id or best-score canonical) → temperature mix →
-    token-budget mix → hash sample → train/val/test split (id-hash or
-    leakage-safe cluster-hash) → chunk → pack → shuffle | curriculum
+    authority mix (PageRank-weighted host shares, needs
+    run(..., authority=...)) → token-budget mix → hash sample →
+    train/val/test split (id-hash or leakage-safe cluster-hash) →
+    chunk → pack → shuffle | curriculum
 
 The facade only fixes composition order and threads the column names;
 there is deliberately no hidden state — ``run()`` returns a plain
@@ -55,6 +57,11 @@ class CorpusSpec:
     decontaminate: bool = True  # applied when run() receives eval_docs
     # e.g. {"group_col": "lang", "alpha": 0.5, "target_total": 100_000}
     mix: dict | None = None
+    # e.g. {"group_col": "host", "target_total": 100_000, "alpha": 1.0}
+    # — weight groups by an EXTERNAL authority table (PageRank ranks
+    # joined through the canonical host) instead of their own counts;
+    # requires run(..., authority=<(group, weight) frame>)
+    authority_mix: dict | None = None
     # e.g. {"budget_tokens": 1e9, "weights": {"en": .5, "fr": .5}} —
     # pin the mix to an explicit token budget (budget_mix)
     budget: dict | None = None
@@ -91,9 +98,15 @@ class CorpusPipeline:
     def __init__(self, spec: CorpusSpec | None = None):
         self.spec = spec or CorpusSpec()
 
-    def run(self, df: DataFrame, eval_docs: DataFrame | None = None) -> DataFrame:
+    def run(
+        self,
+        df: DataFrame,
+        eval_docs: DataFrame | None = None,
+        authority: DataFrame | None = None,
+    ) -> DataFrame:
         from ..operators.dedup import near_dedup_corpus, near_dedup_keep_best
         from ..operators.pipeline import (
+            authority_mix,
             budget_mix,
             chunk_documents,
             curriculum_order,
@@ -150,6 +163,17 @@ class CorpusPipeline:
                 )
         if s.mix is not None:
             out = temperature_mix(out, id_col=s.id_col, **s.mix)
+        if s.authority_mix is not None:
+            if authority is None:
+                raise ValueError(
+                    "CorpusSpec.authority_mix is set but run() received no"
+                    " authority frame — pass authority=<(group, weight)"
+                    " DataFrame> (e.g. pagerank output keyed by canonical"
+                    " host)"
+                )
+            out = authority_mix(
+                out, authority, id_col=s.id_col, **s.authority_mix
+            )
         if s.budget is not None:
             out = budget_mix(
                 out, text_col=s.text_col, id_col=s.id_col, **s.budget

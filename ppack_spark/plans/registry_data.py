@@ -6164,8 +6164,12 @@ def cms_frequency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         from events
     ),
     b as (
-        select least(greatest(cast(floor((cast(value as double) - st.mn)
-                   / ((st.mx - st.mn) / 64)) as int), 0), 63) as bin
+        -- degenerate-range guard mirrors the Spark _hist_bin branch
+        -- (operators/sketch.py): mx == mn puts everything in bin 0
+        -- instead of dividing by a zero bin width
+        select case when st.mx = st.mn then 0
+                    else least(greatest(cast(floor((cast(value as double) - st.mn)
+                        / ((st.mx - st.mn) / 64)) as int), 0), 63) end as bin
         from events, st where value is not null
     ),
     h as (select bin, count(*) as cnt from b group by bin),
@@ -6273,13 +6277,28 @@ def _link_edges(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+def _pagerank_sql(
+    iters: int = 3,
+    damping: float = 0.85,
+    seeded: bool = False,
+    final: bool = True,
+) -> str:
     """Oracle CTE chain replaying operators/graph.py:pagerank —
-    normalized edge shares, uniform init, per-iteration dangling mass
-    + inflow + teleport, ranks rounded to 6 each iteration (the same
-    cross-engine float-collapse as the IVF trainer's rounded means)."""
+    normalized edge shares, the teleport vector ``sv`` (uniform 1/N,
+    or, with ``seeded``, a prior ``seedw(node, w)`` CTE's positive
+    weights normalized over the graph nodes they match — Haveliwala
+    personalized PageRank), init at sv, per-iteration dangling mass +
+    inflow + teleport onto sv — all carried in FIXED-POINT integer
+    nano-units exactly like the Spark loop (graph.py: per-edge
+    contributions floored to bigint before the sum, so every
+    cross-node aggregation is an exact integer sum in any order; the
+    remaining float steps are single IEEE ops on bit-identical
+    inputs). Each ``r{i}`` exposes both ``pr_i`` (integer) and ``pr``
+    (the divided-back double). With ``final=False`` the chain stops
+    after ``r{iters}`` (plus ``sv``/``nn`` CTEs) so composed oracles
+    — the authority-mix gate — can keep building."""
     d = damping
-    out = f""",
+    out = """,
     ew as (
         select src, dst, cast(count(*) as double) as w
         from edges group by src, dst
@@ -6290,32 +6309,55 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
         from ew join outw using (src)
     ),
     nodes as (select src as node from ew union select dst from ew),
-    nn as (select cast(count(*) as double) as n from nodes),
-    r0 as (select node, 1.0 / nn.n as pr from nodes cross join nn)"""
+    nn as (select cast(count(*) as double) as n from nodes)"""
+    if seeded:
+        out += """,
+    sw as (
+        select node, sum(w) as w from seedw where w > 0 group by node
+    ),
+    stot as (
+        select sum(sw.w) as tot from sw join nodes using (node)
+    ),
+    sv as (
+        select n.node, coalesce(sw.w, 0.0) / stot.tot as s
+        from nodes n left join sw using (node) cross join stot
+    )"""
+    else:
+        out += """,
+    sv as (select node, 1.0 / nn.n as s from nodes cross join nn)"""
+    sc = "1000000000.0"
+    out += f""",
+    r0 as (select node, cast(floor(s * {sc} + 0.5) as bigint) as pr_i from sv)"""
     prev = "r0"
     for i in range(1, iters + 1):
         out += f""",
     dang{i} as (
-        select coalesce(sum(pr), 0.0) as dang from {prev}
+        select cast(coalesce(sum(pr_i), 0) as bigint) as dang from {prev}
         where node not in (select src from outw)
     ),
     infl{i} as (
-        select s.dst as node, sum(r.pr * s.share) as infl
+        select s.dst as node,
+               cast(sum(cast(floor(r.pr_i * s.share) as bigint)) as bigint)
+                   as infl
         from {prev} r join shares s on r.node = s.src
         group by s.dst
     ),
     r{i} as (
-        select n.node,
-               round({(1.0 - d)!r} / nn.n
-                     + {d!r} * (coalesce(i.infl, 0.0) + dg.dang / nn.n), 6) as pr
-        from (select node from {prev}) n
-        left join infl{i} i using (node)
-        cross join dang{i} dg cross join nn
+        select sv.node,
+               cast(floor({(1.0 - d)!r} * sv.s * {sc}
+                          + {d!r} * (cast(coalesce(i.infl, 0) as double)
+                                     + cast(dg.dang as double) * sv.s)
+                          + 0.5) as bigint) as pr_i
+        from sv
+        left join infl{i} i on sv.node = i.node
+        cross join dang{i} dg
     )"""
         prev = f"r{i}"
-    out += f"""
-    select node, pr as pagerank,
-           cast(row_number() over (order by pr desc, node asc) as bigint) as rank
+    if final:
+        out += f"""
+    select node, pr_i / {sc} as pagerank,
+           cast(row_number() over (order by pr_i desc, node asc) as bigint)
+               as rank
     from {prev}
     """
     return out
@@ -6467,3 +6509,261 @@ def hard_negative_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# --------------------------------------------------------------------
+# round-14 additions: KLL-style quantile sketch (E164), personalized
+# PageRank (E165), authority-weighted corpus mixing (E166)
+# --------------------------------------------------------------------
+
+def _lz32_sql(key: str, salt: str) -> str:
+    """SQL replay of operators/sketch.py:_lz32 — leading zero BITS of
+    the 32-bit word at md5 hex chars 1-8 (32 when all zero), via the
+    same no-floating-log2 hex CASE as ``_HLL_RHO_SQL``."""
+    rest = f"regexp_replace(substr(md5({key} || '{salt}'), 1, 8), '^0*', '')"
+    return f"""
+        case when {rest} = ''
+             then 32
+             else (8 - length({rest})) * 4
+                  + (case substr({rest}, 1, 1)
+                     when '1' then 3 when '2' then 2 when '3' then 2
+                     when '4' then 1 when '5' then 1 when '6' then 1 when '7' then 1
+                     else 0 end)
+             end"""
+
+
+_KLL_K = 1024
+_KLL_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+@query(
+    "kll_quantiles",
+    f"""
+    with vals as (
+        select cast(value as double) as v,
+               {_lz32_sql('cast(event_id as varchar)', ':kll')} as tier
+        from events where value is not null
+    ),
+    th as (select tier, count(*) as c from vals group by tier),
+    lv as (
+        select min(tier) as level from (
+            select tier, sum(c) over (order by tier desc) as cum from th
+        ) where cum <= {_KLL_K}
+    ),
+    ret as (select v from vals cross join lv where tier >= lv.level),
+    nn as (select cast(count(*) as double) as n from ret),
+    rk as (select v, row_number() over (order by v) as rn from ret),
+    q as (select unnest([{', '.join(repr(q) for q in _KLL_QS)}]) as quantile),
+    tg as (
+        select q.quantile, q.quantile * (nn.n - 1) + 1 as t,
+               cast(floor(q.quantile * (nn.n - 1) + 1) as bigint) as lo,
+               cast(ceil(q.quantile * (nn.n - 1) + 1) as bigint) as hi
+        from q cross join nn
+    ),
+    ex as (
+        select unnest([{', '.join(repr(q) for q in _KLL_QS)}]) as quantile,
+               unnest(qc) as exact
+        from (select quantile_cont(v, [{', '.join(repr(q) for q in _KLL_QS)}])
+                  as qc from vals)
+    )
+    select tg.quantile,
+           round(l.v + (tg.t - tg.lo) * (h.v - l.v), 6) as estimate,
+           round(ex.exact, 6) as exact,
+           round(round(l.v + (tg.t - tg.lo) * (h.v - l.v), 6)
+                 - round(ex.exact, 6), 6) as err
+    from tg
+    join rk l on tg.lo = l.rn
+    join rk h on tg.hi = h.rn
+    join ex on tg.quantile = ex.quantile
+    """,
+)
+def kll_quantiles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E164 — KLL-style mergeable quantile sketch with NO range
+    contract (operators/sketch.py:kll_sketch): per-event-type
+    sketches (each ≤ 1024 rows — level picked as the smallest md5
+    tier with ≤ k survivors) merged losslessly (merge == direct
+    build, bit-for-bit — the theta-style max-level rule) and read at
+    p25/p50/p90/p99 with the standard q·(n-1) interpolation. Unlike
+    E159's fixed-edge histogram, shards never have to agree on
+    [lo, hi] up front — the sketch a month-spanning ingest can
+    actually run. The gate publishes estimate NEXT TO the exact
+    quantile and the error, so the driver hash records accuracy
+    (O(1/√k) rank error); the oracle computes the global sketch
+    directly — equality with Spark's merged per-shard build IS the
+    losslessness proof, as in E157/E158 — and replays tiering, the
+    level pick, ranking, and interpolation."""
+    from ..operators.sketch import kll_quantiles, kll_sketch, merge_kll_sketches
+
+    ev = t(spark, sf_dir, "events")
+    per = kll_sketch(ev, "value", "event_id", k=_KLL_K, by="event_type")
+    merged = merge_kll_sketches(per, k=_KLL_K)
+    est = kll_quantiles(merged, _KLL_QS, round_digits=6)
+    exact_row = ev.agg(
+        *[
+            F.round(
+                F.percentile(F.col("value").cast("double"), F.lit(q)), 6
+            ).alias(f"__q{i}")
+            for i, q in enumerate(_KLL_QS)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{q}D, __q{i}" for i, q in enumerate(_KLL_QS)
+    )
+    exact = exact_row.select(
+        F.expr(f"stack({len(_KLL_QS)}, {stack_args}) as (quantile, exact)")
+    )
+    return est.join(F.broadcast(exact), "quantile").select(
+        "quantile",
+        "estimate",
+        "exact",
+        F.round(F.col("estimate") - F.col("exact"), 6).alias("err"),
+    )
+
+
+@query(
+    "host_pagerank_seeded",
+    "with " + _LINK_EDGE_SQL + """,
+    seedw as (
+        select node, case when node like 'src1/%' then 2.0 else 1.0 end as w
+        from (select distinct node from pages)
+        where node like 'src1/%' or node like 'src7/%'
+    )""" + _pagerank_sql(3, 0.85, seeded=True),
+)
+def host_pagerank_seeded_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E165 — personalized (seeded) PageRank
+    (operators/graph.py:pagerank with ``seeds``, Haveliwala 2002):
+    teleport and dangling mass land on a weighted seed set (src1
+    pages at weight 2, src7 pages at weight 1) instead of uniformly —
+    the crawl-frontier ranking that scores hosts by proximity to a
+    trusted/topical seed list. Same per-iteration join/groupBy shape
+    and rounded trajectory as E160 (a uniform all-node seed table
+    reproduces it exactly — property-tested); the oracle replays seed
+    normalization over the matched graph nodes plus all three
+    iterations."""
+    from ..operators.graph import pagerank
+
+    d = t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(
+            F.col("source"), F.lit("/p"), (F.col("doc_id") % 97).cast("string")
+        ).alias("node")
+    ).distinct()
+    seeds = pages.filter(
+        F.col("node").startswith("src1/") | F.col("node").startswith("src7/")
+    ).select(
+        "node",
+        F.when(F.col("node").startswith("src1/"), F.lit(2.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    return pagerank(
+        _link_edges(d), damping=0.85, iters=3, seeds=seeds, seed_weight="w"
+    )
+
+
+@query(
+    "host_authority_mix",
+    _MESSY_URL_SQL + _CANON_URL_SQL + """,
+    hosts as (
+        select doc_id,
+               case when canonical like '%://%'
+                    then regexp_extract(canonical,
+                             '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+                    else regexp_extract(canonical, '^([^/?#]*)', 1)
+               end as host
+        from canon
+    ),
+    nd as (select count(*) as n from documents),
+    tg as (
+        select doc_id, unnest([(doc_id * 31 + 7) % nd.n,
+                               (doc_id * 17 + 3) % nd.n]) as tgt
+        from documents cross join nd
+    ),
+    edges as (
+        select hs.host as src, hd.host as dst
+        from tg
+        join hosts hs on tg.doc_id = hs.doc_id
+        join hosts hd on tg.tgt = hd.doc_id
+        where hs.host <> hd.host
+    )""" + _pagerank_sql(3, 0.85, final=False) + """,
+    auth as (select node as host, pr_i / 1000000000.0 as authority
+             from r3 where pr_i > 0),
+    g as (select h.host, cast(count(*) as double) as cnt from hosts h group by 1),
+    rates as (
+        select g.host,
+               round(least(1.0,
+                   200.0 * (pow(a.authority, 1.0)
+                            / sum(pow(a.authority, 1.0)) over ()) / g.cnt), 9)
+                   as rate
+        from g join auth a using (host)
+    )
+    select h.doc_id, h.host
+    from hosts h join rates r using (host)
+    where cast(('0x' || substr(md5(cast(h.doc_id as varchar) || 'authority'), 1, 8))
+               as bigint) < r.rate * 4294967296.0
+    """,
+)
+def host_authority_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E166 — authority-weighted corpus mixing
+    (operators/pipeline.py:authority_mix composed with
+    operators/graph.py:pagerank through
+    functions/text.py:canonical_host): canonicalize the messy URL
+    population (E136), roll the derived doc→doc links up to a
+    host→host link graph, PageRank it (3 iterations, E160's rounded
+    trajectory), and down-sample the corpus so each host's share of
+    the ~200-doc output is proportional to its LINK AUTHORITY instead
+    of its page count — the integration step that stops a
+    million-page crawler trap from dominating a training mix. Also
+    exposed as the CorpusPipeline ``authority_mix`` stage
+    (plans/corpus.py). Corpus rows never shuffle: the host graph and
+    rate table are host-table-sized broadcasts, selection is the
+    engine-neutral md5(id ∥ 'authority') prefix, and the per-host
+    rate is rounded to 9 so both engines compare against
+    bit-identical rates; the oracle replays canonicalization, graph
+    derivation, all PageRank iterations, and the rate arithmetic."""
+    from ..functions.text import canonical_host
+    from ..operators.graph import pagerank
+    from ..operators.pipeline import authority_mix
+
+    d = t(spark, sf_dir, "documents")
+    hosts = _messy_urls(d).select(
+        "doc_id", canonical_host("url").alias("host")
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("__n"))
+    tg = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 31 + 7) % F.col("__n"),
+                    (F.col("doc_id") * 17 + 3) % F.col("__n"),
+                )
+            ).alias("tgt"),
+        )
+    )
+    hsrc = hosts.select("doc_id", F.col("host").alias("src"))
+    hdst = hosts.select(
+        F.col("doc_id").alias("tgt"), F.col("host").alias("dst")
+    )
+    edges = (
+        tg.join(hsrc, "doc_id")
+        .join(hdst, "tgt")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    pr = pagerank(edges, damping=0.85, iters=3)
+    auth = pr.select(
+        F.col("node").alias("host"), F.col("pagerank").alias("authority")
+    )
+    return authority_mix(
+        hosts,
+        auth,
+        group_col="host",
+        weight_col="authority",
+        target_total=200,
+        alpha=1.0,
+        id_col="doc_id",
+        salt="authority",
+    ).select("doc_id", "host")
