@@ -42,6 +42,29 @@ round-5/6 verdicts traced to the harness itself):
   the parent: lines the harness itself emits (prefixed ``bench:``)
   are forwarded, everything else goes to ``BENCH_stderr.log`` only.
   The metric line is the LAST stdout write of the parent.
+* **self-adjudicating outliers (round-14 revision)** — r11 and r13
+  both shipped artifacts whose headline numbers were host-window
+  noise (threshold_topk read 43.5 s in a calib-1.2-2.6 window vs
+  4.7 s clean at the same HEAD), each costing a round of post-hoc
+  adjudication memos. Now any gate whose in-group min reads > 1.5×
+  its recorded clean minimum (``BENCH_MINS.json``, min over all
+  committed runs; refresh with ``tools/update_bench_mins.py``) is
+  automatically RE-MEASURED in its own solo JVM, min-of-iters, and
+  BOTH numbers land in the artifact (``requeried``: in_group / solo
+  / hist_min / the solo window's calib); the reported time is the
+  min of the two. A dirty window can no longer ship as the round's
+  number, and a real regression reproduces in the solo read. At most
+  ``$SPARK_GRAFT_BENCH_MAX_REQUERY`` (default 10) gates re-measure,
+  worst absolute excess first; skipped candidates are listed in
+  ``requery_skipped``.
+
+Ownership: ``BENCH_local.json`` (full 3-decimal detail) belongs to
+the MOST RECENT full-roster run — the driver's per-round bench
+overwrites it and the round-close commit records it. Builders must
+not expect their own run to survive there: stamp anything worth
+keeping into BASELINE.md (the per-round delta section) at round
+close. Debug runs (``SPARK_GRAFT_BENCH_ONLY``) write
+``BENCH_only.json`` and never touch either.
 
 Full detail (3-decimal mins, warm spread, per-group calibration) goes
 to ``BENCH_local.json`` next to this file; the printed line is compact
@@ -225,7 +248,24 @@ BENCH_QUERIES = [
     "link_degree_report",
     "cluster_balanced_sample",
     "hard_negative_topk",
+    # round-14: KLL-style quantile sketch (no range contract),
+    # personalized PageRank, authority-weighted corpus mixing
+    "kll_quantiles",
+    "host_pagerank_seeded",
+    "host_authority_mix",
 ]
+
+
+def _load_hist_mins() -> dict[str, float]:
+    """Per-gate clean minimum seconds from ``BENCH_MINS.json`` (the
+    committed cross-round record; see module docstring). Missing or
+    unreadable file → no adjudication reference → no re-measures."""
+    try:
+        with open(os.path.join(REPO, "BENCH_MINS.json")) as f:
+            raw = json.load(f)
+        return {k: float(v) for k, v in raw.items() if float(v) > 0}
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        return {}
 
 
 def _calib() -> float:
@@ -407,6 +447,9 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     failed: set[str] = set()
     calib_samples: list[float] = []
+    gcalib: dict[str, list[float]] = {}
+    requeried: dict[str, dict] = {}
+    requery_skipped: list[str] = []
     log_path = os.path.join(REPO, "BENCH_stderr.log")
     with open(log_path, "w") as log_fh:
         for gi, names in enumerate(groups):
@@ -420,8 +463,55 @@ def main() -> None:
             samples.update(res["samples"])
             failed.update(res["failed"])
             calib_samples.extend(res.get("calib", []))
+            for q in names:
+                gcalib[q] = res.get("calib", [])
             try:
                 os.remove(os.path.join(REPO, f".bench_group_{gi}.json"))
+            except OSError:
+                pass
+        # ---- outlier self-adjudication (module docstring, round 14):
+        # any gate > 1.5x its recorded clean minimum re-measures in a
+        # solo JVM; both readings ship in the artifact.
+        if not only:
+            hist = _load_hist_mins()
+            cands = []
+            for q, ss in samples.items():
+                if not ss or q in failed:
+                    continue
+                h = hist.get(q)
+                m = min(ss)
+                # 0.75s absolute floor: sub-second gates drifting by
+                # fixed-overhead jitter don't earn a JVM
+                if h is not None and m > 1.5 * h and (m - h) > 0.75:
+                    cands.append((m - h, q, m, h))
+            cands.sort(reverse=True)
+            maxrq = max(
+                int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REQUERY", "10")), 0
+            )
+            requery_skipped = [q for _, q, _, _ in cands[maxrq:]]
+            rq_path = os.path.join(REPO, ".bench_requery.json")
+            for _, q, m, h in cands[:maxrq]:
+                print(
+                    f"bench: requery {q} (in-group {m:.2f}s vs clean min"
+                    f" {h:.2f}s) — solo JVM min-of-{iters}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                log_fh.write(f"===== requery (solo JVM): {q}\n")
+                res = _run_group([q], rq_path, log_fh)
+                ss = res["samples"].get(q) or []
+                solo = round(min(ss), 3) if ss else None
+                requeried[q] = {
+                    "in_group": round(m, 3),
+                    "solo": solo,
+                    "hist_min": round(h, 3),
+                    "group_calib": gcalib.get(q, []),
+                    "solo_calib": res.get("calib", []),
+                }
+                if solo is not None:
+                    samples[q] = sorted(samples[q] + ss)
+            try:
+                os.remove(rq_path)
             except OSError:
                 pass
     # headline calib = median of per-group samples (host speed swings
@@ -487,6 +577,10 @@ def main() -> None:
 
     total = round(sum(v for v in times.values() if v >= 0), 3)
     extra = {"oracle": oracle_times} if oracle_times else {}
+    if requeried:
+        extra["requeried"] = requeried
+    if requery_skipped:
+        extra["requery_skipped"] = requery_skipped
     detail = {
         "metric": "total_sec",
         "value": total,
@@ -528,6 +622,7 @@ def main() -> None:
                 "sf": sf,
                 "iters": iters,
                 "calib_s": calib_s,
+                **({"requeried": len(requeried)} if requeried else {}),
             },
             separators=(",", ":"),
         )

@@ -152,8 +152,10 @@ def pagerank(
             F.coalesce(F.sum("__w"), F.lit(0.0)).alias("__tot")
         )
         # bounded 1-row guard action: an all-miss seed table would
-        # otherwise produce a silent all-NULL rank vector
-        if (tot.collect()[0]["__tot"] or 0.0) <= 0.0:
+        # otherwise produce a silent all-NULL rank vector. An EMPTY
+        # graph is not an error — everything downstream is empty and
+        # the well-formed empty frame falls out of the normal plan.
+        if (tot.collect()[0]["__tot"] or 0.0) <= 0.0 and not nodes.isEmpty():
             raise ValueError(
                 "pagerank: no positive-weight seed matches a graph node"
             )

@@ -134,3 +134,24 @@ def test_round5_stages_equal_manual_chain(spark, docs):
     g = {tuple(r) for r in got.select(*cols).collect()}
     w = {tuple(r) for r in manual.select(*cols).collect()}
     assert g == w and len(g) > 0
+
+
+def test_authority_mix_stage_equals_manual(spark, docs):
+    """CorpusSpec.authority_mix == hand-chained authority_mix on the
+    prepared corpus; omitting the authority frame raises."""
+    from ppack_spark.operators.pipeline import authority_mix, prepare_corpus
+
+    auth = docs.groupBy("lang").agg(F.avg("n_chars").alias("authority"))
+    spec = CorpusSpec(
+        authority_mix={"group_col": "lang", "target_total": 150},
+        shuffle=None,
+    )
+    got = CorpusPipeline(spec).run(docs, authority=auth)
+    manual = authority_mix(
+        prepare_corpus(docs), auth, group_col="lang", target_total=150
+    )
+    g = sorted(r["doc_id"] for r in got.collect())
+    w = sorted(r["doc_id"] for r in manual.collect())
+    assert g == w and len(g) > 0
+    with pytest.raises(ValueError, match="authority"):
+        CorpusPipeline(spec).run(docs)

@@ -120,3 +120,139 @@ def test_degree_report_empty(spark):
     out = degree_report(empty)
     assert out.count() == 0
     assert "in_neighbors" in out.columns
+
+
+# -------------------------------------------------- seeded pagerank
+
+def test_pagerank_uniform_seeds_degenerate_to_unseeded(spark):
+    """Personalized PageRank with a uniform all-node seed table must
+    reproduce the classic result EXACTLY (same fixed-point
+    trajectory), not just approximately."""
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+    )
+    base = sorted(tuple(r) for r in pagerank(e, iters=3).collect())
+    seeds = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "node string"
+    )
+    seeded = sorted(
+        tuple(r) for r in pagerank(e, iters=3, seeds=seeds).collect()
+    )
+    assert base == seeded
+
+
+def test_pagerank_seeded_mass_conserved_and_concentrated(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+    )
+    seeds = spark.createDataFrame([("d", 1.0)], "node string, w double")
+    pr = pagerank(e, iters=5, seeds=seeds, seed_weight="w")
+    got = {r["node"]: r["pagerank"] for r in pr.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # the seed keeps its teleport floor; compare vs unseeded
+    un = {r["node"]: r["pagerank"] for r in pagerank(e, iters=5).collect()}
+    assert got["d"] > un["d"]
+
+
+def test_pagerank_seed_weights_scale_invariant(spark):
+    """Seed weights are normalized: (2, 1) == (4, 2)."""
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")])
+    s1 = spark.createDataFrame(
+        [("a", 2.0), ("b", 1.0)], "node string, w double"
+    )
+    s2 = spark.createDataFrame(
+        [("a", 4.0), ("b", 2.0)], "node string, w double"
+    )
+    r1 = sorted(tuple(r) for r in
+                pagerank(e, iters=3, seeds=s1, seed_weight="w").collect())
+    r2 = sorted(tuple(r) for r in
+                pagerank(e, iters=3, seeds=s2, seed_weight="w").collect())
+    assert r1 == r2
+
+
+def test_pagerank_seed_hardening(spark):
+    e = _edges(spark, [("a", "b")])
+    # no positive-weight seed matching a graph node -> raise
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(e, seeds=spark.createDataFrame([("zz",)], "node string"))
+    neg = spark.createDataFrame(
+        [("a", -1.0), ("zz", 5.0)], "node string, w double"
+    )
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(e, seeds=neg, seed_weight="w")
+    # duplicated seed rows sum, non-graph seeds are ignored
+    dup = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("zz", 9.0)], "node string, w double"
+    )
+    single = spark.createDataFrame([("a", 2.0)], "node string, w double")
+    assert sorted(
+        tuple(r)
+        for r in pagerank(e, iters=2, seeds=dup, seed_weight="w").collect()
+    ) == sorted(
+        tuple(r)
+        for r in pagerank(e, iters=2, seeds=single, seed_weight="w").collect()
+    )
+
+
+# ------------------------------------------- distributed rank plans
+
+def _row_number_windows_without_partition(df) -> int:
+    """Count row_number Window operators whose partition spec is
+    empty in the executed plan — the single-task global sort the
+    graph module must never produce (the offset-cumsum Window over
+    the per-bucket COUNT table is sum-based and data-independent, so
+    it is exempt by construction)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = 0
+    for frag in plan.split("Window [")[1:]:
+        head = frag.split("\n", 1)[0]
+        if "row_number" not in head:
+            continue
+        # executed-plan shape: Window [exprs], [partition exprs], [sort]
+        # an empty partition spec renders as "], ["... immediately
+        # followed by the ORDER spec only (two bracket groups, not 3)
+        parts = head.split("], [")
+        if len(parts) < 3:
+            bad += 1
+    return bad
+
+
+def test_pagerank_rank_is_distributed(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert _row_number_windows_without_partition(pagerank(e, iters=2)) == 0
+
+
+def test_degree_report_rank_is_distributed(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    assert _row_number_windows_without_partition(degree_report(e)) == 0
+
+
+def test_distributed_rank_matches_global_window(spark):
+    """distributed_rank == the single-partition row_number it
+    replaces, on a frame big enough to span several range buckets."""
+    from pyspark.sql import Window
+
+    from ppack_spark.operators.util import distributed_rank
+
+    df = spark.range(10_000).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 1000003).alias("score"),
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in distributed_rank(
+            df, [F.desc("score"), F.asc("id")], "rank"
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("id")))
+            .cast("long"),
+        ).collect()
+    }
+    assert got == want

@@ -320,6 +320,73 @@ def test_temperature_mix_rejects_bad_alpha(spark):
         temperature_mix(df, "grp", alpha=1.5)
 
 
+# -------------------------------------------------- authority mix
+def test_authority_mix_shares_track_authority(spark):
+    """Equal-sized groups with 4:1 authority must come out ~4:1 in the
+    output; a group with no authority row vanishes; selection is
+    layout-stable."""
+    from ppack_spark.operators.pipeline import authority_mix
+
+    rows = [(i, ["h1", "h2", "h3"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "host"])
+    auth = spark.createDataFrame(
+        [("h1", 4.0), ("h2", 1.0)], ["host", "authority"]
+    )
+    out = authority_mix(df, auth, target_total=500)
+    got = {
+        r["host"]: r["n"]
+        for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert "h3" not in got  # no authority row -> dropped
+    assert 2.5 < got["h1"] / got["h2"] < 6.0  # ~4:1 with sampling noise
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in authority_mix(
+            df.repartition(7), auth, target_total=500
+        ).collect()
+    )
+    assert a == b
+
+
+def test_authority_mix_alpha_zero_equalizes(spark):
+    """alpha=0 ignores authority magnitudes: every authority-bearing
+    group gets an equal share."""
+    from ppack_spark.operators.pipeline import authority_mix
+
+    rows = [(i, "big" if i % 4 else "small") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "host"])
+    auth = spark.createDataFrame(
+        [("big", 100.0), ("small", 1.0)], ["host", "authority"]
+    )
+    out = authority_mix(df, auth, target_total=400, alpha=0.0)
+    got = {
+        r["host"]: r["n"]
+        for r in out.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.5 < got["big"] / got["small"] < 2.0
+
+
+def test_authority_mix_clamps_and_hardening(spark):
+    from ppack_spark.operators.pipeline import authority_mix
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(20)], ["doc_id", "host"]
+    )
+    auth = spark.createDataFrame([("g", 1.0)], ["host", "authority"])
+    # rate clamps at 1: whole group survives
+    assert authority_mix(df, auth, target_total=10_000).count() == 20
+    # non-positive / duplicate authority rows
+    dup = spark.createDataFrame(
+        [("g", 0.5), ("g", 0.5), ("dead", -3.0)], ["host", "authority"]
+    )
+    assert authority_mix(df, dup, target_total=10_000).count() == 20
+    with pytest.raises(ValueError, match="alpha"):
+        authority_mix(df, auth, alpha=-0.5)
+    with pytest.raises(ValueError, match="target_total"):
+        authority_mix(df, auth, target_total=0)
+
+
 # ---------------------------------------------------- delta merge
 def test_merge_corpus_delta_semantics(spark):
     """Rows whose (normalized) content exists in the corpus are
