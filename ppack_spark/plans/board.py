@@ -23,22 +23,22 @@ every registered query, board or not — is verified against the same
 oracle at the same scale by ``tests/test_registry_oracle.py``; board
 rotation only changes which 50 rows the driver snapshot shows.
 
-Round-13 rotation policy (continuing the r11 verdict item-8 policy —
-new gates first, then touched, then stalest; overlap with the prior
-board < 50%): slots go first to this round's NEVER-BOARDED gates (the
-r13 additions: the mergeable-sketch family ``hll_cardinality``/
-``cms_frequency``/``histogram_quantiles``, the link-graph family
-``host_pagerank``/``link_degree_report``, and the embedding-curation
-pair ``cluster_balanced_sample``/``hard_negative_topk``), then — r13
-touched no previously-boarded gate's engine or oracle (the advisor
-fixes were tests/tools/docstring-only) — to the ENTIRE 29-gate
-r9-stale cohort (every oracled gate unboarded since r9), then to the
-14 alphabetically-first of the r10-stale cohort.
+Round-14 rotation policy (continuing r11 verdict item-8: new gates
+first, then touched, then stalest; overlap with the prior board
+< 50%): slots go first to this round's NEVER-BOARDED gates (the r14
+additions ``kll_quantiles``, ``host_pagerank_seeded``,
+``host_authority_mix``), then to the four gates whose ENGINE OR
+ORACLE r14 touched (``hll_cardinality`` — unmerged-input guard in the
+estimator expression; ``histogram_quantiles`` — degenerate-range
+oracle guard; ``host_pagerank`` / ``link_degree_report`` — the
+fixed-point trajectory + distributed rank rewrite; these four are the
+only overlap with the r13 board: 4/50), then to the ENTIRE 31-gate
+r10-stale cohort (every oracled gate unboarded since r10), then to
+the 12 alphabetically-first of the r11-stale cohort.
 ``linkage_em_end_to_end`` remains the deliberate no-oracle off-board
-carry. Overlap with the r12 board: 0 of 50. The complete all-gate
-artifact is published alongside the board (verify_all.py →
-CORRECTNESS_full.json, commit-stamped since r9) so off-board gates
-stay externally auditable.
+carry. The complete all-gate artifact is published alongside the
+board (verify_all.py → CORRECTNESS_full.json, commit-stamped since
+r9) so off-board gates stay externally auditable.
 """
 
 from __future__ import annotations
@@ -46,58 +46,59 @@ from __future__ import annotations
 # The 50 queries the driver board records this round, in order.
 BOARD: list[str] = [
     # -- new this round / never recorded on any board --
+    "kll_quantiles",
+    "host_pagerank_seeded",
+    "host_authority_mix",
+    # -- engine/oracle touched by r14 --
     "hll_cardinality",
-    "cms_frequency",
     "histogram_quantiles",
     "host_pagerank",
     "link_degree_report",
-    "cluster_balanced_sample",
-    "hard_negative_topk",
-    # -- the full r9-stale cohort (unboarded since r9) --
-    "jw_approx_buckets",
-    "key_skew_report",
-    "lm_interp_score",
-    "lm_ref_score",
-    "minhash_lsh_pairs_capped",
-    "orc_roundtrip",
-    "pairs_dataset",
-    "pattern_counts",
-    "phash_near_dup_banded",
-    "posterior_probability",
-    "profile_columns",
-    "q1_pricing_summary",
-    "quality_classifier_score",
-    "quantile_length_filter",
-    "salted_join_orders",
-    "script_fractions",
-    "semantic_dedup",
-    "sequence_packing",
-    "simhash_near_dup",
-    "simhash_near_dup_banded",
-    "simhash_near_dup_capped",
-    "stratified_topk",
-    "tfidf_cosine_pairs",
-    "threshold_sweep",
-    "trainer_export_e2e",
-    "two_dataset_linkage",
-    "two_dataset_linkage_scaled",
-    "u_prob_frequencies",
-    "zorder_layout",
-    # -- 14 of the r10-stale cohort (alphabetical) --
-    "ann_ivf_topk",
-    "ann_ivfpq_topk_scan",
-    "ann_pq_topk_scan",
-    "best_threshold",
-    "blocking_pass_counts",
-    "blocking_salted_pass",
-    "bloom_decontamination",
-    "corpus_delta_merge",
-    "corpus_pipeline_e2e",
-    "corpus_split",
-    "corpus_split_leakage_safe",
-    "dedup_keep_best",
-    "dedup_keep_first",
-    "doc_fingerprints",
+    # -- the full r10-stale cohort (unboarded since r10) --
+    "dsir_importance",
+    "embedding_cosine_topk",
+    "embedding_near_dup",
+    "eval_decontamination",
+    "events_asof_join",
+    "events_json_extract",
+    "events_range_join",
+    "events_rollup",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_value_quantiles",
+    "events_window_agg",
+    "lang_id",
+    "levenshtein_comparator",
+    "linkage_ab_clusters",
+    "linkage_ab_clusters_scaled",
+    "linkage_eval_report",
+    "match_weight_scoring",
+    "media_metadata",
+    "media_phash_near_dup",
+    "minhash_lsh_pairs",
+    "near_dedup_corpus",
+    "quality_scores",
+    "segment_revenue",
+    "simhash_fingerprints",
+    "snm_pairs",
+    "soundex_comparator",
+    "suffix_projection",
+    "tfidf_top_terms",
+    "token_stats",
+    "top_orders_per_customer",
+    # -- 12 of the r11-stale cohort (alphabetical) --
+    "ari_quality",
+    "blocking_multi_pass_scaled",
+    "cluster_size_histogram",
+    "comparison_vectors_scaled",
+    "corpus_delta_merge_fuzzy",
+    "corpus_stage_report",
+    "corpus_stage_report_reuse",
+    "dedup_clusters",
+    "dedup_clusters_adaptive",
+    "events_asof_tolerance",
+    "fk_orphans",
+    "host_boilerplate",
 ]
 
 
