@@ -164,6 +164,14 @@ QUERIES = [
     "link_degree_report",
     "cluster_balanced_sample",
     "hard_negative_topk",
+    # round-14 additions: the KLL sketch is a tier-keyed aggregation
+    # (same flat-to-linear family as the other sketches), seeded
+    # PageRank is the E160 shape with one extra broadcast seed table,
+    # authority mix is host-graph PageRank + a broadcast rate join —
+    # all should read sublinear
+    "kll_quantiles",
+    "host_pagerank_seeded",
+    "host_authority_mix",
 ]
 
 # pair budget is quadratic in block size: cap at sf0.2 (round-9
