@@ -253,6 +253,12 @@ BENCH_QUERIES = [
     "kll_quantiles",
     "host_pagerank_seeded",
     "host_authority_mix",
+    # late-r14: HITS, TF-adjusted scoring, t-closeness, span decon
+    "host_hits",
+    "tf_adjusted_scoring",
+    "t_closeness_report",
+    "span_decontamination",
+    "span_decontaminated_corpus",
 ]
 
 

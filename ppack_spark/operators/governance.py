@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "k_anonymity_report",
     "l_diversity_report",
+    "t_closeness_report",
     "suppress_rare_groups",
     "validate_expectations",
     "fk_orphans_report",
@@ -129,6 +130,121 @@ def l_diversity_report(
         ).cast("long").alias("rows_at_risk"),
         F.min("__div").cast("long").alias("min_diversity"),
         F.coalesce(F.min("__div") >= l, F.lit(True)).alias("is_l_diverse"),
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    round_digits: int = 9,
+) -> DataFrame:
+    """One-row t-closeness audit: the distributional companion to
+    k-anonymity and l-diversity (Li, Li & Venkatasubramanian 2007,
+    "t-Closeness: Privacy Beyond k-Anonymity and l-Diversity"). An
+    l-diverse group whose sensitive values are MOSTLY one value still
+    leaks (the skewness attack); a group satisfies t-closeness when
+    the distance between its sensitive-value distribution and the
+    GLOBAL distribution is at most ``t``. For categorical sensitive
+    attributes the standard equal-distance EMD equals the total
+    variation distance, ``0.5 * Σ_v |p_group(v) − p_global(v)|``.
+
+    NULL sensitive values form their own category (an unknown
+    diagnosis concentrated in one ZIP code is still a disclosure
+    pattern); NULL quasi values group together as in the sibling
+    audits. Distances are carried in FIXED-POINT integer units of
+    10^-``round_digits`` (each probability floored to the grid once,
+    then only exact integer sums — the graph module's determinization,
+    so a SQL oracle reproduces every group's distance bit-for-bit);
+    the grid costs at most ``n_values × 10^-round_digits`` of
+    distance per group. Absent values contribute their full global
+    mass via the complement identity
+    ``Σ_{v∉group} q(v) = q_total − Σ_{v∈group} q(v)`` — no
+    group × value cross join ever materializes.
+
+    Returns one row: ``t, n_rows, n_groups, n_violating_groups,
+    rows_at_risk, max_tvd, is_t_close``. Plan: one groupBy on
+    (quasi, sensitive) — the only pass over the data — then
+    cell-table-sized joins against the broadcast global distribution
+    and a group-table rollup.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"t must be in (0, 1], got {t}")
+    sc = float(10**round_digits)
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__nqv"))
+    gtot = cells.groupBy(*quasi_cols).agg(F.sum("__nqv").alias("__nq"))
+    vtot = cells.groupBy("__v").agg(F.sum("__nqv").alias("__nv"))
+    ntot = vtot.agg(F.sum("__nv").cast("double").alias("__n"))
+    qdist = vtot.crossJoin(F.broadcast(ntot)).select(
+        F.col("__v").alias("__qv"),
+        F.floor(
+            F.lit(sc) * (F.col("__nv").cast("double") / F.col("__n"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__qi"),
+    )
+    qtot = qdist.agg(F.coalesce(F.sum("__qi"), F.lit(0)).alias("__qtot"))
+    per = (
+        cells.join(gtot, quasi_cols)
+        .join(F.broadcast(qdist), F.col("__v").eqNullSafe(F.col("__qv")))
+        .select(
+            *quasi_cols,
+            F.col("__nq"),
+            F.col("__qi"),
+            F.abs(
+                F.floor(
+                    F.lit(sc)
+                    * (F.col("__nqv").cast("double") / F.col("__nq").cast("double"))
+                    + F.lit(0.5)
+                ).cast("long")
+                - F.col("__qi")
+            ).alias("__diff"),
+        )
+    )
+    grp = (
+        per.groupBy(*quasi_cols)
+        .agg(
+            F.max("__nq").alias("__nq"),
+            F.sum("__diff").alias("__d"),
+            F.sum("__qi").alias("__qpres"),
+        )
+        .crossJoin(F.broadcast(qtot))
+        .select(
+            "__nq",
+            (
+                F.col("__d") + (F.col("__qtot") - F.col("__qpres"))
+            ).alias("__tvd_i"),
+        )
+    )
+    thr = float(t) * (2.0 * sc)
+    return grp.agg(
+        F.lit(float(t)).alias("t"),
+        F.coalesce(F.sum("__nq"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.coalesce(
+            F.sum((F.col("__tvd_i").cast("double") > thr).cast("long")),
+            F.lit(0),
+        ).alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__tvd_i").cast("double") > thr, F.col("__nq")
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).cast("long").alias("rows_at_risk"),
+        F.coalesce(
+            F.max(F.col("__tvd_i").cast("double") / F.lit(2.0 * sc)), F.lit(0.0)
+        ).alias("max_tvd"),
+        F.coalesce(
+            F.max(F.col("__tvd_i").cast("double")) <= thr, F.lit(True)
+        ).alias("is_t_close"),
     )
 
 

@@ -260,3 +260,124 @@ def degree_report(
     ).select(
         "node", "out_edges", "in_edges", "out_neighbors", "in_neighbors", "rank"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 3,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Fixed-iteration HITS hubs & authorities (Kleinberg 1999) over
+    an edge list — PageRank's companion readout for a crawl frontier:
+    ``authority`` scores pages many good HUBS point at (content worth
+    fetching), ``hub`` scores pages that point at many good
+    AUTHORITIES (directory/index pages worth re-crawling for new
+    links). Nodes are the union of sources and destinations; parallel
+    edges act as weights (or pass ``weight``).
+
+    Each iteration runs the two standard mutual updates, L1-normalized
+    (the sum-to-1 variant — same fixed point direction as Kleinberg's
+    L2 up to scale, but exactly replayable in integer arithmetic):
+
+        a'(v) = Σ_{u→v} w(u,v)·h(u) / Σ_all   (authority <- hubs)
+        h'(u) = Σ_{u→v} w(u,v)·a'(v) / Σ_all  (hub <- authorities)
+
+    starting from the uniform hub vector. Like :func:`pagerank`, the
+    trajectory is carried in FIXED-POINT integer units of
+    10^-``round_digits``: per-edge contributions are floored to
+    bigint before every cross-node sum (exact, order-independent in
+    any engine), and each normalization is a single IEEE division of
+    two bit-identical integers — so a SQL oracle replays the
+    identical trajectory with plain floor/sum arithmetic.
+
+    Scale shape: per iteration, two node-keyed equi-joins + two
+    node-keyed groupBys over (node, bigint) rows — the same shuffle
+    budget as two PageRank iterations; the state frame is
+    lineage-cut between iterations (the E112 contract). Returns
+    ``(node, hub, authority, rank)`` with rank the dense ordering by
+    descending authority (node tie-break), minted by
+    :func:`~ppack_spark.operators.util.distributed_rank`. Empty edge
+    input returns an empty, well-formed frame. Reference parity: the
+    reference engine (nerskin/ppack) has no graph surface; this
+    extends the §2e crawl-authority family (E160/E165).
+    """
+    if iters < 1:
+        raise ValueError(f"hits: need iters >= 1, got {iters}")
+    ew = _edge_weights(edges, src, dst, weight)
+    nodes = (
+        ew.select(F.col("__src").alias("node"))
+        .unionByName(ew.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    sc = float(10**round_digits)
+    ncnt = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # h0: uniform over ALL nodes (integer grid); a0 rides along as 0
+    # until the first authority update overwrites it.
+    state = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node",
+        F.floor(F.lit(sc) / F.col("__n") + F.lit(0.5)).cast("long").alias("h_i"),
+        F.lit(0).cast("long").alias("a_i"),
+    )
+    for _ in range(iters):
+        araw = (
+            state.join(ew, state["node"] == ew["__src"])
+            .groupBy(F.col("__dst").alias("node"))
+            .agg(
+                F.sum(F.floor(F.col("__w") * F.col("h_i")).cast("long")).alias("__raw")
+            )
+        )
+        atot = araw.agg(F.sum("__raw").alias("__tot"))
+        a_next = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(atot))
+            .select(
+                "node",
+                F.floor(
+                    F.lit(sc)
+                    * (
+                        F.coalesce(F.col("__raw"), F.lit(0).cast("long")).cast("double")
+                        / F.col("__tot").cast("double")
+                    )
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("a_i"),
+            )
+        )
+        hraw = (
+            a_next.join(ew, a_next["node"] == ew["__dst"])
+            .groupBy(F.col("__src").alias("node"))
+            .agg(
+                F.sum(F.floor(F.col("__w") * F.col("a_i")).cast("long")).alias("__raw")
+            )
+        )
+        htot = hraw.agg(F.sum("__raw").alias("__tot"))
+        h_next = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(htot))
+            .select(
+                "node",
+                F.floor(
+                    F.lit(sc)
+                    * (
+                        F.coalesce(F.col("__raw"), F.lit(0).cast("long")).cast("double")
+                        / F.col("__tot").cast("double")
+                    )
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("h_i"),
+            )
+        )
+        state = cut_lineage(h_next.join(a_next, "node"))
+    scored = state.select(
+        "node",
+        (F.col("h_i") / F.lit(sc)).alias("hub"),
+        (F.col("a_i") / F.lit(sc)).alias("authority"),
+    )
+    return distributed_rank(
+        scored, [F.desc("authority"), F.asc("node")], "rank"
+    ).select("node", "hub", "authority", "rank")

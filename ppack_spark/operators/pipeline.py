@@ -76,6 +76,8 @@ __all__ = [
     "merge_corpus_delta_fuzzy",
     "repeated_spans",
     "remove_repeated_spans",
+    "span_contamination_report",
+    "span_decontaminate",
     "prepare_corpus",
     "prepare_corpus_stages",
     "corpus_stage_report",
@@ -1132,6 +1134,20 @@ def remove_repeated_spans(
     occ = allpos.join(rep, allpos["__h"] == rep["span_hash"]).select(
         id_col, "pos"
     )
+    return _excise_spans(df, occ, width, text_col, id_col)
+
+
+def _excise_spans(
+    df: DataFrame, occ: DataFrame, width: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Rebuild ``text_col`` with every token covered by an ``occ``
+    (id, pos) span occurrence removed — the shared materialization
+    tail of :func:`remove_repeated_spans` and
+    :func:`span_decontaminate`. Per-doc start offsets are collected
+    (bounded by the doc's flagged content) and token ``i`` survives
+    iff no start ``s`` has ``s ≤ i < s + width`` — a pure codegen map
+    with no further shuffle. Appends ``n_tokens_removed``; NULL text
+    stays NULL."""
     starts = occ.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("__ss")
     )
@@ -1153,6 +1169,120 @@ def remove_repeated_spans(
         *keep_cols,
         (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
+
+
+def _eval_span_occurrences(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    width: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, pos) of every stride-1 ``width``-token span of a corpus
+    document that appears VERBATIM in any eval/benchmark document —
+    the shared detection head of :func:`span_contamination_report`
+    and :func:`span_decontaminate`. Only 32-byte hashes shuffle; the
+    distinct eval span set is benchmark-sized, so the semi join
+    broadcasts when it fits."""
+    ev = (
+        _span_hashes(eval_docs, text_col, id_col, width)
+        .select("__h")
+        .distinct()
+    )
+    return (
+        _span_hashes(corpus, text_col, id_col, width)
+        .join(ev, "__h", "semi")
+        .select(id_col, "pos")
+    )
+
+
+def span_contamination_report(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level benchmark contamination report: the maximal
+    contaminated regions of each corpus document, where a region is
+    the union of every ``width``-token span shared verbatim with ANY
+    eval/benchmark document.
+
+    This is the span-granular companion to the doc-drop passes:
+    :func:`eval_ngram_contamination` (E36) drops whole documents on
+    n-gram overlap and :func:`decontaminate_fuzzy` (E154) on
+    whole-doc Jaccard — both discard a long document that quotes one
+    benchmark paragraph. This report localizes the leak instead
+    (Lee et al. 2022's substring granularity applied to
+    decontamination), so :func:`span_decontaminate` can excise just
+    the quoted region and keep the rest of the document.
+
+    Overlapping and adjacent spans are merged gaps-and-islands style
+    into half-open token intervals; returns ``(id, span_start,
+    span_end, span_tokens)`` with ``span_end`` clamped to the
+    document's token count (the last span of a short document would
+    otherwise read past it).
+
+    Scale shape: span hashing is one map pass per side; only 32-byte
+    hashes reach the semi join (eval side benchmark-sized →
+    broadcast); the interval merge windows partition on the doc id
+    over HIT positions only — bounded by actual contamination, never
+    the corpus token stream.
+    """
+    hits = _eval_span_occurrences(corpus, eval_docs, width, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(width)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = F.sum(
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ivl = (
+        hits.withColumn("__isl", isl)
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(width)).cast("long").alias("span_end"),
+        )
+    )
+    ntok = corpus.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ", -1)).cast("long").alias("__nt"),
+    )
+    return ivl.join(ntok, id_col).select(
+        id_col,
+        "span_start",
+        F.least("span_end", "__nt").cast("long").alias("span_end"),
+        (F.least("span_end", "__nt") - F.col("span_start"))
+        .cast("long")
+        .alias("span_tokens"),
+    )
+
+
+def span_decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the span-decontaminated corpus: every token covered
+    by a ``width``-token span shared verbatim with an eval/benchmark
+    document is removed from the corpus document — the
+    keep-the-document alternative to the E36/E154 doc-drop passes
+    (see :func:`span_contamination_report`), trading a conservative
+    doc-level drop for surgical removal when documents are long and
+    contamination is quotation-sized.
+
+    Returns the input columns with ``text_col`` rebuilt from the
+    surviving tokens plus ``n_tokens_removed`` (NULL text stays
+    NULL; an uncontaminated document passes through byte-identical).
+    Same detection head and rebuild tail as the repeated-span
+    dedup — see :func:`_eval_span_occurrences` /
+    :func:`_excise_spans` for the scale shape.
+    """
+    occ = _eval_span_occurrences(corpus, eval_docs, width, text_col, id_col)
+    return _excise_spans(corpus, occ, width, text_col, id_col)
 
 
 def prepare_corpus(

@@ -27,14 +27,17 @@ Round-14 rotation policy (continuing r11 verdict item-8: new gates
 first, then touched, then stalest; overlap with the prior board
 < 50%): slots go first to this round's NEVER-BOARDED gates (the r14
 additions ``kll_quantiles``, ``host_pagerank_seeded``,
-``host_authority_mix``), then to the four gates whose ENGINE OR
-ORACLE r14 touched (``hll_cardinality`` — unmerged-input guard in the
-estimator expression; ``histogram_quantiles`` — degenerate-range
-oracle guard; ``host_pagerank`` / ``link_degree_report`` — the
-fixed-point trajectory + distributed rank rewrite; these four are the
-only overlap with the r13 board: 4/50), then to the ENTIRE 31-gate
+``host_authority_mix``, and the late-round ``host_hits``,
+``tf_adjusted_scoring``, ``t_closeness_report``,
+``span_decontamination``, ``span_decontaminated_corpus``), then to
+the four gates whose ENGINE OR ORACLE r14 touched
+(``hll_cardinality`` — unmerged-input guard in the estimator
+expression; ``histogram_quantiles`` — degenerate-range oracle guard;
+``host_pagerank`` / ``link_degree_report`` — the fixed-point
+trajectory + distributed rank rewrite; these four are the only
+overlap with the r13 board: 4/50), then to the ENTIRE 31-gate
 r10-stale cohort (every oracled gate unboarded since r10), then to
-the 12 alphabetically-first of the r11-stale cohort.
+the 7 alphabetically-first of the r11-stale cohort.
 ``linkage_em_end_to_end`` remains the deliberate no-oracle off-board
 carry. The complete all-gate artifact is published alongside the
 board (verify_all.py → CORRECTNESS_full.json, commit-stamped since
@@ -49,6 +52,11 @@ BOARD: list[str] = [
     "kll_quantiles",
     "host_pagerank_seeded",
     "host_authority_mix",
+    "host_hits",
+    "tf_adjusted_scoring",
+    "t_closeness_report",
+    "span_decontamination",
+    "span_decontaminated_corpus",
     # -- engine/oracle touched by r14 --
     "hll_cardinality",
     "histogram_quantiles",
@@ -94,11 +102,6 @@ BOARD: list[str] = [
     "corpus_delta_merge_fuzzy",
     "corpus_stage_report",
     "corpus_stage_report_reuse",
-    "dedup_clusters",
-    "dedup_clusters_adaptive",
-    "events_asof_tolerance",
-    "fk_orphans",
-    "host_boilerplate",
 ]
 
 

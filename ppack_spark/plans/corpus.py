@@ -6,8 +6,10 @@ lazy DataFrame plan per run.
 Stage order (each optional, every stage an already-gated operator):
 
     quality filter → corpus line dedup → exact dedup → eval
-    decontamination → quantile trim → near dedup (MinHash-LSH,
-    verified; min-id or best-score canonical) → temperature mix →
+    decontamination (doc-drop) → span decontamination (excise
+    remaining verbatim eval spans from survivors) → quantile trim →
+    near dedup (MinHash-LSH, verified; min-id or best-score
+    canonical) → temperature mix →
     authority mix (PageRank-weighted host shares, needs
     run(..., authority=...)) → token-budget mix → hash sample →
     train/val/test split (id-hash or leakage-safe cluster-hash) →
@@ -55,6 +57,12 @@ class CorpusSpec:
     # the min-id one
     near_dedup: dict | None = None
     decontaminate: bool = True  # applied when run() receives eval_docs
+    # e.g. {"width": 8} — excise remaining verbatim eval-doc spans
+    # from SURVIVING documents (span-level decontamination, E170): the
+    # doc-drop pass above removes heavily-overlapped documents, this
+    # removes quotation-sized leaks from the keepers; applied when
+    # run() receives eval_docs
+    span_decontaminate: dict | None = None
     # e.g. {"group_col": "lang", "alpha": 0.5, "target_total": 100_000}
     mix: dict | None = None
     # e.g. {"group_col": "host", "target_total": 100_000, "alpha": 1.0}
@@ -131,6 +139,16 @@ class CorpusPipeline:
             text_col=s.text_col,
             id_col=s.id_col,
         )
+        if s.span_decontaminate is not None and eval_docs is not None:
+            from ..operators.pipeline import span_decontaminate
+
+            out = span_decontaminate(
+                out,
+                eval_docs,
+                text_col=s.text_col,
+                id_col=s.id_col,
+                **s.span_decontaminate,
+            ).drop("n_tokens_removed")
         if s.quantile_trim is not None:
             out = quantile_filter(out, **s.quantile_trim)
         # when BOTH near dedup and the leakage-safe split are on, the

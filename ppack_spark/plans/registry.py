@@ -724,6 +724,90 @@ def match_weight_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cmp.withColumn("weight", F.round(w, 6))
 
 
+_TF_SCORING_SQL = _PAIRS_SQL + f""",
+    joined as (
+        select p.c_custkey_left, p.c_custkey_right,
+               a.c_mktsegment as seg_l, a.c_acctbal as bal_l,
+               b.c_mktsegment as seg_r, b.c_acctbal as bal_r
+        from pairs p
+        left join customer a on p.c_custkey_left = a.c_custkey
+        left join customer b on p.c_custkey_right = b.c_custkey
+    ),
+    cmp as (
+        select c_custkey_left, c_custkey_right, seg_l,
+               case when seg_l = seg_r then 'agree'
+                    when seg_l <> seg_r then 'disagree' end as mktsegment,
+               case when abs(bal_l - bal_r) < 100 then 'close'
+                    when abs(bal_l - bal_r) < 1000 then 'near'
+                    else 'far' end as acctbal
+        from joined
+    ),
+    tf as (
+        select c_mktsegment as value,
+               count(*) / (select cast(count(*) as double) from customer
+                           where c_mktsegment is not null) as tf
+        from customer where c_mktsegment is not null
+        group by c_mktsegment
+    )
+    select c_custkey_left, c_custkey_right, mktsegment, acctbal,
+           round({_WEIGHT_SQL}, 6) as weight,
+           round({_WEIGHT_SQL}
+                 + case when mktsegment = 'agree' and tf.tf is not null
+                        then ln(0.2 / tf.tf) else 0.0 end, 6) as weight_tf
+    from cmp left join tf on cmp.seg_l = tf.value
+"""
+
+
+@query("tf_adjusted_scoring", _TF_SCORING_SQL)
+def tf_adjusted_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E168 — term-frequency adjusted match weights
+    (scoring.py:tf_adjusted_weights, Winkler 1988's value-specific
+    weights): on exact-agree pairs the average-u Bayes factor is
+    replaced with the agreeing VALUE's own frequency —
+    ``ln(u_agree / tf(value))`` added to the base weight — so
+    agreeing on a common segment is priced as weaker evidence than
+    agreeing on a rare one. The tf table (scoring.py:
+    term_frequency_table) is one value-keyed groupBy with the 1-row
+    total broadcast back in-plan; the adjustment join is
+    value-cardinality-sized (AQE broadcasts it) and the correction
+    itself one codegen CASE — the pair frame never shuffles. The
+    oracle replays the tf division, the join, and the CASE with the
+    identical arithmetic; ``weight_tf = weight`` exactly on
+    disagree/missing rows (property-tested)."""
+    from ..scoring import TFAdjustment, term_frequency_table, tf_adjusted_weights
+
+    customer = t(spark, sf_dir, "customer")
+    joined = compute_pairs_dataset(
+        customer, customer, "c_custkey", "c_custkey", _candidate_pairs(spark, sf_dir)
+    )
+    cmp = do_comparisons(
+        joined,
+        _comparators(),
+        keep=["c_custkey_left", "c_custkey_right", "c_mktsegment_left"],
+    )
+    scored = cmp.withColumn("weight", match_weight_column(M_PROBS, U_PROBS))
+    tf = term_frequency_table(customer, "c_mktsegment")
+    out = tf_adjusted_weights(
+        scored,
+        [
+            TFAdjustment(
+                gamma_col="mktsegment",
+                value_col="c_mktsegment_left",
+                u_agree=U_PROBS["mktsegment"]["agree"],
+                tf_table=tf,
+            )
+        ],
+    )
+    return out.select(
+        "c_custkey_left",
+        "c_custkey_right",
+        "mktsegment",
+        "acctbal",
+        F.round(F.col("weight"), 6).alias("weight"),
+        F.round(F.col("weight_tf"), 6).alias("weight_tf"),
+    )
+
+
 # --------------------------------------------------------------------
 # Scale-appropriate blocking spec (round-8, VERDICT r7 item 2).
 #

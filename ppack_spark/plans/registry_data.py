@@ -5528,6 +5528,88 @@ def k_anonymity_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_closeness_report",
+    """
+    with base as (
+        select c_nationkey, c_mktsegment,
+               cast(floor(c_acctbal / 1000.0) as bigint) as band
+        from customer
+    ),
+    cells as (
+        select c_nationkey, c_mktsegment, band, count(*) as nqv
+        from base group by 1, 2, 3
+    ),
+    gtot as (
+        select c_nationkey, c_mktsegment, sum(nqv) as nq
+        from cells group by 1, 2
+    ),
+    vtot as (select band, sum(nqv) as nv from cells group by 1),
+    ntot as (select cast(sum(nv) as double) as n from vtot),
+    q as (
+        select band,
+               cast(floor(1000000000.0 * (cast(nv as double) / ntot.n)
+                          + 0.5) as bigint) as qi
+        from vtot cross join ntot
+    ),
+    qtot as (select coalesce(sum(qi), 0) as qtot from q),
+    per as (
+        select c.c_nationkey, c.c_mktsegment, g.nq, q.qi,
+               abs(cast(floor(1000000000.0
+                              * (cast(c.nqv as double) / cast(g.nq as double))
+                              + 0.5) as bigint) - q.qi) as diff
+        from cells c
+        join gtot g using (c_nationkey, c_mktsegment)
+        join q on c.band is not distinct from q.band
+    ),
+    grp as (
+        select max(nq) as nq,
+               sum(diff) + (qtot.qtot - sum(qi)) as tvd_i
+        from per cross join qtot
+        group by c_nationkey, c_mktsegment, qtot.qtot
+    )
+    select cast(0.35 as double) as t,
+           cast(coalesce(sum(nq), 0) as bigint) as n_rows,
+           cast(count(*) as bigint) as n_groups,
+           cast(coalesce(sum(case when cast(tvd_i as double) > 700000000.0
+                                  then 1 else 0 end), 0) as bigint)
+               as n_violating_groups,
+           cast(coalesce(sum(case when cast(tvd_i as double) > 700000000.0
+                                  then nq else 0 end), 0) as bigint)
+               as rows_at_risk,
+           coalesce(max(cast(tvd_i as double) / 2000000000.0), 0.0) as max_tvd,
+           coalesce(max(cast(tvd_i as double)) <= 700000000.0, true)
+               as is_t_close
+    from grp
+    """,
+)
+def t_closeness_report_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E169 — t-closeness audit
+    (operators/governance.py:t_closeness_report, Li, Li &
+    Venkatasubramanian 2007): per (nationkey, mktsegment) group, the
+    total-variation distance between the group's acctbal-band
+    distribution and the global one, flagged where it exceeds
+    t = 0.35 (splitting the groups at sf0.01 and reading clean at
+    sf0.1 — sparser groups sit farther from the global distribution,
+    so the same spec exercises both report branches across scales) — the skewness-attack companion the k-anonymity (E146) and
+    l-diversity (E155) audits can't see. Distances are carried in
+    fixed-point integer nano-units (each probability floored to the
+    grid once, then exact integer sums — the graph-family
+    determinization) and absent values contribute via the complement
+    identity, so no group x value cross join materializes; one
+    (quasi, sensitive) groupBy is the only pass over the data. The
+    oracle replays the cell table, both fixed-point distributions,
+    the complement arithmetic, and the rollup."""
+    from ..operators.governance import t_closeness_report
+
+    c = t(spark, sf_dir, "customer").withColumn(
+        "band", F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    )
+    return t_closeness_report(
+        c, ["c_nationkey", "c_mktsegment"], "band", t=0.35
+    )
+
+
+@query(
     "k_anonymity_suppress",
     """
     with g as (
@@ -6767,3 +6849,236 @@ def host_authority_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         salt="authority",
     ).select("doc_id", "host")
+
+
+# --------------------------------------------------------------------
+# E167: HITS hubs & authorities (round 14)
+# --------------------------------------------------------------------
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Oracle CTE chain replaying operators/graph.py:hits — collapsed
+    edge weights, uniform integer hub init, then per iteration the
+    authority<-hubs and hub<-authorities updates with per-edge
+    contributions floored to bigint before each cross-node sum and
+    one IEEE division per L1 normalization — the same fixed-point
+    nano-unit trajectory the Spark loop walks (see graph.py:hits)."""
+    sc = "1000000000.0"
+    out = f""",
+    ew as (
+        select src, dst, cast(count(*) as double) as w
+        from edges group by src, dst
+    ),
+    nodes as (select src as node from ew union select dst from ew),
+    nn as (select cast(count(*) as double) as n from nodes),
+    h0 as (
+        select node, cast(floor({sc} / nn.n + 0.5) as bigint) as h_i
+        from nodes cross join nn
+    )"""
+    prev = "h0"
+    for i in range(1, iters + 1):
+        out += f""",
+    araw{i} as (
+        select ew.dst as node,
+               cast(sum(cast(floor(ew.w * h.h_i) as bigint)) as bigint) as raw
+        from {prev} h join ew on h.node = ew.src
+        group by ew.dst
+    ),
+    atot{i} as (select cast(sum(raw) as bigint) as tot from araw{i}),
+    a{i} as (
+        select n.node,
+               cast(floor({sc} * (cast(coalesce(ar.raw, 0) as double)
+                                  / cast(at.tot as double)) + 0.5) as bigint)
+                   as a_i
+        from nodes n
+        left join araw{i} ar on n.node = ar.node
+        cross join atot{i} at
+    ),
+    hraw{i} as (
+        select ew.src as node,
+               cast(sum(cast(floor(ew.w * a.a_i) as bigint)) as bigint) as raw
+        from a{i} a join ew on a.node = ew.dst
+        group by ew.src
+    ),
+    htot{i} as (select cast(sum(raw) as bigint) as tot from hraw{i}),
+    h{i} as (
+        select n.node,
+               cast(floor({sc} * (cast(coalesce(hr.raw, 0) as double)
+                                  / cast(ht.tot as double)) + 0.5) as bigint)
+                   as h_i
+        from nodes n
+        left join hraw{i} hr on n.node = hr.node
+        cross join htot{i} ht
+    )"""
+        prev = f"h{i}"
+    out += f"""
+    select h{iters}.node,
+           h{iters}.h_i / {sc} as hub,
+           a{iters}.a_i / {sc} as authority,
+           cast(row_number() over (
+               order by a{iters}.a_i desc, h{iters}.node asc
+           ) as bigint) as rank
+    from h{iters} join a{iters} on h{iters}.node = a{iters}.node
+    """
+    return out
+
+
+@query("host_hits", "with " + _LINK_EDGE_SQL + _hits_sql(3))
+def host_hits_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E167 — fixed-iteration HITS hubs & authorities
+    (operators/graph.py:hits, Kleinberg 1999): 3 mutual
+    authority<-hubs / hub<-authorities updates, L1-normalized, over
+    the same derived page-link graph as E160 — the frontier readout
+    that separates pages worth FETCHING (high authority) from index
+    pages worth RE-CRAWLING for links (high hub). Per iteration: two
+    node-keyed equi-joins + two node-keyed groupBys over (node,
+    bigint) rows, lineage-cut between iterations; the trajectory is
+    carried in fixed-point integer nano-units so the oracle replays
+    edge collapse, the uniform init, and all six update/normalize
+    steps bit-for-bit as CTEs."""
+    from ..operators.graph import hits
+
+    d = t(spark, sf_dir, "documents")
+    return hits(_link_edges(d), iters=3)
+
+
+# --------------------------------------------------------------------
+# E170: span-level benchmark decontamination (round 14)
+# --------------------------------------------------------------------
+
+_SPAN_DECON_SQL = """
+    with co as (select doc_id, text from documents where doc_id % 10 != 3),
+    ev as (select doc_id, text from documents where doc_id % 10 = 3),
+    evh as (
+        select distinct unnest(list_transform(
+            generate_series(0,
+                greatest(len(string_split(text, ' ')) - 8, 0)),
+            i -> md5(array_to_string(
+                   list_slice(string_split(text, ' '), i+1, i+8), ' '))))
+            as h
+        from ev
+    ),
+    coh as (
+        select doc_id, j - 1 as pos, kg[j] as h
+        from (
+            select doc_id, kg, unnest(generate_series(1, len(kg))) as j
+            from (
+                select doc_id,
+                       list_transform(
+                         generate_series(0,
+                             greatest(len(string_split(text, ' ')) - 8, 0)),
+                         i -> md5(array_to_string(
+                                list_slice(string_split(text, ' '), i+1, i+8),
+                                ' '))) as kg
+                from co
+            )
+        )
+    ),
+    hits as (
+        select doc_id, pos from coh where h in (select h from evh)
+    )
+"""
+
+_SPAN_IVL_SQL = """,
+    pe as (
+        select doc_id, pos,
+               max(pos + 8) over (partition by doc_id order by pos
+                   rows between unbounded preceding and 1 preceding)
+                   as prev_end
+        from hits
+    ),
+    isl as (
+        select doc_id, pos,
+               sum(case when prev_end is null or pos > prev_end
+                        then 1 else 0 end)
+                   over (partition by doc_id order by pos
+                         rows unbounded preceding) as island
+        from pe
+    ),
+    ivl as (
+        select doc_id, island, min(pos) as s, max(pos) + 8 as e
+        from isl group by 1, 2
+    ),
+    nt as (
+        select doc_id,
+               cast(len(string_split(text, ' ')) as bigint) as ntk
+        from co
+    )
+"""
+
+
+@query(
+    "span_decontamination",
+    _SPAN_DECON_SQL + _SPAN_IVL_SQL + """
+    select i.doc_id, cast(s as bigint) as span_start,
+           cast(least(e, nt.ntk) as bigint) as span_end,
+           cast(least(e, nt.ntk) - s as bigint) as span_tokens
+    from ivl i join nt using (doc_id)
+    """,
+)
+def span_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E170 — span-level contamination report
+    (operators/pipeline.py:span_contamination_report): the maximal
+    contaminated regions of each corpus document against a held-out
+    eval slice (doc_id % 10 == 3) — every verbatim-shared 8-token
+    span, merged gaps-and-islands style into half-open token
+    intervals clamped to the doc length. The localization the E36/
+    E154 doc-drop passes can't give: a long document quoting one
+    benchmark paragraph keeps everything but the quote. Only 32-byte
+    hashes reach the semi join (eval side broadcast); the merge
+    windows partition on doc id over HIT positions only. The oracle
+    replays span hashing on both sides, the semi join, and the
+    interval merge."""
+    from ..operators.pipeline import span_contamination_report
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
+    co = d.filter(F.col("doc_id") % 10 != 3)
+    ev = d.filter(F.col("doc_id") % 10 == 3)
+    return span_contamination_report(co, ev, width=8)
+
+
+@query(
+    "span_decontaminated_corpus",
+    _SPAN_DECON_SQL + """,
+    starts as (
+        select doc_id, list(pos order by pos) as ss from hits group by doc_id
+    ),
+    rb as (
+        select c.doc_id,
+               string_split(c.text, ' ') as tk,
+               list_filter(string_split(c.text, ' '),
+                 (tok, ti) -> len(list_filter(
+                     coalesce(s.ss, cast([] as bigint[])),
+                     p -> p <= ti - 1 and ti - 1 < p + 8)) = 0) as kept
+        from co c left join starts s using (doc_id)
+    )
+    select doc_id,
+           md5(case when tk is null then null
+                    else coalesce(array_to_string(kept, ' '), '') end)
+             as clean_md5,
+           cast(len(tk) - len(kept) as bigint) as n_tokens_removed
+    from rb
+    """,
+)
+def span_decontaminated_corpus_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """E170 — span-decontaminated corpus materialization
+    (operators/pipeline.py:span_decontaminate): tokens covered by any
+    8-token span shared verbatim with the eval slice are excised;
+    uncontaminated documents pass through byte-identical
+    (property-tested). Same rebuild tail as the E69 span-dedup
+    materialization (_excise_spans); the oracle replays detection,
+    coverage masking, and the token rebuild, hash-checking the
+    cleaned text itself."""
+    from ..operators.pipeline import span_decontaminate
+    from ..operators.util import spread
+
+    d = spread(t(spark, sf_dir, "documents"))
+    co = d.filter(F.col("doc_id") % 10 != 3)
+    ev = d.filter(F.col("doc_id") % 10 == 3)
+    out = span_decontaminate(co, ev, width=8)
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), "n_tokens_removed"
+    )

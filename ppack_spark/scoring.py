@@ -9,6 +9,7 @@ speed over however many pairs exist.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -16,7 +17,15 @@ from pyspark.sql import functions as F
 from .em import FSParams
 from .exprs import match_weight_column, suffixed
 
-__all__ = ["score_pairs", "threshold_and_rank", "label_with_truth", "posterior_probability"]
+__all__ = [
+    "score_pairs",
+    "threshold_and_rank",
+    "label_with_truth",
+    "posterior_probability",
+    "term_frequency_table",
+    "TFAdjustment",
+    "tf_adjusted_weights",
+]
 
 
 def score_pairs(
@@ -114,3 +123,112 @@ def label_with_truth(
         .join(right_t, on=id_r, how="left")
         .withColumn("true_match", F.col("cluster_left") == F.col("cluster_right"))
     )
+
+
+# ---------------------------------------------------------------------
+# Term-frequency adjusted match weights (round 14)
+# ---------------------------------------------------------------------
+
+
+def term_frequency_table(
+    df: DataFrame, col: str, value_alias: str = "value"
+) -> DataFrame:
+    """``(value, tf)`` — each non-NULL value's relative frequency in
+    ``df[col]``. One value-keyed groupBy (map-side partial agg) plus
+    the 1-row total broadcast back in-plan — no driver-side count, so
+    a SQL oracle reproduces ``tf`` with the identical division.
+
+    This is the input table for :func:`tf_adjusted_weights` — compute
+    it ONCE per comparator column over the full input (not per pair
+    batch) and reuse it across scoring runs.
+    """
+    nn = df.filter(F.col(col).isNotNull())
+    tot = nn.agg(F.count(F.lit(1)).cast("double").alias("__tot"))
+    return (
+        nn.groupBy(F.col(col).alias(value_alias))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(value_alias, (F.col("__cnt") / F.col("__tot")).alias("tf"))
+    )
+
+
+@dataclass(frozen=True)
+class TFAdjustment:
+    """One comparator's term-frequency adjustment spec for
+    :func:`tf_adjusted_weights`.
+
+    ``gamma_col`` is the comparator's level column in the scored pair
+    frame, ``value_col`` the agreeing value carried on the pairs
+    (either side — they are equal at the exact-agree level),
+    ``u_agree`` the comparator's AVERAGE agree-u the base weight was
+    fitted with, and ``tf_table`` a ``(value, tf)`` frame from
+    :func:`term_frequency_table`. ``tf_weight`` damps the adjustment
+    (1.0 = full Bayes-factor correction); ``min_tf`` floors the
+    per-value frequency so a near-unique value cannot mint unbounded
+    evidence from one lucky agreement.
+    """
+
+    gamma_col: str
+    value_col: str
+    u_agree: float
+    tf_table: DataFrame
+    agree_level: str = "agree"
+    tf_weight: float = 1.0
+    min_tf: float | None = None
+
+
+def tf_adjusted_weights(
+    scored: DataFrame,
+    adjustments: Sequence[TFAdjustment],
+    weight_col: str = "weight",
+    out_col: str = "weight_tf",
+) -> DataFrame:
+    """Term-frequency adjusted Fellegi-Sunter weights.
+
+    The base FS weight prices an exact agreement on column c with the
+    AVERAGE u — the chance two random records agree on c. But
+    agreeing on a COMMON value ("Smith") is weak evidence and
+    agreeing on a rare one ("Tregunter") is strong: the
+    value-specific u is that value's own frequency. For each
+    adjusted comparator this adds, on exact-agree pairs only,
+
+        ln(u_agree / max(tf(value), min_tf)) * tf_weight
+
+    — replacing the average-u Bayes factor with the value-specific
+    one (the standard term-frequency adjustment of Fellegi-Sunter
+    practice; Winkler 1988's value-specific weights). Disagreeing,
+    missing-γ, and unseen-value pairs are left untouched, so
+    ``out_col`` equals ``weight_col`` exactly where no adjustment
+    applies.
+
+    Scale shape: one equi-join per adjusted comparator against its
+    ``(value, tf)`` table — value-cardinality-sized, so AQE broadcasts
+    it when it fits; the adjustment itself is one codegen CASE
+    expression, no UDF. The pair frame never shuffles.
+    """
+    out = scored
+    terms = []
+    for i, adj in enumerate(adjustments):
+        tf_alias = f"__tf_{i}"
+        tfv = adj.tf_table.select(
+            F.col("value").alias(f"__val_{i}"), F.col("tf").alias(tf_alias)
+        )
+        out = out.join(
+            tfv, out[adj.value_col] == tfv[f"__val_{i}"], "left"
+        ).drop(f"__val_{i}")
+        tf_col = F.col(tf_alias)
+        if adj.min_tf is not None:
+            tf_col = F.greatest(tf_col, F.lit(float(adj.min_tf)))
+        terms.append(
+            F.when(
+                (F.col(adj.gamma_col) == adj.agree_level)
+                & F.col(tf_alias).isNotNull(),
+                F.log(F.lit(float(adj.u_agree)) / tf_col)
+                * F.lit(float(adj.tf_weight)),
+            ).otherwise(F.lit(0.0))
+        )
+    total = terms[0]
+    for term in terms[1:]:
+        total = total + term
+    out = out.withColumn(out_col, F.col(weight_col) + total)
+    return out.drop(*[f"__tf_{i}" for i in range(len(adjustments))])

@@ -155,3 +155,26 @@ def test_authority_mix_stage_equals_manual(spark, docs):
     assert g == w and len(g) > 0
     with pytest.raises(ValueError, match="authority"):
         CorpusPipeline(spec).run(docs)
+
+
+def test_span_decontaminate_stage_equals_manual(spark, docs):
+    """CorpusSpec.span_decontaminate == hand-chained span_decontaminate
+    on the prepared corpus (minus the diagnostic column); the stage is
+    a no-op without eval_docs."""
+    from ppack_spark.operators.pipeline import prepare_corpus, span_decontaminate
+
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 5).select("doc_id", "text")
+    spec = CorpusSpec(span_decontaminate={"width": 8}, shuffle=None)
+    got = CorpusPipeline(spec).run(docs, eval_docs=eval_docs)
+
+    manual = span_decontaminate(
+        prepare_corpus(docs, eval_docs=eval_docs), eval_docs, width=8
+    ).drop("n_tokens_removed")
+    g = {tuple(r) for r in got.select("doc_id", F.md5("text")).collect()}
+    w = {tuple(r) for r in manual.select("doc_id", F.md5("text")).collect()}
+    assert g == w and len(g) > 0
+    assert "n_tokens_removed" not in got.columns
+
+    skipped = CorpusPipeline(spec).run(docs)  # no eval_docs: stage off
+    assert "n_tokens_removed" not in skipped.columns
+    assert skipped.count() > 0

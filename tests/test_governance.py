@@ -169,3 +169,76 @@ def test_l_diversity_empty_and_validation(spark):
         l_diversity_report(df, [], "dx")
     with pytest.raises(ValueError):
         l_diversity_report(df, ["zip"], "dx", l=0)
+
+
+# ------------------------------------------------ t-closeness (E169)
+
+from ppack_spark.operators.governance import t_closeness_report  # noqa: E402
+
+
+def test_t_closeness_identical_group_distance_zero(spark):
+    # one group == the whole table: its distribution IS the global one
+    df = spark.createDataFrame(
+        [("a", "flu"), ("a", "flu"), ("a", "hiv"), ("a", "ok")],
+        "zip string, dx string",
+    )
+    row = t_closeness_report(df, ["zip"], "dx", t=0.1).collect()[0]
+    assert row["max_tvd"] == 0.0
+    assert row["n_violating_groups"] == 0
+    assert row["is_t_close"] is True
+    assert row["n_rows"] == 4 and row["n_groups"] == 1
+
+
+def test_t_closeness_skewed_group_distance(spark):
+    """Global over 8 rows: flu 5/8, hiv 3/8. Group 'b' (all-flu) has
+    TVD = 0.5*(|1 - 5/8| + |0 - 3/8|) = 0.375, and group 'a'
+    (flu 1/4, hiv 3/4) mirrors it at 0.375 — both flag at t=0.3,
+    both clean at t=0.4."""
+    df = spark.createDataFrame(
+        [
+            ("a", "flu"), ("a", "hiv"), ("a", "hiv"), ("a", "hiv"),
+            ("b", "flu"), ("b", "flu"), ("b", "flu"), ("b", "flu"),
+        ],
+        "zip string, dx string",
+    )
+    strict = t_closeness_report(df, ["zip"], "dx", t=0.3).collect()[0]
+    assert strict["max_tvd"] == pytest.approx(0.375, abs=1e-8)
+    assert strict["n_groups"] == 2
+    assert strict["n_violating_groups"] == 2
+    assert strict["rows_at_risk"] == 8
+    assert strict["is_t_close"] is False
+    loose = t_closeness_report(df, ["zip"], "dx", t=0.4).collect()[0]
+    assert loose["n_violating_groups"] == 0
+    assert loose["is_t_close"] is True
+
+
+def test_t_closeness_null_sensitive_is_a_category(spark):
+    """A group concentrating NULL diagnoses is still a disclosure
+    pattern: NULLs join the distribution instead of vanishing."""
+    df = spark.createDataFrame(
+        [("a", "flu"), ("a", "flu"), ("b", None), ("b", None)],
+        "zip string, dx string",
+    )
+    row = t_closeness_report(df, ["zip"], "dx", t=0.2).collect()[0]
+    # global {flu .5, NULL .5}; each group is pure: TVD 0.5 each
+    assert row["max_tvd"] == pytest.approx(0.5, abs=1e-8)
+    assert row["n_violating_groups"] == 2
+    assert row["rows_at_risk"] == 4
+
+
+def test_t_closeness_empty_input(spark):
+    df = spark.createDataFrame([], "zip string, dx string")
+    row = t_closeness_report(df, ["zip"], "dx", t=0.2).collect()[0]
+    assert row["n_rows"] == 0 and row["n_groups"] == 0
+    assert row["max_tvd"] == 0.0
+    assert row["is_t_close"] is True
+
+
+def test_t_closeness_validates_args(spark):
+    df = spark.createDataFrame([("a", "x")], "zip string, dx string")
+    with pytest.raises(ValueError, match="quasi_cols"):
+        t_closeness_report(df, [], "dx")
+    with pytest.raises(ValueError, match="t must be"):
+        t_closeness_report(df, ["zip"], "dx", t=0.0)
+    with pytest.raises(ValueError, match="t must be"):
+        t_closeness_report(df, ["zip"], "dx", t=1.5)

@@ -256,3 +256,87 @@ def test_distributed_rank_matches_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------- HITS (E167)
+
+from ppack_spark.operators.graph import hits  # noqa: E402
+
+
+def test_hits_bipartite_separates_hubs_from_authorities(spark):
+    """Pure hubs (out-edges only) get authority 0; pure authorities
+    (in-edges only) get hub 0; both sides' scores are positive on
+    their own axis."""
+    e = _edges(
+        spark,
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("h3", "a2")],
+    )
+    got = {r["node"]: r for r in hits(e, iters=3).collect()}
+    for h in ("h1", "h2", "h3"):
+        assert got[h]["authority"] == 0.0
+        assert got[h]["hub"] > 0.0
+    for a in ("a1", "a2"):
+        assert got[a]["hub"] == 0.0
+        assert got[a]["authority"] > 0.0
+    # h1 points at both authorities: the best hub
+    assert got["h1"]["hub"] > got["h2"]["hub"]
+    # a1 is cited by the two best hubs (h1, h2) vs a2's (h1, h3)
+    assert got["a1"]["rank"] == 1
+
+
+def test_hits_l1_mass_conserved(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+    )
+    row = hits(e, iters=4).agg(
+        F.sum("hub").alias("h"), F.sum("authority").alias("a")
+    ).collect()[0]
+    # fixed-point grid drift is bounded at ~n per-node half-ulps
+    assert abs(row["h"] - 1.0) < 1e-4
+    assert abs(row["a"] - 1.0) < 1e-4
+
+
+def test_hits_symmetric_cycle_is_uniform(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    rows = hits(e, iters=5).collect()
+    assert len({r["hub"] for r in rows}) == 1
+    assert len({r["authority"] for r in rows}) == 1
+
+
+def test_hits_parallel_edges_act_as_weights(spark):
+    """Two parallel h1->a1 edges must beat a single h2->a2 edge on
+    authority — multiplicity is weight, as in pagerank."""
+    e = _edges(
+        spark,
+        [("h1", "a1"), ("h1", "a1"), ("h2", "a2")],
+    )
+    got = {r["node"]: r for r in hits(e, iters=3).collect()}
+    assert got["a1"]["authority"] > got["a2"]["authority"]
+
+
+def test_hits_weight_column(spark):
+    e = spark.createDataFrame(
+        [("h1", "a1", 3.0), ("h2", "a2", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r["node"]: r for r in hits(e, weight="w", iters=3).collect()}
+    assert got["a1"]["authority"] > got["a2"]["authority"]
+
+
+def test_hits_empty_edges_is_wellformed_empty(spark):
+    e = _edges(spark, []).filter(F.lit(False))
+    out = hits(e, iters=2)
+    assert out.columns == ["node", "hub", "authority", "rank"]
+    assert out.count() == 0
+
+
+def test_hits_validates_iters(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="iters"):
+        hits(e, iters=0)
+
+
+def test_hits_rank_is_distributed(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert _row_number_windows_without_partition(hits(e, iters=2)) == 0

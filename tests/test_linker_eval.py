@@ -478,3 +478,118 @@ def test_evaluation_report_randomized_consistency(spark):
     }
     for r in threshold_sweep_metrics(df, ts, inclusive=False).collect():
         assert ex[("sweep", r["threshold"])] == dict(r.asDict(), metric="sweep")
+
+
+# ----------------------------------- TF-adjusted match weights (E168)
+
+from ppack_spark.scoring import (  # noqa: E402
+    TFAdjustment,
+    term_frequency_table,
+    tf_adjusted_weights,
+)
+
+
+def _tf_fixture(spark):
+    """Scored pairs over a toy surname comparator: u_agree = 0.25 on
+    average, but 'smith' covers half the records and 'tregunter' one
+    tenth."""
+    records = spark.createDataFrame(
+        [(i, "smith") for i in range(5)]
+        + [(5, "tregunter"), (6, "jones"), (7, "jones"), (8, "lee"), (9, "lee")],
+        "rid long, surname string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            (0, "agree", "smith", 2.0),
+            (1, "agree", "tregunter", 2.0),
+            (2, "disagree", "smith", -1.0),
+            (3, None, None, 0.0),
+            (4, "agree", "unseen-name", 2.0),
+        ],
+        "pair_id long, surname string, surname_left string, weight double",
+    )
+    tf = term_frequency_table(records, "surname")
+    return records, pairs, tf
+
+
+def test_term_frequency_table_shares(spark):
+    records, _, tf = _tf_fixture(spark)
+    got = {r["value"]: r["tf"] for r in tf.collect()}
+    assert got == {"smith": 0.5, "tregunter": 0.1, "jones": 0.2, "lee": 0.2}
+
+
+def test_tf_adjustment_values_and_untouched_rows(spark):
+    _, pairs, tf = _tf_fixture(spark)
+    out = tf_adjusted_weights(
+        pairs,
+        [
+            TFAdjustment(
+                gamma_col="surname",
+                value_col="surname_left",
+                u_agree=0.25,
+                tf_table=tf,
+            )
+        ],
+    )
+    got = {r["pair_id"]: r for r in out.collect()}
+    # agree on the common value: evidence weakens (ln(0.25/0.5) < 0)
+    assert got[0]["weight_tf"] == pytest.approx(2.0 + math.log(0.25 / 0.5))
+    # agree on the rare value: evidence strengthens
+    assert got[1]["weight_tf"] == pytest.approx(2.0 + math.log(0.25 / 0.1))
+    # disagree / missing-gamma / unseen-value rows are untouched
+    assert got[2]["weight_tf"] == got[2]["weight"]
+    assert got[3]["weight_tf"] == got[3]["weight"]
+    assert got[4]["weight_tf"] == got[4]["weight"]
+    # input columns survive, helper columns don't
+    assert "__tf_0" not in out.columns
+
+
+def test_tf_adjustment_min_tf_floor_and_damping(spark):
+    _, pairs, tf = _tf_fixture(spark)
+    out = tf_adjusted_weights(
+        pairs,
+        [
+            TFAdjustment(
+                gamma_col="surname",
+                value_col="surname_left",
+                u_agree=0.25,
+                tf_table=tf,
+                min_tf=0.2,
+                tf_weight=0.5,
+            )
+        ],
+    )
+    got = {r["pair_id"]: r for r in out.collect()}
+    # tregunter's tf=0.1 floors at 0.2; the correction is then damped
+    assert got[1]["weight_tf"] == pytest.approx(
+        2.0 + 0.5 * math.log(0.25 / 0.2)
+    )
+    # smith's tf=0.5 is above the floor: only damping applies
+    assert got[0]["weight_tf"] == pytest.approx(
+        2.0 + 0.5 * math.log(0.25 / 0.5)
+    )
+
+
+def test_tf_adjustment_multiple_comparators_sum(spark):
+    records, _, tf = _tf_fixture(spark)
+    cities = spark.createDataFrame(
+        [(0, "york"), (1, "york"), (2, "york"), (3, "leeds")],
+        "rid long, city string",
+    )
+    ctf = term_frequency_table(cities, "city")
+    pairs = spark.createDataFrame(
+        [(0, "agree", "smith", "agree", "leeds", 1.0)],
+        "pair_id long, surname string, surname_left string,"
+        " city string, city_left string, weight double",
+    )
+    out = tf_adjusted_weights(
+        pairs,
+        [
+            TFAdjustment("surname", "surname_left", 0.25, tf),
+            TFAdjustment("city", "city_left", 0.5, ctf),
+        ],
+    )
+    row = out.collect()[0]
+    assert row["weight_tf"] == pytest.approx(
+        1.0 + math.log(0.25 / 0.5) + math.log(0.5 / 0.25)
+    )

@@ -2102,3 +2102,91 @@ def test_corpus_mix_report_statistics(spark):
     r2 = corpus_mix_report(df, "source").collect()[0]
     assert r2["n_groups"] == 3 and r2["total_weight"] == 4.0
     assert r2["top_share"] == 0.5
+
+
+# ----------------------------- span-level decontamination (E170)
+
+
+def _span_corpus(spark):
+    """Eval doc holds tokens e0..e9; corpus doc 1 quotes e1..e8 (8+
+    tokens -> two overlapping hits that must merge), doc 2 is clean,
+    doc 3 ends mid-quote (clamp case)."""
+    from ppack_spark.operators.pipeline import span_contamination_report
+
+    ev = spark.createDataFrame(
+        [(100, " ".join(f"e{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    co = spark.createDataFrame(
+        [
+            (1, "x0 x1 " + " ".join(f"e{i}" for i in range(1, 10)) + " y0"),
+            (2, "clean words only nothing shared here at all padding tokens"),
+            (3, "z0 z1 z2 " + " ".join(f"e{i}" for i in range(8))),
+        ],
+        "doc_id long, text string",
+    )
+    return co, ev, span_contamination_report
+
+
+def test_span_contamination_merges_overlaps(spark):
+    co, ev, report = _span_corpus(spark)
+    got = {r["doc_id"]: r for r in report(co, ev, width=8).collect()}
+    # doc 1: e1..e9 at token offsets 2..10 -> hits at pos 2 and 3
+    # (spans e1..e8, e2..e9) merge into [2, 11)
+    assert got[1]["span_start"] == 2
+    assert got[1]["span_end"] == 11
+    assert got[1]["span_tokens"] == 9
+    # doc 2 clean: no interval
+    assert 2 not in got
+    # doc 3: e0..e7 at offsets 3..10, one hit at pos 3 -> [3, 11)
+    assert got[3]["span_start"] == 3 and got[3]["span_end"] == 11
+
+
+def test_span_contamination_clamps_to_doc_length(spark):
+    """A short corpus doc equal to a short eval doc matches via the
+    whole-text span; the interval must clamp to its token count."""
+    from ppack_spark.operators.pipeline import span_contamination_report
+
+    ev = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    co = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    row = span_contamination_report(co, ev, width=8).collect()[0]
+    assert row["span_start"] == 0
+    assert row["span_end"] == 3
+    assert row["span_tokens"] == 3
+
+
+def test_span_decontaminate_excises_only_quotes(spark):
+    from ppack_spark.operators.pipeline import span_decontaminate
+
+    co, ev, _ = _span_corpus(spark)
+    got = {r["doc_id"]: r for r in span_decontaminate(co, ev, width=8).collect()}
+    assert got[1]["text"] == "x0 x1 y0"
+    assert got[1]["n_tokens_removed"] == 9
+    # clean doc passes through byte-identical
+    assert got[2]["text"].startswith("clean words only")
+    assert got[2]["n_tokens_removed"] == 0
+    assert got[3]["text"] == "z0 z1 z2"
+    assert got[3]["n_tokens_removed"] == 8
+
+
+def test_span_decontaminate_disjoint_quotes_two_intervals(spark):
+    from ppack_spark.operators.pipeline import span_contamination_report
+
+    ev = spark.createDataFrame(
+        [(100, " ".join(f"e{i}" for i in range(8))),
+         (101, " ".join(f"f{i}" for i in range(8)))],
+        "doc_id long, text string",
+    )
+    quote_e = " ".join(f"e{i}" for i in range(8))
+    quote_f = " ".join(f"f{i}" for i in range(8))
+    co = spark.createDataFrame(
+        [(1, quote_e + " gap0 gap1 gap2 " + quote_f)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        span_contamination_report(co, ev, width=8).collect(),
+        key=lambda r: r["span_start"],
+    )
+    assert [(r["span_start"], r["span_end"]) for r in rows] == [
+        (0, 8), (11, 19),
+    ]

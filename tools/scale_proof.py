@@ -172,6 +172,17 @@ QUERIES = [
     "kll_quantiles",
     "host_pagerank_seeded",
     "host_authority_mix",
+    # late-r14 additions: HITS is two pagerank-shaped iterations'
+    # worth of node-keyed joins per round; t-closeness is one
+    # (quasi, sensitive) groupBy + cell-table joins; the span-decon
+    # pair rides the documents span-hash stream (32-byte hashes
+    # only); tf-adjusted scoring rides the quadratic-by-contract
+    # nation pair chain and inherits its cap
+    "host_hits",
+    "t_closeness_report",
+    "span_decontamination",
+    "span_decontaminated_corpus",
+    "tf_adjusted_scoring",
 ]
 
 # pair budget is quadratic in block size: cap at sf0.2 (round-9
@@ -193,6 +204,7 @@ QUAD_CAP = {
     "threshold_sweep": 0.2,
     "best_threshold": 0.2,
     "linkage_eval_report": 0.2,
+    "tf_adjusted_scoring": 0.2,
 }
 
 
