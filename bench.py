@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "t_closeness_report",
     "span_decontamination",
     "span_decontaminated_corpus",
+    "supervised_mu",
+    "host_triangles",
 ]
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "do_comparisons",
     "pattern_counts",
     "u_probability_frequencies",
+    "mu_from_labels",
     "collect_probabilities",
 ]
 
@@ -77,6 +78,59 @@ def u_probability_frequencies(comparisons: DataFrame) -> DataFrame:
     )
     w = Window.partitionBy("comparator")
     return counts.withColumn("p", F.col("n") / F.sum("n").over(w))
+
+
+def mu_from_labels(
+    comparisons: DataFrame,
+    truth_col: str = "true_match",
+    gamma_cols: list[str] | None = None,
+) -> DataFrame:
+    """Supervised Fellegi-Sunter parameter estimation from LABELED
+    pairs — the direct-estimation alternative to :func:`~ppack_spark.
+    em.run_em` when ground-truth match labels exist (a clerical
+    review sample, a golden-record join): per comparator level,
+    ``m = P(level | match)`` and ``u = P(level | non-match)``, the
+    maximum-likelihood estimates the EM converges toward.
+
+    Returns ``(comparator, level, n_match, n_nonmatch, m, u)`` with
+    m/u normalized within comparator over non-missing levels
+    (missing-γ rows are excluded from both numerator and denominator,
+    matching the EM's NA handling — linking.R:103,108) and rounded to
+    6 decimals; rows with a NULL label are skipped (an unjudged pair
+    is evidence for neither class). A class with zero labeled pairs
+    yields NULL for its probabilities rather than a division error.
+
+    One unpivot + one (comparator, level)-keyed count is the only
+    pass over the pairs (map-side partial agg — the
+    ``pattern_counts`` scale shape); the normalizing window runs over
+    the ≤ ∏ levels cell table.
+    """
+    gamma_cols = gamma_cols or [
+        c for c in comparisons.columns if c != truth_col
+    ]
+    if not gamma_cols:
+        raise ValueError("mu_from_labels: no gamma columns")
+    k = len(gamma_cols)
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in gamma_cols)
+    long = comparisons.select(
+        F.col(truth_col).cast("boolean").alias("__t"),
+        F.expr(f"stack({k}, {stack_args}) as (comparator, level)"),
+    ).filter(F.col("level").isNotNull() & F.col("__t").isNotNull())
+    cell = long.groupBy("comparator", "level").agg(
+        F.sum(F.col("__t").cast("long")).alias("n_match"),
+        F.sum((~F.col("__t")).cast("long")).alias("n_nonmatch"),
+    )
+    w = Window.partitionBy("comparator")
+    tm = F.sum("n_match").over(w)
+    tu = F.sum("n_nonmatch").over(w)
+    return cell.select(
+        "comparator",
+        "level",
+        F.col("n_match").cast("long").alias("n_match"),
+        F.col("n_nonmatch").cast("long").alias("n_nonmatch"),
+        F.round(F.when(tm > 0, F.col("n_match") / tm), 6).alias("m"),
+        F.round(F.when(tu > 0, F.col("n_nonmatch") / tu), 6).alias("u"),
+    )
 
 
 def collect_probabilities(freqs: DataFrame) -> dict[str, dict[str, float]]:

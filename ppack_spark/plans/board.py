@@ -29,7 +29,8 @@ first, then touched, then stalest; overlap with the prior board
 additions ``kll_quantiles``, ``host_pagerank_seeded``,
 ``host_authority_mix``, and the late-round ``host_hits``,
 ``tf_adjusted_scoring``, ``t_closeness_report``,
-``span_decontamination``, ``span_decontaminated_corpus``), then to
+``span_decontamination``, ``span_decontaminated_corpus``,
+``supervised_mu``, ``host_triangles``), then to
 the four gates whose ENGINE OR ORACLE r14 touched
 (``hll_cardinality`` — unmerged-input guard in the estimator
 expression; ``histogram_quantiles`` — degenerate-range oracle guard;
@@ -37,7 +38,7 @@ expression; ``histogram_quantiles`` — degenerate-range oracle guard;
 trajectory + distributed rank rewrite; these four are the only
 overlap with the r13 board: 4/50), then to the ENTIRE 31-gate
 r10-stale cohort (every oracled gate unboarded since r10), then to
-the 7 alphabetically-first of the r11-stale cohort.
+the 5 alphabetically-first of the r11-stale cohort.
 ``linkage_em_end_to_end`` remains the deliberate no-oracle off-board
 carry. The complete all-gate artifact is published alongside the
 board (verify_all.py → CORRECTNESS_full.json, commit-stamped since
@@ -57,6 +58,8 @@ BOARD: list[str] = [
     "t_closeness_report",
     "span_decontamination",
     "span_decontaminated_corpus",
+    "supervised_mu",
+    "host_triangles",
     # -- engine/oracle touched by r14 --
     "hll_cardinality",
     "histogram_quantiles",
@@ -100,8 +103,6 @@ BOARD: list[str] = [
     "cluster_size_histogram",
     "comparison_vectors_scaled",
     "corpus_delta_merge_fuzzy",
-    "corpus_stage_report",
-    "corpus_stage_report_reuse",
 ]
 
 

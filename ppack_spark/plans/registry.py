@@ -1305,6 +1305,73 @@ def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "supervised_mu",
+    _CMP_SQL + """
+    , lab as (
+        select case when nat_l = nat_r then true else false end as t,
+               mktsegment, acctbal
+        from cmp
+    ),
+    longt as (
+        select t, comparator, level from (
+            select t, 'mktsegment' as comparator, mktsegment as level
+            from lab
+            union all
+            select t, 'acctbal' as comparator, acctbal as level from lab
+        ) where level is not null
+    ),
+    cell as (
+        select comparator, level,
+               sum(case when t then 1 else 0 end) as n_match,
+               sum(case when t then 0 else 1 end) as n_nonmatch
+        from longt group by 1, 2
+    )
+    select comparator, level,
+           cast(n_match as bigint) as n_match,
+           cast(n_nonmatch as bigint) as n_nonmatch,
+           round(case when sum(n_match) over (partition by comparator) > 0
+                      then n_match
+                           / sum(n_match) over (partition by comparator)
+                 end, 6) as m,
+           round(case when sum(n_nonmatch) over (partition by comparator) > 0
+                      then n_nonmatch
+                           / sum(n_nonmatch) over (partition by comparator)
+                 end, 6) as u
+    from cell
+    """,
+)
+def supervised_mu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E171 — supervised m/u estimation from labeled pairs
+    (patterns.py:mu_from_labels): per comparator level, the
+    maximum-likelihood ``P(level | match)`` / ``P(level | non-match)``
+    over the nationkey-pseudo-truth-labeled candidate pairs — the
+    direct-estimation path a linkage user takes when a clerical
+    review sample or golden-record join exists, skipping EM entirely
+    (run_em converges toward exactly these estimates). One unpivot +
+    one cell-table count over the pair chain (pattern_counts scale
+    shape); the oracle replays the label CASE, the unpivot, the
+    conditional sums, and the windowed normalization."""
+    from ..patterns import mu_from_labels
+
+    customer = t(spark, sf_dir, "customer")
+    joined = compute_pairs_dataset(
+        customer, customer, "c_custkey", "c_custkey", _candidate_pairs(spark, sf_dir)
+    )
+    cmp = do_comparisons(
+        joined,
+        dict(
+            _comparators(),
+            true_match=(
+                F.col("c_nationkey_left") == F.col("c_nationkey_right")
+            ).cast("double"),
+        ),
+    )
+    return mu_from_labels(
+        cmp, truth_col="true_match", gamma_cols=["mktsegment", "acctbal"]
+    )
+
+
+@query(
     "best_threshold",
     _CMP_SQL + f"""
     , scored as (

@@ -7082,3 +7082,110 @@ def span_decontaminated_corpus_gate(
     return out.select(
         "doc_id", F.md5("text").alias("clean_md5"), "n_tokens_removed"
     )
+
+
+# --------------------------------------------------------------------
+# E172: triangle census / clustering coefficient (round 14)
+# --------------------------------------------------------------------
+
+
+_HASH_EDGE_SQL = """
+    with e2 as (
+        select doc_id, unnest([1, 2]) as k from documents
+    ),
+    edges as (
+        select 'h' || cast(cast(('0x' || substr(md5(
+                   cast(doc_id as varchar) || ':s' || cast(k as varchar)),
+                   1, 8)) as bigint) % 60 as varchar) as src,
+               'h' || cast(cast(('0x' || substr(md5(
+                   cast(doc_id as varchar) || ':d' || cast(k as varchar)),
+                   1, 8)) as bigint) % 60 as varchar) as dst
+        from e2
+    )"""
+
+
+@query(
+    "host_triangles",
+    _HASH_EDGE_SQL + """,
+    und as (
+        select least(src, dst) as a, greatest(src, dst) as b
+        from edges where src <> dst
+        group by 1, 2
+    ),
+    deg as (
+        select node, count(*) as degree from (
+            select a as node from und union all select b as node from und
+        ) group by node
+    ),
+    o as (
+        select case when da.degree < db.degree
+                      or (da.degree = db.degree and a < b)
+                    then a else b end as u,
+               case when da.degree < db.degree
+                      or (da.degree = db.degree and a < b)
+                    then b else a end as v
+        from und
+        join deg da on und.a = da.node
+        join deg db on und.b = db.node
+    ),
+    tri as (
+        select o1.u as x, o1.v as y, o2.v as z
+        from o o1
+        join o o2 on o1.v = o2.u
+        join o o3 on o3.u = o1.u and o3.v = o2.v
+    ),
+    tcnt as (
+        select node, count(*) as triangles from (
+            select x as node from tri
+            union all select y from tri
+            union all select z from tri
+        ) group by node
+    )
+    select d.node, cast(d.degree as bigint) as degree,
+           cast(coalesce(t.triangles, 0) as bigint) as triangles,
+           round(case when d.degree >= 2
+                      then 2.0 * coalesce(t.triangles, 0)
+                           / (d.degree * (d.degree - 1.0))
+                      else 0.0 end, 6) as clustering
+    from deg d left join tcnt t on d.node = t.node
+    """,
+)
+def host_triangles_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E172 — exact triangle census + local clustering coefficient
+    (operators/graph.py:triangle_report, degree-ordered orientation
+    per Suri & Vassilvitskii 2011) over the undirected E160 page-link
+    graph — the link-farm detector: a crawler-trap ring clusters at
+    ≈ 1 while organically-cited pages sit in sparse neighborhoods.
+    Each triangle is found exactly once from its lowest-(degree,
+    node) corner, so wedge fan-out is bounded by oriented out-degrees
+    (a hub generates none). The gate graph is an md5-derived random
+    host graph (60 buckets, 2 edges per document — the E160 affine
+    page graph is triangle-free by construction, so it cannot
+    exercise this operator); the oracle replays the edge hashing,
+    the undirected
+    collapse, degree table, orientation CASE, the two-join path
+    closure, and the incidence rollup."""
+    from ..operators.graph import triangle_report
+
+    d = t(spark, sf_dir, "documents")
+    e2 = d.select(
+        "doc_id", F.explode(F.array(F.lit(1), F.lit(2))).alias("k")
+    )
+
+    def _node(tag: str):
+        h = F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(tag),
+                F.col("k").cast("string"),
+            )
+        )
+        return F.concat(
+            F.lit("h"),
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 60).cast(
+                "string"
+            ),
+        )
+
+    edges = e2.select(_node(":s").alias("src"), _node(":d").alias("dst"))
+    return triangle_report(edges)

@@ -340,3 +340,68 @@ def test_hits_validates_iters(spark):
 def test_hits_rank_is_distributed(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
     assert _row_number_windows_without_partition(hits(e, iters=2)) == 0
+
+
+# ------------------------------------------- triangle census (E172)
+
+from ppack_spark.operators.graph import triangle_report  # noqa: E402
+
+
+def test_triangles_k3_and_k4(spark):
+    k3 = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    got = {r["node"]: r for r in triangle_report(k3).collect()}
+    for n in "abc":
+        assert got[n]["degree"] == 2
+        assert got[n]["triangles"] == 1
+        assert got[n]["clustering"] == 1.0
+    k4 = _edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
+    )
+    got = {r["node"]: r for r in triangle_report(k4).collect()}
+    for n in "abcd":
+        assert got[n]["degree"] == 3
+        assert got[n]["triangles"] == 3
+        assert got[n]["clustering"] == 1.0
+
+
+def test_triangles_path_has_none(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    got = {r["node"]: r for r in triangle_report(e).collect()}
+    assert all(r["triangles"] == 0 for r in got.values())
+    assert all(r["clustering"] == 0.0 for r in got.values())
+    assert got["b"]["degree"] == 2
+
+
+def test_triangles_k4_minus_edge(spark):
+    """K4 minus (c,d): a and b sit in 2 triangles at degree 3
+    (clustering 2/3); c and d in 1 at degree 2 (clustering 1)."""
+    e = _edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")],
+    )
+    got = {r["node"]: r for r in triangle_report(e).collect()}
+    assert got["a"]["triangles"] == 2 and got["b"]["triangles"] == 2
+    assert got["c"]["triangles"] == 1 and got["d"]["triangles"] == 1
+    assert got["a"]["clustering"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["c"]["clustering"] == 1.0
+
+
+def test_triangles_ignore_direction_parallels_loops(spark):
+    """(a,b)+(b,a)+(a,a) collapse to ONE undirected simple edge; the
+    reversed-closure triangle is still found once per corner."""
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "a")],
+    )
+    got = {r["node"]: r for r in triangle_report(e).collect()}
+    for n in "abc":
+        assert got[n]["degree"] == 2
+        assert got[n]["triangles"] == 1
+
+
+def test_triangles_empty_edges(spark):
+    e = _edges(spark, []).filter(F.lit(False))
+    out = triangle_report(e)
+    assert out.columns == ["node", "degree", "triangles", "clustering"]
+    assert out.count() == 0

@@ -593,3 +593,52 @@ def test_tf_adjustment_multiple_comparators_sum(spark):
     assert row["weight_tf"] == pytest.approx(
         1.0 + math.log(0.25 / 0.5) + math.log(0.5 / 0.25)
     )
+
+
+# --------------------------------- supervised m/u estimation (E171)
+
+from ppack_spark.patterns import mu_from_labels  # noqa: E402
+
+
+def test_mu_from_labels_hand_counts(spark):
+    rows = [
+        # (truth, name_gamma)
+        (True, "agree"), (True, "agree"), (True, "agree"), (True, "disagree"),
+        (False, "agree"), (False, "disagree"), (False, "disagree"),
+        (False, "disagree"),
+    ]
+    df = spark.createDataFrame(rows, "true_match boolean, name string")
+    got = {r["level"]: r for r in mu_from_labels(df).collect()}
+    assert got["agree"]["n_match"] == 3 and got["agree"]["n_nonmatch"] == 1
+    assert got["agree"]["m"] == 0.75 and got["agree"]["u"] == 0.25
+    assert got["disagree"]["m"] == 0.25 and got["disagree"]["u"] == 0.75
+
+
+def test_mu_from_labels_null_gamma_and_label_excluded(spark):
+    rows = [
+        (True, "agree"), (True, None),       # NULL gamma: excluded
+        (None, "agree"),                     # NULL label: excluded
+        (False, "disagree"),
+    ]
+    df = spark.createDataFrame(rows, "true_match boolean, name string")
+    got = {r["level"]: r for r in mu_from_labels(df).collect()}
+    assert got["agree"]["n_match"] == 1 and got["agree"]["n_nonmatch"] == 0
+    assert got["disagree"]["n_match"] == 0
+    assert got["agree"]["m"] == 1.0 and got["disagree"]["u"] == 1.0
+
+
+def test_mu_from_labels_empty_class_yields_null(spark):
+    df = spark.createDataFrame(
+        [(True, "agree"), (True, "disagree")],
+        "true_match boolean, name string",
+    )
+    got = {r["level"]: r for r in mu_from_labels(df).collect()}
+    # no labeled non-matches: u is NULL, not a division blowup
+    assert got["agree"]["u"] is None and got["disagree"]["u"] is None
+    assert got["agree"]["m"] == 0.5
+
+
+def test_mu_from_labels_validates_columns(spark):
+    df = spark.createDataFrame([(True,)], "true_match boolean")
+    with pytest.raises(ValueError, match="gamma"):
+        mu_from_labels(df)

@@ -38,6 +38,9 @@ def main() -> None:
 
     osql = entry.oracle_sql()
     names = [n for n in bench if n in osql and not n.startswith("_")]
+    only = os.environ.get("SPARK_GRAFT_RATIO_QUERIES")
+    if only:
+        names = [n for n in names if n in set(only.split(","))]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -183,6 +183,11 @@ QUERIES = [
     "span_decontamination",
     "span_decontaminated_corpus",
     "tf_adjusted_scoring",
+    # supervised m/u rides the same capped nation pair chain; the
+    # triangle census runs the fixed-60-node hashed host graph (edge
+    # count grows with docs, node count doesn't)
+    "supervised_mu",
+    "host_triangles",
 ]
 
 # pair budget is quadratic in block size: cap at sf0.2 (round-9
@@ -205,6 +210,7 @@ QUAD_CAP = {
     "best_threshold": 0.2,
     "linkage_eval_report": 0.2,
     "tf_adjusted_scoring": 0.2,
+    "supervised_mu": 0.2,
 }
 
 
