@@ -114,7 +114,19 @@ def pagerank(
     if iters < 1:
         raise ValueError(f"pagerank: need iters >= 1, got {iters}")
 
-    ew = _edge_weights(edges, src, dst, weight)
+    # Lazy local checkpoint of the collapsed edge list: every loop
+    # iteration's jobs (the dang aggregate, the inflow join inside the
+    # eager cut_lineage) re-execute their FULL upstream lineage, so
+    # without the cut a caller-supplied edge derivation (e.g. the
+    # authority-mix gate's regex URL canonicalization + two joins) is
+    # recomputed 2×iters+2 times — the threshold_sweep_metrics /
+    # key_skew_report pattern (eval.py), applied to the iterative loop.
+    # ``shares`` and ``has_out`` are checkpointed too (edge-/node-
+    # keyed, (key, double) rows) so per-iteration jobs scan
+    # materialized RDDs instead of re-joining; the optimization guide's
+    # "decide with small rows" shape — payload never persists, only
+    # the share table any PageRank must hold per iteration anyway.
+    ew = _edge_weights(edges, src, dst, weight).localCheckpoint(eager=False)
     nodes = (
         ew.select(F.col("__src").alias("node"))
         .unionByName(ew.select(F.col("__dst").alias("node")))
@@ -126,7 +138,7 @@ def pagerank(
     # the loop is rank ⋈ shares, nothing else).
     shares = ew.join(outw, "__src").select(
         "__src", "__dst", (F.col("__w") / F.col("__outw")).alias("__share")
-    )
+    ).localCheckpoint(eager=False)
     if seeds is None:
         # N rides along as a column: no driver-side count, the same
         # 1-row broadcast pattern as corpus_mix_report.
@@ -179,14 +191,20 @@ def pagerank(
     # boundary, where engines' summation order (or their round()
     # internals) flip the last digit — measured, not hypothetical.
     sc = float(10**round_digits)
+    # the initial state is read by up to three subtrees of iteration
+    # 1's jobs (rank side, inflow side, dangling aggregate) before the
+    # first in-loop cut materializes anything — checkpoint it so the
+    # seed/teleport derivation runs once
     ranks = svec.select(
         "node",
         F.floor(F.col("__s") * F.lit(sc) + F.lit(0.5))
         .cast("long")
         .alias("pr_i"),
         "__s",
+    ).localCheckpoint(eager=False)
+    has_out = outw.select(F.col("__src").alias("node")).localCheckpoint(
+        eager=False
     )
-    has_out = outw.select(F.col("__src").alias("node"))
     for _ in range(iters):
         dang = (
             ranks.join(has_out, "node", "left_anti")
@@ -306,11 +324,19 @@ def hits(
     """
     if iters < 1:
         raise ValueError(f"hits: need iters >= 1, got {iters}")
-    ew = _edge_weights(edges, src, dst, weight)
+    # ``ew`` and ``nodes`` are read twice per iteration (both updates)
+    # and the per-iteration inflow/next frames twice each (their
+    # normalizing total + the next state) — all with lazy lineage, so
+    # without checkpoints every reference re-executes the caller's
+    # whole edge-derivation chain. Same cut discipline as
+    # :func:`pagerank`: only edge-/node-keyed (key, long) frames ever
+    # persist, never a payload.
+    ew = _edge_weights(edges, src, dst, weight).localCheckpoint(eager=False)
     nodes = (
         ew.select(F.col("__src").alias("node"))
         .unionByName(ew.select(F.col("__dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sc = float(10**round_digits)
     ncnt = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
@@ -320,7 +346,7 @@ def hits(
         "node",
         F.floor(F.lit(sc) / F.col("__n") + F.lit(0.5)).cast("long").alias("h_i"),
         F.lit(0).cast("long").alias("a_i"),
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(iters):
         araw = (
             state.join(ew, state["node"] == ew["__src"])
@@ -328,6 +354,7 @@ def hits(
             .agg(
                 F.sum(F.floor(F.col("__w") * F.col("h_i")).cast("long")).alias("__raw")
             )
+            .localCheckpoint(eager=False)
         )
         atot = araw.agg(F.sum("__raw").alias("__tot"))
         a_next = (
@@ -346,6 +373,7 @@ def hits(
                 .cast("long")
                 .alias("a_i"),
             )
+            .localCheckpoint(eager=False)
         )
         hraw = (
             a_next.join(ew, a_next["node"] == ew["__dst"])
@@ -353,6 +381,7 @@ def hits(
             .agg(
                 F.sum(F.floor(F.col("__w") * F.col("a_i")).cast("long")).alias("__raw")
             )
+            .localCheckpoint(eager=False)
         )
         htot = hraw.agg(F.sum("__raw").alias("__tot"))
         h_next = (
@@ -417,15 +446,24 @@ def triangle_report(
         & F.col(dst).isNotNull()
         & (F.col(src) != F.col(dst))
     )
+    # ``und`` feeds both the degree count and the orientation join,
+    # ``deg`` three consumers, and the oriented edge set ``o`` its
+    # THREE self-join legs — with lazy lineage each leg re-executes
+    # the whole dedup + degree + orientation chain. Checkpoint the
+    # three (edge- and node-keyed id pairs only — the same per-edge
+    # state any degree-ordered triangle count holds; Suri &
+    # Vassilvitskii's oriented edge list IS the algorithm's working
+    # set).
     und = e.select(
         F.least(F.col(src), F.col(dst)).alias("a"),
         F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
@@ -436,7 +474,7 @@ def triangle_report(
     o = ed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     path = o.alias("o1").join(
         o.alias("o2"), F.col("o1.v") == F.col("o2.u")
     ).select(

@@ -503,6 +503,13 @@ def merge_kll_sketches(*sketches: DataFrame, k: int = 256) -> DataFrame:
     u = sketches[0].select("tier", "value", "level")
     for s in sketches[1:]:
         u = u.unionByName(s.select("tier", "value", "level"))
+    # The union is sketch-sized (≤ k rows per input) but its lineage
+    # is each shard's FULL build — two md5 passes over the data per
+    # shard — and four consumers read it (base, cand→tier counts,
+    # cand→final filter). A lazy local checkpoint makes the shard
+    # builds run exactly once (the threshold_sweep_metrics pattern —
+    # eval.py — applied to the sketch merge).
+    u = u.localCheckpoint(eager=False)
     base = u.agg(F.max("level").alias("__base"))
     cand = (
         u.crossJoin(F.broadcast(base))
@@ -544,9 +551,12 @@ def kll_quantiles(
         raise ValueError("kll_quantiles: need at least one quantile")
     if any(not 0.0 < q < 1.0 for q in qs):
         raise ValueError(f"kll_quantiles: quantiles must be in (0, 1): {qs}")
+    # three consumers (the count, the lo-side join, the hi-side join)
+    # each re-execute the sketch lineage without a cut; the ranked
+    # frame is ≤ k rows
     ranked = sketch.select(
         "value", F.row_number().over(Window.orderBy("value")).alias("__rn")
-    )
+    ).localCheckpoint(eager=False)
     n1 = ranked.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     qf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("quantile")
     targets = (

@@ -112,13 +112,35 @@ def mu_from_labels(
         raise ValueError("mu_from_labels: no gamma columns")
     k = len(gamma_cols)
     stack_args = ", ".join(f"'{c}', `{c}`" for c in gamma_cols)
-    long = comparisons.select(
-        F.col(truth_col).cast("boolean").alias("__t"),
+    # Aggregate to the (truth, γ₁..γₖ) pattern table FIRST — the EM's
+    # sufficient statistic, ≤ 2·∏ levels rows regardless of pair
+    # count — then unpivot THAT. The previous shape unpivoted the pair
+    # frame itself (a Generate doubling every pair row k-fold before
+    # the partial aggregation); this one's only pass over the pairs is
+    # a map-side-combined groupBy on k+1 narrow keys, the
+    # pattern_counts scale shape. Identical cells fall out: summing
+    # pattern counts per (comparator, level, truth) is the same
+    # arithmetic as counting unpivoted rows.
+    patt = (
+        comparisons.filter(F.col(truth_col).cast("boolean").isNotNull())
+        .groupBy(
+            F.col(truth_col).cast("boolean").alias("__t"),
+            *[F.col(c) for c in gamma_cols],
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    long = patt.select(
+        "__t",
+        "__n",
         F.expr(f"stack({k}, {stack_args}) as (comparator, level)"),
-    ).filter(F.col("level").isNotNull() & F.col("__t").isNotNull())
+    ).filter(F.col("level").isNotNull())
     cell = long.groupBy("comparator", "level").agg(
-        F.sum(F.col("__t").cast("long")).alias("n_match"),
-        F.sum((~F.col("__t")).cast("long")).alias("n_nonmatch"),
+        F.sum(
+            F.when(F.col("__t"), F.col("__n")).otherwise(F.lit(0))
+        ).alias("n_match"),
+        F.sum(
+            F.when(~F.col("__t"), F.col("__n")).otherwise(F.lit(0))
+        ).alias("n_nonmatch"),
     )
     w = Window.partitionBy("comparator")
     tm = F.sum("n_match").over(w)

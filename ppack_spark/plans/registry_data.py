@@ -6808,9 +6808,14 @@ def host_authority_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import authority_mix
 
     d = t(spark, sf_dir, "documents")
+    # (doc_id, host) is the lightweight decision proxy (guide §8):
+    # four subtrees read it (edge src/dst sides, the per-host count,
+    # the final rate join) and each would re-run the regex
+    # canonicalization over the documents scan — checkpoint the
+    # id+host pairs once; the corpus payload itself never persists.
     hosts = _messy_urls(d).select(
         "doc_id", canonical_host("url").alias("host")
-    )
+    ).localCheckpoint(eager=False)
     nd = d.agg(F.count(F.lit(1)).alias("__n"))
     tg = (
         d.select("doc_id")
