@@ -45,10 +45,9 @@ def main() -> None:
         if fn is None:
             print(f"?? no such gate: {name}")
             continue
-        df = fn(spark, sf_dir)
         if args.tag:
             plan = spark._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
+                fn(spark, sf_dir)._jdf.queryExecution(), "formatted"
             )
             path = os.path.join(out_dir, f"{name}_{args.tag}.txt")
             with open(path, "w") as f:
@@ -57,8 +56,12 @@ def main() -> None:
         samples = []
         for i in range(args.iters):
             spark.sparkContext.setJobDescription(f"profile:{name}#{i}")
+            # construct INSIDE the timed region — gates with eager
+            # internal actions (iterative loops, trainer collects) do
+            # real work at construction, and bench.py times
+            # fn(spark, sf_dir) + noop together
             t0 = time.monotonic()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.monotonic() - t0)
         spark.sparkContext.setJobDescription(None)
         print(f"{name}: min {min(samples):.3f}s  samples {[round(s,3) for s in samples]}")
