@@ -1158,7 +1158,17 @@ def jaccard_prefix_join(
     sh = spread(df).select(
         F.col(id_col).alias("__id"), *blk, word_shingles(text_col, k).alias("sh")
     )
-    sh = sh.filter(F.size("sh") > 0).withColumn("sz", F.size("sh"))
+    # tokenize ONCE: four subtrees read the shingled corpus (the df
+    # pass, the prefix build, and both verification sides) and each
+    # re-runs the shingling map over the raw text without a cut —
+    # materializing the tokenized records is the standard PPJoin
+    # working set (every exact set-similarity join re-reads them for
+    # verification anyway)
+    sh = (
+        sh.filter(F.size("sh") > 0)
+        .withColumn("sz", F.size("sh"))
+        .localCheckpoint(eager=False)
+    )
     bcols = ["__blk"] if block_col else []
     ex = sh.select("__id", *bcols, "sz", F.explode("sh").alias("tok"))
     if df_buckets is None:
@@ -1195,7 +1205,13 @@ def jaccard_prefix_join(
             F.slice(F.col("__ord"), 1, pref_len).alias("prefix"),
         )
     )
-    pex = prefixes.select("__id", *bcols, "sz", F.explode("prefix").alias("tok"))
+    # the exploded prefix table is read by BOTH legs of the candidate
+    # self-join; without a cut each leg re-runs the collect_list
+    # ordering groupBy — the plan's most expensive stage. Narrow
+    # (id, sz, tok) rows only.
+    pex = prefixes.select(
+        "__id", *bcols, "sz", F.explode("prefix").alias("tok")
+    ).localCheckpoint(eager=False)
     a, b2 = pex.alias("a"), pex.alias("b")
     on = F.col("a.tok") == F.col("b.tok")
     if block_col:
@@ -1270,7 +1286,14 @@ def jaccard_prefix_join_ab(
         s = spread(d).select(
             F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("sh")
         )
-        return s.filter(F.size("sh") > 0).withColumn("sz", F.size("sh"))
+        # tokenize once per side — same cut as jaccard_prefix_join
+        # (each side is read by the df pass, its prefix build, and
+        # its verification join)
+        return (
+            s.filter(F.size("sh") > 0)
+            .withColumn("sz", F.size("sh"))
+            .localCheckpoint(eager=False)
+        )
 
     sh_a, sh_b = _sh(df_a), _sh(df_b)
     ex_a = sh_a.select("__id", "sz", F.explode("sh").alias("tok"))
@@ -1308,6 +1331,10 @@ def jaccard_prefix_join_ab(
     )
 
     def _prefix(ex: DataFrame) -> DataFrame:
+        # each side's prefix table is read once here, but the shared
+        # union df pass (bfreq) re-evaluates both sides' exploded
+        # streams; the checkpoint bounds every consumer to the
+        # materialized narrow rows
         return (
             _with_df(ex)
             .groupBy("__id", "sz")
@@ -1316,6 +1343,7 @@ def jaccard_prefix_join_ab(
                 "__id", "sz",
                 F.explode(F.slice(F.col("__ord"), 1, pref_len)).alias("tok"),
             )
+            .localCheckpoint(eager=False)
         )
 
     pa, pb = _prefix(ex_a).alias("a"), _prefix(ex_b).alias("b")
