@@ -164,8 +164,10 @@ def _hyperplane(plane: int, dims: int) -> Column:
     comps = []
     for d in range(dims):
         h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:8], 16)
-        comps.append(F.lit(float(h) / float(2**31) - 1.0))
-    return F.array(*comps)
+        comps.append(float(h) / float(2**31) - 1.0)
+    # one array literal, not `dims` unrolled F.lit nodes — same
+    # values, a fraction of the Catalyst analysis work per plane
+    return F.lit(comps)
 
 
 def hyperplane_lsh_buckets(
@@ -284,18 +286,48 @@ def assign_to_centroids(
         use_literal = len(cents) <= LITERAL_ASSIGN_MAX_K
     if not use_literal:
         return _assign_broadcast(base, cents, id_col)
-    structs = []
-    for cid, vec in sorted(cents.items()):
-        lit_vec = F.array(*[F.lit(float(x)) for x in vec])
-        d2 = F.aggregate(
-            F.zip_with(F.col("__v"), lit_vec, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        structs.append(F.struct(d2.alias("d"), F.lit(cid).alias("c")))
     return base.withColumn(
-        "centroid", F.array_min(F.array(*structs))["c"]
+        "centroid", nearest_centroid_col(cents, F.col("__v"))
     ).select(id_col, "__v", "centroid")
+
+
+def nearest_centroid_col(cents: dict[int, list[float]], vec) -> "F.Column":
+    """The literal-path argmin as a plain Column over ``vec`` (an
+    array<double> expression): lets consumers stamp the centroid as a
+    zero-shuffle projection on ANY frame — no (id, __v) staging frame
+    and no re-attach join. Same fold, same lexicographic (d2, c)
+    tie-break as :func:`assign_to_centroids`.
+
+    The centroid table enters the plan as ONE nested-array literal
+    scanned by a ``transform`` lambda, NOT k unrolled struct
+    subtrees: the unrolled form is O(k·dims) expression nodes and
+    Catalyst analysis + codegen on it dominates small jobs (measured
+    15.5 s -> 2.3 s for the k=16×8-subspace PQ encode on a 2 000-row
+    corpus; identical codes). The per-element fp fold is unchanged
+    (zip_with + left-to-right aggregate), so distances — and the
+    argmin — are bit-identical to the unrolled form and to the SQL
+    oracle's replay."""
+    cids = sorted(cents)
+    cb = F.lit([[float(x) for x in cents[c]] for c in cids])
+    idx = F.array_min(
+        F.transform(
+            cb,
+            lambda cvec, i: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, cvec, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("c"),
+            ),
+        )
+    )["c"]
+    if cids == list(range(len(cids))):
+        return idx
+    # non-contiguous centroid ids: positional order == sorted-cid
+    # order, so the (d, position) min picks the same centroid; map
+    # the position back to its id
+    return F.element_at(F.lit(cids), idx + F.lit(1))
 
 
 def ivf_index_fixed(
@@ -345,9 +377,13 @@ def ivf_index_fixed(
         raise ValueError(f"need n_centroids >= 1, iters >= 0: {n_centroids}, {iters}")
     spark = corpus.sparkSession
     use_literal = n_centroids <= LITERAL_ASSIGN_MAX_K
+    # materialize (id, cast vector) once: the seed job, every Lloyd
+    # round, and the final assignment all re-read this narrow frame —
+    # without the cut each of those jobs re-scans the source and
+    # re-casts the vectors (iters+2 evaluations of the same subtree)
     base = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
+    ).localCheckpoint(eager=False)
     seed_rows = (
         base.withColumn(
             "__h", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":ivfseed")))
@@ -400,11 +436,20 @@ def ivf_index_fixed(
     cent_df = spark.createDataFrame(
         sorted(prev.items()), "centroid int, centroid_vec array<double>"
     )
-    assigned = (
-        _assign(prev)
-        .join(corpus, id_col)
-        .select(*corpus.columns, "centroid")
-    )
+    if use_literal:
+        # the assignment is a pure projection — stamp it directly on
+        # the corpus instead of joining the (id, centroid) staging
+        # frame back (same cast, same fold: bit-identical centroid)
+        assigned = corpus.withColumn(
+            "centroid",
+            nearest_centroid_col(prev, F.col(vec_col).cast("array<double>")),
+        )
+    else:
+        assigned = (
+            _assign(prev)
+            .join(corpus, id_col)
+            .select(*corpus.columns, "centroid")
+        )
     return assigned, cent_df
 
 
@@ -443,14 +488,22 @@ def ivf_index_append(
     }
     if not cents:
         raise ValueError("ivf_index_append: index has no centroids")
-    base = new_vectors.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    newly = (
-        assign_to_centroids(base, cents, id_col)
-        .join(new_vectors, id_col)
-        .select(*new_vectors.columns, "centroid")
-    )
+    if len(cents) <= LITERAL_ASSIGN_MAX_K:
+        # zero-shuffle: the delta assignment is a projection, so stamp
+        # it in place (no staging frame, no re-attach join)
+        newly = new_vectors.withColumn(
+            "centroid",
+            nearest_centroid_col(cents, F.col(vec_col).cast("array<double>")),
+        )
+    else:
+        base = new_vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        newly = (
+            assign_to_centroids(base, cents, id_col)
+            .join(new_vectors, id_col)
+            .select(*new_vectors.columns, "centroid")
+        )
     return assigned.unionByName(newly), cent_df
 
 
@@ -649,6 +702,10 @@ def semantic_dedup_corpus(
             clusters.select(F.col(id_col), F.col(cluster_col).alias("__ck")),
             on=id_col,
         )
+    # bucket once: both legs of the within-bucket self-join read this
+    # frame, and without a cut each leg re-runs the hyperplane sign
+    # sketch (n_planes dot products per vector) or the cluster join
+    bk = bk.localCheckpoint(eager=False)
     left = bk.select(
         F.col("__ck"),
         F.col(id_col).alias("id_left"),
@@ -1042,6 +1099,35 @@ def cosine_topk_ivfpq(
     return rer.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _pq_encode_cols(cents, m: int, dsub: int, vec: str = "__nv") -> list:
+    """Per-subspace PQ code columns (literal argmin over the subspace
+    codebook). Each subspace codebook enters the plan as ONE
+    nested-array literal scanned by a transform lambda — see
+    nearest_centroid_col on why this beats k unrolled struct subtrees
+    (identical codes, ~7x less Catalyst/codegen work). Shared by the
+    trainer's Lloyd rounds and both fixed serve paths."""
+    def _argmin(sub):
+        # closure factory: the transform lambda must take exactly
+        # (element, index) — PySpark infers HOF arity from the
+        # signature, so `sub` binds via closure, not a default arg
+        return lambda cvec, i: F.struct(
+            F.aggregate(
+                F.zip_with(sub, cvec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("c"),
+        )
+
+    cols = []
+    for s in range(m):
+        sub = F.slice(vec, s * dsub + 1, dsub)
+        cb = F.lit([[float(x) for x in cvec] for cvec in cents[s]])
+        code = F.array_min(F.transform(cb, _argmin(sub)))["c"]
+        cols.append(code.alias(f"__c{s}"))
+    return cols
+
+
 def pq_train_fixed(
     corpus: DataFrame,
     m: int = 8,
@@ -1094,12 +1180,15 @@ def pq_train_fixed(
         .filter(F.col("__v").isNotNull() & (F.size("__v") == dims))
     )
     nrm = l2_norm(F.col("__v"))
+    # normalize once: the seed job and every Lloyd round re-read this
+    # frame; without the cut each job re-scans the source and re-runs
+    # the cast + normalization folds (iters+1 evaluations)
     base = base.select(
         "__id",
         F.transform(
             F.col("__v"), lambda x: x / F.greatest(nrm, F.lit(1e-12))
         ).alias("__nv"),
-    )
+    ).localCheckpoint(eager=False)
 
     # all m subspace seed draws in ONE windowed job (rank-pruned
     # top-k per subspace hash ordering — identical selection to m
@@ -1140,30 +1229,22 @@ def pq_train_fixed(
         cents[s] = [seeds[i % len(seeds)] for i in range(k)]
 
     def _code_cols() -> list[Column]:
-        cols = []
-        for s in range(m):
-            sub = F.slice("__nv", s * dsub + 1, dsub)
-            structs = []
-            for ci, cvec in enumerate(cents[s]):
-                litv = F.array(*[F.lit(float(x)) for x in cvec])
-                d2 = F.aggregate(
-                    F.zip_with(sub, litv, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                structs.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
-            cols.append(F.array_min(F.array(*structs))["c"].alias(f"__c{s}"))
-        return cols
+        return _pq_encode_cols(cents, m, dsub)
 
     for _ in range(iters):
         asg = base.select("__nv", *_code_cols())
+        # carry each subspace's OWN slice through the explode: the
+        # update only reads dims/m of the vector per (s, code) group,
+        # so averaging all `dims` positions (and shuffling the full
+        # vector m times) was m-fold wasted aggregate width
         exploded = asg.select(
-            "__nv",
             F.explode(
                 F.array(
                     *[
                         F.struct(
-                            F.lit(s).alias("s"), F.col(f"__c{s}").alias("c")
+                            F.lit(s).alias("s"),
+                            F.col(f"__c{s}").alias("c"),
+                            F.slice("__nv", s * dsub + 1, dsub).alias("sub"),
                         )
                         for s in range(m)
                     ]
@@ -1174,23 +1255,20 @@ def pq_train_fixed(
             F.col("sc.s").alias("s"), F.col("sc.c").alias("c")
         ).agg(
             *[
-                F.round(F.avg(F.element_at("__nv", i + 1)), round_digits).alias(
-                    f"m{i}"
-                )
-                for i in range(dims)
+                F.round(
+                    F.avg(F.element_at(F.col("sc.sub"), i + 1)), round_digits
+                ).alias(f"m{i}")
+                for i in range(dsub)
             ]
         )
         got = {
-            (r["s"], r["c"]): [r[f"m{i}"] for i in range(dims)]
+            (r["s"], r["c"]): [r[f"m{i}"] for i in range(dsub)]
             for r in means.collect()
         }
         for s in range(m):
             for ci in range(k):
-                nv = got.get((s, ci))
-                if nv is None:
-                    continue
-                sl = nv[s * dsub : (s + 1) * dsub]
-                if any(v is None for v in sl):
+                sl = got.get((s, ci))
+                if sl is None or any(v is None for v in sl):
                     continue
                 cents[s][ci] = [float(v) for v in sl]
 
@@ -1275,20 +1353,13 @@ def cosine_topk_pq_fixed(
             F.col("__v"), lambda x: x / F.greatest(nrm, F.lit(1e-12))
         ).alias("__nv"),
     )
-    code_cols = []
-    for s in range(m):
-        sub = F.slice("__nv", s * dsub + 1, dsub)
-        structs = []
-        for ci, cvec in enumerate(cents[s]):
-            litv = F.array(*[F.lit(x) for x in cvec])
-            d2 = F.aggregate(
-                F.zip_with(sub, litv, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            structs.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
-        code_cols.append(F.array_min(F.array(*structs))["c"].alias(f"__c{s}"))
-    codes = base.select("__nid", *code_cols)
+    # cut: the per-query ADC explode below references every __c{s}
+    # once per query — project collapse would inline the encode tree
+    # into each of those references; after the cut the scoring plans
+    # over a narrow (id, m codes) leaf
+    codes = base.select(
+        "__nid", *_pq_encode_cols(cents, m, dsub)
+    ).localCheckpoint(eager=False)
 
     # driver-side LUTs in pure-Python folds (left-to-right, like the
     # oracle's list_reduce — NOT numpy dot products); qrows collected
@@ -1316,9 +1387,7 @@ def cosine_topk_pq_fixed(
     score_structs = []
     for qid, lut_q in luts:
         terms = [
-            F.element_at(
-                F.array(*[F.lit(x) for x in lut_q[s]]), F.col(f"__c{s}") + 1
-            )
+            F.element_at(F.lit([float(x) for x in lut_q[s]]), F.col(f"__c{s}") + 1)
             for s in range(m)
         ]
         score = terms[0]
@@ -1419,22 +1488,15 @@ def cosine_topk_ivfpq_fixed(
             F.col("__v"), lambda x: x / F.greatest(nrm, F.lit(1e-12))
         ).alias("__nv"),
     )
-    code_cols = []
-    for s in range(m):
-        sub = F.slice("__nv", s * dsub + 1, dsub)
-        structs = []
-        for ci, cvec in enumerate(cents[s]):
-            litv = F.array(*[F.lit(x) for x in cvec])
-            d2 = F.aggregate(
-                F.zip_with(sub, litv, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            structs.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
-        code_cols.append(F.array_min(F.array(*structs))["c"].alias(f"__c{s}"))
-    codes = base.select("__nid", *code_cols).join(
+    # cut the plan here: without a boundary the encode trees re-appear
+    # under every one of the m ADC join stages below — AQE re-plans
+    # each stage over the whole duplicated tree and Catalyst analysis
+    # dominates the query (measured 105 s on a 2 000-row corpus).
+    # After the cut the code table is a narrow (id, m codes, centroid)
+    # leaf the join pipeline plans over in milliseconds.
+    codes = base.select("__nid", *_pq_encode_cols(cents, m, dsub)).join(
         assigned.select(F.col(id_col).alias("__nid"), "centroid"), "__nid"
-    )
+    ).localCheckpoint(eager=False)
 
     # query -> n_probe nearest centroids (broadcast cross join on the
     # tiny centroid table; same cosine fold the oracle replays)
