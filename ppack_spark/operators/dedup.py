@@ -310,7 +310,14 @@ def minhash_lsh_pairs(
         if signatures is not None
         else minhash_signatures(df, text_col, id_col, num_hashes, k)
     )
-    bands = _lsh_bands(sig, id_col, num_hashes, band_size)
+    # band once: both legs of the bucket self-join (and the hot-bucket
+    # cap's count + semi-join when enabled) read this frame, whose
+    # lineage carries the shingle->md5 signature map — the dominant
+    # cost of the MinHash family. Materialize the narrow (id, band,
+    # val) rows so that map runs once, not 2-4 times.
+    bands = _lsh_bands(sig, id_col, num_hashes, band_size).localCheckpoint(
+        eager=False
+    )
     if max_bucket_size is not None:
         if max_bucket_size < 2:
             raise ValueError(
@@ -592,6 +599,12 @@ def hamming_segment_pairs(
             F.struct(F.lit(i).alias("__seg"), segval.alias("__segval"))
         )
     blk = [F.col(block_col)] if block_col else []
+    # fingerprint once: both legs of the segment self-join (and the
+    # hot-bucket cap's count + semi-join when enabled) read this
+    # frame, and its lineage carries the fingerprint computation —
+    # 64 substring comparisons per row for dHash, the token-hash maps
+    # for SimHash. Materialize the narrow (id, block, fp, seg, segval)
+    # rows so the heavy scan runs once, not 2-4 times.
     exploded = fp_df.select(
         F.col(id_col), *blk, c.alias("__fp"), F.explode(F.array(*segs)).alias("__s")
     ).select(
@@ -600,7 +613,7 @@ def hamming_segment_pairs(
         F.col("__fp"),
         F.col("__s.__seg").alias("__seg"),
         F.col("__s.__segval").alias("__segval"),
-    )
+    ).localCheckpoint(eager=False)
     keys = ([block_col] if block_col else []) + ["__seg", "__segval"]
     if max_bucket_size is not None:
         if max_bucket_size < 2:
@@ -702,7 +715,12 @@ def near_dup_components(
             "Jaccard check needs the threshold to verify against (pass "
             "the threshold, or drop exact_verify for raw-LSH clustering)"
         )
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # sign once: the band table reads sig once and the verify stage
+    # joins it on BOTH pair sides — without a cut the shingle->md5
+    # map pass (the family's dominant cost) runs three times
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k).localCheckpoint(
+        eager=False
+    )
     pairs = minhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, band_size=band_size, k=k, signatures=sig,
