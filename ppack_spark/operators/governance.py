@@ -177,6 +177,10 @@ def t_closeness_report(
     cells = df.groupBy(
         *quasi_cols, F.col(sensitive_col).alias("__v")
     ).agg(F.count(F.lit(1)).alias("__nqv"))
+    # cell-table-sized, but read by THREE subtrees (group totals,
+    # global distribution, per-group distances) — without this the
+    # one pass over the data re-executes once per consumer
+    cells = cells.localCheckpoint(eager=False)
     gtot = cells.groupBy(*quasi_cols).agg(F.sum("__nqv").alias("__nq"))
     vtot = cells.groupBy("__v").agg(F.sum("__nqv").alias("__nv"))
     ntot = vtot.agg(F.sum("__nv").cast("double").alias("__n"))

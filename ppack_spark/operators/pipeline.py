@@ -669,42 +669,54 @@ def dedup_corpus_lines(
     Returns the input columns with ``text_col`` replaced by the
     cleaned text plus ``n_lines_kept``.
 
-    Scale shape (100 TB): three shuffles, all minimal —
-    (1) count lines grouped by md5(line) (32-byte key, partial agg
-    map-side; only hashes ever shuffle, never line text),
-    (2) anti-join the exploded lines against the *duplicated-hash*
-    set (far smaller than the distinct-line set; AQE broadcasts it
-    when it fits),
-    (3) re-assemble per document (array_sort over collected
-    (pos, line) structs — bounded by document size, no global sort).
+    Scale shape (100 TB): line TEXT never shuffles — only 32-byte
+    hashes and integer positions do (the r14 optimization pass; the
+    earlier form re-exploded the text for the anti-join and shuffled
+    every line through a per-document regroup). (1) one narrow
+    (id, pos, hash, len) line table is computed once (lazy
+    localCheckpoint — two aggregation consumers would otherwise
+    re-run the split+md5 over the corpus), (2) duplicated hashes are
+    counted on it with map-side partial agg, (3) a hash-keyed semi
+    join yields the REMOVED (id, pos) set — bounded by actual
+    boilerplate, AQE broadcasts the dup-hash side when it fits,
+    (4) per-document removed positions are collected (boilerplate-
+    bounded, never document-bounded) and the text is rebuilt with a
+    pure codegen array filter on the original row — the same
+    positions-only rebuild as the span-excision operators
+    (:func:`_excise_spans`).
     """
-    h = F.md5(F.col("line"))
     lines = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).select(
+        "__id",
+        "pos",
+        F.md5(F.col("line")).alias("__h"),
+        F.length(F.col("line")).alias("__len"),
     )
+    # NOT materialized: both consumers reduce the exploded rows
+    # map-side (partial agg / semi join), so re-deriving the explode
+    # costs two parallel text scans with no shuffle — measured faster
+    # than checkpointing every (id, pos, hash, len) row first, which
+    # blocks the scan→partial-agg pipelining
     dup_hashes = (
-        lines.groupBy(h.alias("h"))
+        lines.groupBy(F.col("__h").alias("h"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > max_occurrences)
         .select("h")
     )
-    kept = lines.join(
-        dup_hashes,
-        (h == dup_hashes["h"]) & (F.length(F.col("line")) >= min_line_chars),
-        "left_anti",
+    removed = lines.filter(F.col("__len") >= min_line_chars).join(
+        dup_hashes, lines["__h"] == dup_hashes["h"], "semi"
     )
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
-        lambda s: s["line"],
+    rem_pos = removed.groupBy("__id").agg(
+        F.collect_set("pos").alias("__rp")
     )
-    rebuilt = kept.groupBy("__id").agg(
-        F.concat_ws("\n", ordered).alias("__clean"),
-        F.count(F.lit(1)).alias("__n_kept"),
-    )
-    out = df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+    out = df.join(rem_pos, df[id_col] == rem_pos["__id"], "left")
+    toks = F.split(F.col(text_col), "\n", -1)
+    rp = F.coalesce(F.col("__rp"), F.array().cast("array<int>"))
+    kept_arr = F.filter(toks, lambda line, i: ~F.array_contains(rp, i))
     clean = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
-        F.coalesce(F.col("__clean"), F.lit(""))
+        F.concat_ws("\n", kept_arr)
     )
     keep_cols = [
         clean.alias(text_col) if c == text_col else F.col(c) for c in df.columns
@@ -712,7 +724,7 @@ def dedup_corpus_lines(
     return out.select(
         *keep_cols,
         F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
-        .otherwise(F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .otherwise(F.size(kept_arr).cast("long"))
         .alias("n_lines_kept"),
     )
 
@@ -2965,17 +2977,22 @@ def remove_host_boilerplate(
     Returns the input columns with ``text_col`` replaced by the
     cleaned text, plus ``host`` and ``n_lines_kept``.
 
-    Scale shape (100 TB): the same three minimal shuffles as the
-    corpus-wide line dedup (:func:`dedup_corpus_lines`), with every
-    key prefixed by host — (1) distinct-doc counts per (host,
-    md5(line)) with map-side partial aggregation (only 32-byte hashes
-    and the host shuffle, never line text), (2) the per-host doc
-    totals are a host-table-sized frame joined broadcast, (3) the
-    boilerplate (host, hash) set is far smaller than the distinct-line
-    set and anti-joins the exploded lines; reassembly is a per-document
-    array_sort, no global sort. Nothing here is keyed on anything
-    bigger than (host, line-hash), so a crawler-trap host with
-    millions of pages splits across its line hashes, not one key.
+    Scale shape (100 TB): line TEXT never shuffles — only (host,
+    32-byte hash, position) rows do (r14 optimization pass; the
+    earlier form re-ran the URL-regex + explode for the anti-join leg
+    and shuffled every line's text through a per-document regroup) —
+    (1) one narrow (id, host, pos, hash) line table is computed once
+    (lazy localCheckpoint; two consumers), (2) distinct-doc counts
+    per (host, hash) with map-side partial aggregation, (3) the
+    per-host doc totals are a host-table-sized frame joined
+    broadcast, (4) the boilerplate (host, hash) set is far smaller
+    than the distinct-line set; a semi join against it yields the
+    REMOVED (id, pos) set — boilerplate-bounded — and the text is
+    rebuilt with a pure codegen array filter on the original row
+    (the :func:`_excise_spans` positions-only rebuild). Nothing here
+    is keyed on anything bigger than (host, line-hash), so a
+    crawler-trap host with millions of pages splits across its line
+    hashes, not one key.
     """
     from ..functions.text import canonical_host
 
@@ -2984,17 +3001,22 @@ def remove_host_boilerplate(
     hosted = base.filter(
         F.col("__host").isNotNull() & F.col(text_col).isNotNull()
     )
-    host_docs = hosted.groupBy("__host").agg(
-        F.count(F.lit(1)).alias("__host_n")
-    )
     lines = hosted.select(
         F.col(id_col).alias("__id"),
         F.col("__host"),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).select(
+        "__id", "__host", "pos", F.md5(F.col("line")).alias("__h")
     )
-    h = F.md5(F.col("line"))
+    # narrow (id, host, pos, hash) — the docfreq count and the
+    # removed-set join both read it; materialize once so the
+    # URL-regex + split + md5 pass over the corpus runs once
+    lines = lines.localCheckpoint(eager=False)
+    host_docs = hosted.groupBy("__host").agg(
+        F.count(F.lit(1)).alias("__host_n")
+    )
     line_docfreq = (
-        lines.groupBy("__host", h.alias("__h"))
+        lines.groupBy("__host", "__h")
         .agg(F.count_distinct(F.col("__id")).alias("__n_docs_with"))
     )
     boiler = (
@@ -3006,32 +3028,30 @@ def remove_host_boilerplate(
                 >= F.lit(float(min_frac)) * F.col("__host_n")
             )
         )
-        .select("__host", "__h")
+        .select(F.col("__host").alias("__bhost"), F.col("__h").alias("__bh"))
     )
-    kept = lines.join(
+    removed = lines.join(
         boiler,
-        (lines["__host"] == boiler["__host"]) & (h == boiler["__h"]),
-        "left_anti",
+        (lines["__host"] == boiler["__bhost"]) & (lines["__h"] == boiler["__bh"]),
+        "semi",
     )
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
-        lambda s: s["line"],
+    rem_pos = removed.groupBy("__id").agg(
+        F.collect_set("pos").alias("__rp")
     )
-    rebuilt = kept.groupBy("__id").agg(
-        F.concat_ws("\n", ordered).alias("__clean"),
-        F.count(F.lit(1)).alias("__n_kept"),
-    )
-    out = base.join(rebuilt, base[id_col] == rebuilt["__id"], "left")
+    out = base.join(rem_pos, base[id_col] == rem_pos["__id"], "left")
+    toks = F.split(F.col(text_col), "\n", -1)
+    rp = F.coalesce(F.col("__rp"), F.array().cast("array<int>"))
+    kept_arr = F.filter(toks, lambda line, i: ~F.array_contains(rp, i))
     untouched = F.col("__host").isNull()
     clean = (
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
         .when(untouched, F.col(text_col))
-        .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+        .otherwise(F.concat_ws("\n", kept_arr))
     )
     n_kept = (
         F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
-        .when(untouched, F.size(F.split(F.col(text_col), "\n", -1)).cast("long"))
-        .otherwise(F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long"))
+        .when(untouched, F.size(toks).cast("long"))
+        .otherwise(F.size(kept_arr).cast("long"))
     )
     keep_cols = [
         clean.alias(text_col) if c == text_col else F.col(c) for c in df.columns
