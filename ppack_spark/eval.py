@@ -385,6 +385,8 @@ def bcubed_metrics(
     Returns ONE row: ``n_records, precision, recall, f1`` (all-NULL
     metrics when the intersection is empty).
     """
+    from pyspark.sql.window import Window
+
     j = assignments.select(
         F.col(id_col).alias("__id"), F.col(cluster_col).alias("__c")
     ).join(
@@ -392,9 +394,24 @@ def bcubed_metrics(
         "__id",
     )
     ct = j.groupBy("__c", "__t").agg(F.count(F.lit(1)).alias("n_ct"))
-    cs = ct.groupBy("__c").agg(F.sum("n_ct").alias("n_c"))
-    tsum = ct.groupBy("__t").agg(F.sum("n_ct").alias("n_t"))
-    x = ct.join(cs, "__c").join(tsum, "__t")
+    # marginals as WINDOW sums over the cell table, not separate
+    # groupBy-and-join-back subtrees: the earlier three-consumer form
+    # re-executed the caller's entire upstream chain (the whole
+    # LSH → verify → closure derivation on the dedup-quality gate)
+    # once per marginal — the same trap adjusted_rand_index documents
+    # and solved with grouping sets. One consumer of the cell
+    # exchange holds by plan construction; both windows run over the
+    # label-keyed cell table, never anything pair- or corpus-sized.
+    # the filter AFTER the windows reproduces the old inner joins'
+    # NULL semantics exactly: a NULL-labeled cell never reaches the
+    # sums (equi-join on NULL matched nothing) but still counts into
+    # the OTHER label's marginal (each old groupBy marginal summed
+    # over all cells of its key, including NULL-partner cells)
+    x = (
+        ct.withColumn("n_c", F.sum("n_ct").over(Window.partitionBy("__c")))
+        .withColumn("n_t", F.sum("n_ct").over(Window.partitionBy("__t")))
+        .filter(F.col("__c").isNotNull() & F.col("__t").isNotNull())
+    )
     agg = x.agg(
         F.coalesce(F.sum("n_ct"), F.lit(0)).cast("long").alias("n_records"),
         # n_ct² in DOUBLE: a single (cluster, truth) cell past ~3e9

@@ -642,3 +642,29 @@ def test_mu_from_labels_validates_columns(spark):
     df = spark.createDataFrame([(True,)], "true_match boolean")
     with pytest.raises(ValueError, match="gamma"):
         mu_from_labels(df)
+
+
+def test_bcubed_null_labels_match_join_semantics(spark):
+    """The r14 window-sum rewrite of bcubed_metrics must keep the old
+    inner-join NULL semantics: a NULL-labeled cell never reaches the
+    precision/recall sums (equi-join on NULL matched nothing) but
+    still counts into the OTHER label's marginal (each old groupBy
+    marginal summed over all cells of its key)."""
+    from ppack_spark.eval import bcubed_metrics
+
+    a = spark.createDataFrame(
+        [(1, "c1"), (2, "c1"), (3, "c2"), (4, None), (5, "c2"), (6, "c3")],
+        "doc_id long, cluster string",
+    )
+    t = spark.createDataFrame(
+        [(1, "t1"), (2, "t1"), (3, "t1"), (4, "t2"), (5, None), (6, "t2")],
+        "doc_id long, truth string",
+    )
+    got = bcubed_metrics(a, t).collect()[0]
+    # hand-computed with the join form: cells (c1,t1)=2 (c2,t1)=1
+    # (c3,t2)=1 survive; (None,t2) and (c2,None) are dropped from the
+    # sums but (c2,None) still inflates n_c(c2) to 2 and (None,t2)
+    # still inflates n_t(t2) to 2.
+    assert got["n_records"] == 4
+    assert got["precision"] == pytest.approx(0.875)
+    assert got["recall"] == pytest.approx(0.541667)
