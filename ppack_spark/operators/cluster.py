@@ -63,7 +63,17 @@ def _label_round(e: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
     """One min-label propagation round (neighbour min + pointer chase
     comp[comp[v]]), returning (new_labels, changed-count). Shared by
     :func:`connected_components` and the adaptive kernel's cheap
-    prefix rounds. ``new_labels`` is lineage-cut."""
+    prefix rounds. ``new_labels`` is lineage-cut.
+
+    The changed-count rides THROUGH the aggregation instead of joining
+    new labels back to old (r14 optimization, guide §2.4): each node's
+    old label is tagged onto its own ``labels`` row as ``__old`` (the
+    nbr/ptr rows carry NULL, and every node has exactly one labels
+    row, so ``min(__old)`` recovers it per group), making the
+    convergence check a narrow filter-count over the checkpointed
+    aggregate — the old formulation re-shuffled BOTH node-sized label
+    tables once per round, because the lineage cut drops the
+    partitioning Catalyst would need to elide the join exchanges."""
     nbr = (
         e.join(labels, e["dst"] == labels["node"])
         .select(e["src"].alias("node"), F.col("component"))
@@ -76,20 +86,19 @@ def _label_round(e: DataFrame, labels: DataFrame) -> tuple[DataFrame, int]:
             F.col("m.component").alias("component"),
         )
     )
-    new_labels = (
-        labels.unionByName(nbr)
-        .unionByName(ptr)
-        .groupBy("node")
-        .agg(F.min("component").alias("component"))
+    merged = (
+        labels.withColumn("__old", F.col("component"))
+        .unionByName(nbr, allowMissingColumns=True)
+        .unionByName(ptr, allowMissingColumns=True)
     )
-    new_labels = cut_lineage(new_labels)
-    changed = (
-        new_labels.alias("n")
-        .join(labels.alias("o"), on="node")
-        .filter(F.col("n.component") < F.col("o.component"))
-        .count()
+    agg = cut_lineage(
+        merged.groupBy("node").agg(
+            F.min("component").alias("component"),
+            F.min("__old").alias("__old"),
+        )
     )
-    return new_labels, changed
+    changed = agg.filter(F.col("component") < F.col("__old")).count()
+    return agg.select("node", "component"), changed
 
 
 def connected_components(

@@ -580,8 +580,8 @@ def hamming_segment_pairs(
             f"fingerprint has only {bits} bits"
         )
     c = F.col(fp_col)
-    segs = []
-    for i in range(n_seg):
+
+    def _segval(col: Column, i: int) -> Column:
         start = i * bits // n_seg
         width = (i + 1) * bits // n_seg - start
         if width >= 64:
@@ -589,15 +589,16 @@ def hamming_segment_pairs(
             # fps — exact-dup detection): the 2^64-1 mask overflows a
             # signed long literal, and masking a full-width segment is
             # a no-op anyway, so take the fingerprint as the value
-            segval = c
-        else:
-            mask = (1 << width) - 1
-            segval = F.shiftrightunsigned(c, start).bitwiseAND(
-                F.lit(mask).cast("long")
-            )
-        segs.append(
-            F.struct(F.lit(i).alias("__seg"), segval.alias("__segval"))
+            return col
+        mask = (1 << width) - 1
+        return F.shiftrightunsigned(col, start).bitwiseAND(
+            F.lit(mask).cast("long")
         )
+
+    segs = [
+        F.struct(F.lit(i).alias("__seg"), _segval(c, i).alias("__segval"))
+        for i in range(n_seg)
+    ]
     blk = [F.col(block_col)] if block_col else []
     # fingerprint once: both legs of the segment self-join (and the
     # hot-bucket cap's count + semi-join when enabled) read this
@@ -635,10 +636,33 @@ def hamming_segment_pairs(
         *keys, F.col(id_col).alias("id_right"), F.col("__fp").alias("__fp_r")
     )
     hamming = F.bit_count(F.col("__fp_l").bitwiseXOR(F.col("__fp_r")))
+    cand = left.join(right, on=keys, how="inner").filter(
+        F.col("id_left") < F.col("id_right")
+    )
+    if max_bucket_size is None:
+        # canonical-segment filter (r14 optimization, guide §2.3): a
+        # pair agreeing on s segments is discovered s times, and every
+        # copy rides the pair-distinct exchange. Keep only the row
+        # whose matched segment is the pair's FIRST agreeing segment —
+        # a pure codegen recomputation of the segment values from the
+        # two fingerprints already on the row — so each pair enters
+        # the distinct once instead of up to d+1 times. Only valid
+        # without the hot-bucket cap: a capped run may have dropped
+        # the first agreeing segment's bucket, leaving a LATER segment
+        # as the pair's only surviving discovery.
+        agree = F.array(
+            *[
+                _segval(F.col("__fp_l"), j).eqNullSafe(
+                    _segval(F.col("__fp_r"), j)
+                )
+                for j in range(n_seg)
+            ]
+        )
+        cand = cand.filter(
+            F.col("__seg") == F.array_position(agree, F.lit(True)) - 1
+        )
     return (
-        left.join(right, on=keys, how="inner")
-        .filter(F.col("id_left") < F.col("id_right"))
-        .withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_left", "id_right", "hamming")
         .distinct()
@@ -1226,20 +1250,45 @@ def jaccard_prefix_join(
     # the exploded prefix table is read by BOTH legs of the candidate
     # self-join; without a cut each leg re-runs the collect_list
     # ordering groupBy — the plan's most expensive stage. Narrow
-    # (id, sz, tok) rows only.
+    # (id, sz, pos, tok) rows only. posexplode keeps each prefix
+    # token's 0-based position in the FULL frequency-ordered shingle
+    # array (the prefix IS its first pref_len elements), feeding the
+    # positional filter below.
     pex = prefixes.select(
-        "__id", *bcols, "sz", F.explode("prefix").alias("tok")
+        "__id", *bcols, "sz", F.posexplode("prefix").alias("pos", "tok")
     ).localCheckpoint(eager=False)
     a, b2 = pex.alias("a"), pex.alias("b")
     on = F.col("a.tok") == F.col("b.tok")
     if block_col:
         on = on & (F.col("a.__blk") == F.col("b.__blk"))
+    # PPJoin positional filter (Xiao et al. 2008 §3.1): a candidate
+    # row matches token w at ordered positions (pa, pb), so the
+    # overlap is at most min(pa, pb) common tokens before w, w
+    # itself, and min(sz_a-pa-1, sz_b-pb-1) after w — while J ≥ t
+    # forces overlap ≥ t/(1+t)·(sz_a+sz_b). Rows whose bound cannot
+    # reach that are dropped BEFORE the distinct and the verification
+    # join. The bound holds for EVERY shared prefix token (the common
+    # tokens before/after w are subsets of each side's tokens
+    # before/after w under the one global order), so a qualifying
+    # pair keeps all its rows and the output is unchanged; the
+    # epsilon keeps float rounding on the prune side harmless (a
+    # spared candidate merely gets verified).
+    overlap_bound = (
+        F.least(F.col("a.pos"), F.col("b.pos"))
+        + F.lit(1)
+        + F.least(
+            F.col("a.sz") - F.col("a.pos") - F.lit(1),
+            F.col("b.sz") - F.col("b.pos") - F.lit(1),
+        )
+    ).cast("double")
+    min_overlap = F.lit(t / (1.0 + t)) * (F.col("a.sz") + F.col("b.sz"))
     cand = (
         a.join(b2, on)
         .filter(
             (F.col("a.__id") < F.col("b.__id"))
             & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
             & (F.col("a.sz") >= F.lit(t) * F.col("b.sz"))
+            & (overlap_bound + F.lit(1e-9) >= min_overlap)
         )
         .select(
             F.col("a.__id").alias("id_left"), F.col("b.__id").alias("id_right")
@@ -1359,17 +1408,34 @@ def jaccard_prefix_join_ab(
             .agg(ordered.alias("__ord"))
             .select(
                 "__id", "sz",
-                F.explode(F.slice(F.col("__ord"), 1, pref_len)).alias("tok"),
+                F.posexplode(F.slice(F.col("__ord"), 1, pref_len)).alias(
+                    "pos", "tok"
+                ),
             )
             .localCheckpoint(eager=False)
         )
 
     pa, pb = _prefix(ex_a).alias("a"), _prefix(ex_b).alias("b")
+    # PPJoin positional filter — same bound as jaccard_prefix_join
+    # (both sides' positions live in the ONE shared union-frequency
+    # order, so the before/after counting argument carries over);
+    # prunes candidate rows before the distinct + verification join
+    # without changing the verified output.
+    overlap_bound = (
+        F.least(F.col("a.pos"), F.col("b.pos"))
+        + F.lit(1)
+        + F.least(
+            F.col("a.sz") - F.col("a.pos") - F.lit(1),
+            F.col("b.sz") - F.col("b.pos") - F.lit(1),
+        )
+    ).cast("double")
+    min_overlap = F.lit(t / (1.0 + t)) * (F.col("a.sz") + F.col("b.sz"))
     cand = (
         pa.join(pb, F.col("a.tok") == F.col("b.tok"))
         .filter(
             (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
             & (F.col("a.sz") >= F.lit(t) * F.col("b.sz"))
+            & (overlap_bound + F.lit(1e-9) >= min_overlap)
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()

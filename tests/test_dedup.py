@@ -199,6 +199,29 @@ def test_hamming_segment_pairs_full_width_64bit_segment(spark):
     assert got == {(1, 2), (3, 4)}
 
 
+def test_hamming_segment_pairs_canonical_segment_filter(spark):
+    """The r14 canonical-segment filter (uncapped path) keeps exactly
+    the FIRST agreeing segment's discovery of each pair. Pairs that
+    agree only on a LATE segment — every earlier segment disagreeing
+    — must still surface (the first agreeing index IS that late
+    segment), and identical fingerprints (agreeing on every segment)
+    must yield exactly one pair row."""
+    from ppack_spark.operators.dedup import hamming_segment_pairs
+
+    # bits=32, max_hamming=3 → four 8-bit segments (seg j = bits
+    # 8j..8j+7). fp 2 differs from fp 1 in segments 0, 1 and 3 by one
+    # bit each (hamming 3) and agrees ONLY on segment 2.
+    late_only = (1 << 0) | (1 << 8) | (1 << 24)
+    df = spark.createDataFrame(
+        [(1, 0), (2, late_only), (3, 555), (4, 555)],
+        "doc_id long, fp long",
+    )
+    rows = hamming_segment_pairs(df, "fp", bits=32, max_hamming=3).collect()
+    got = {(r["id_left"], r["id_right"]): r["hamming"] for r in rows}
+    assert got == {(1, 2): 3, (3, 4): 0}
+    assert len(rows) == 2  # one row per pair, even for all-segment agreement
+
+
 def test_near_dedup_corpus_keeps_canonical(spark):
     """Planted near-duplicate group collapses to its min-id member;
     singletons survive; both component kernels agree."""
@@ -737,6 +760,54 @@ def test_prefix_join_threshold_validated(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         jaccard_prefix_join(df, threshold=0.0)
+
+
+def test_prefix_join_positional_filter_preserves_boundary_pairs(spark):
+    """The PPJoin positional filter (r14 optimization) prunes
+    candidate rows whose position-derived overlap BOUND cannot reach
+    t/(1+t)·(sz_a+sz_b) — it must never drop a pair whose true J is
+    exactly AT the threshold (the bound is tight there: every shared
+    prefix token's bound equals the true overlap for maximally
+    clustered intersections). Crafted corpus: boundary pairs at J
+    exactly 0.5 (k=1 token sets |A|=|B|=3, overlap 2), prune-bait
+    pairs sharing ONE rare token with nothing else in common (the
+    rows the filter exists to kill), and a disjoint distractor —
+    compared against brute-force Python over the same shingle sets."""
+    from ppack_spark.operators.dedup import jaccard_prefix_join
+
+    rows = [
+        # boundary: J = 2/4 = 0.5 exactly — must survive the filter
+        (1, "alpha beta gamma"),
+        (2, "beta gamma delta"),
+        # prune bait: shares only the rare token 'zeta' with doc 4;
+        # sizes 6 vs 6 need overlap >= 4 for J >= 0.5, bound from the
+        # single shared token is far below — candidate row pruned,
+        # pair correctly absent either way
+        (3, "zeta one two three four five"),
+        (4, "zeta six seven eight nine ten"),
+        # identical twins: J = 1.0
+        (5, "same words here exactly"),
+        (6, "same words here exactly"),
+        # disjoint distractor
+        (7, "unrelated vocabulary entirely distinct tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_left"], r["id_right"]): r["jaccard"]
+        for r in jaccard_prefix_join(df, k=1, threshold=0.5).collect()
+    }
+    docs = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for i in sorted(docs):
+        for j in sorted(docs):
+            if i < j:
+                inter = len(docs[i] & docs[j])
+                jac = inter / (len(docs[i]) + len(docs[j]) - inter)
+                if jac >= 0.5:
+                    want[(i, j)] = round(jac, 6)
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0.5  # exact-boundary pair kept
+    assert (3, 4) not in got  # prune-bait pair (J = 1/11) absent
 
 
 def test_jaccard_prefix_join_ab_matches_brute_force(spark):
