@@ -154,17 +154,23 @@ def connected_components(
     return labels
 
 
-def _symmetrize(e: DataFrame) -> DataFrame:
-    return e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-
-
 def _large_star(e: DataFrame) -> DataFrame:
     """large-star(u): every strictly-larger neighbour of u links to
     m = min(Γ(u) ∪ {u}) (Kiveris et al. SoCC'14, Alg. 2 map/reduce as
-    a groupBy-min + self-join — no per-node neighbour lists)."""
-    sym = _symmetrize(e)
+    a groupBy-min + self-join — no per-node neighbour lists).
+
+    PRECONDITION (maintained by the star loop, established by the
+    caller's up-front orientation pass): ``e`` is strictly oriented
+    (src > dst on every row) and duplicate-free. The symmetrized
+    union is then duplicate-free BY CONSTRUCTION — the original half
+    has src > dst, the reversed half src < dst, so the r14
+    optimization drops the per-round ``distinct`` exchange that used
+    to re-dedup it. The OUTPUT keeps its distinct (different centers
+    u can emit the same (v, m) edge) and is itself strictly oriented:
+    v > u ≥ m for every emitted (v, m)."""
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     mins = sym.groupBy("src").agg(F.min("dst").alias("mv")).select(
         "src", F.least("src", F.col("mv")).alias("m")
     )
@@ -178,18 +184,18 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """small-star(u): all of u's ≤-neighbours (and u itself) link to
-    the minimum of that set."""
-    d = (
-        e.select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    mins = d.groupBy("src").agg(F.min("dst").alias("m"))
+    the minimum of that set.
+
+    PRECONDITION: ``e`` strictly oriented (src > dst) and
+    duplicate-free — true for :func:`_large_star` output and for the
+    star loop's normalized input, so the greatest/least
+    re-orientation + ``distinct`` this step used to pay per round is
+    a no-op and was dropped (r14). Output rows are strictly oriented
+    (every emitted dst is a group minimum strictly below the src) and
+    deduped by the final distinct."""
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
     nbr = (
-        d.join(mins, on="src")
+        e.join(mins, on="src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
     )
@@ -228,8 +234,15 @@ def connected_components_star(
         .distinct()
         .transform(cut_lineage)
     )
+    # strict (greatest, least) orientation up front: the loop's
+    # _large_star/_small_star passes rely on it to skip their
+    # per-round re-orientation/dedup exchanges (see their docstrings);
+    # for undirected edges the orientation changes nothing semantically
     e = (
-        edges.select(F.col(id_left).alias("src"), F.col(id_right).alias("dst"))
+        edges.select(
+            F.greatest(F.col(id_left), F.col(id_right)).alias("src"),
+            F.least(F.col(id_left), F.col(id_right)).alias("dst"),
+        )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .transform(cut_lineage)
