@@ -26,7 +26,8 @@ sys.path.insert(0, REPO)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("gates", nargs="+")
-    ap.add_argument("--tag", default=None, help="write plans/r14/<gate>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="write plans/<round>/<gate>_<tag>.txt")
+    ap.add_argument("--round", default="r15", help="plans/ subdirectory for --tag output")
     ap.add_argument("--iters", type=int, default=2)
     args = ap.parse_args()
 
@@ -38,7 +39,7 @@ def main() -> None:
     spark = get_spark("profile_gate")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", args.round)
     os.makedirs(out_dir, exist_ok=True)
     for name in args.gates:
         fn = qs.get(name)
