@@ -75,11 +75,31 @@ def extract_blocks(
     Signature mirrors reference linking.R:14 (equi passes and
     expression passes are separate arguments); both kinds may also be
     mixed freely in ``blocking_variables`` as :class:`BlockingRule`.
+
+    The passes are DISJOINTIFIED rather than globally deduplicated:
+    pass *i*'s join condition additionally requires that none of the
+    conditions of passes 1..i−1 hold (``NOT coalesce(cond_j, false)``,
+    so a NULL earlier-pass condition keeps the row — that pass did not
+    produce it), which makes the union duplicate-free by construction.
+    The result SET is identical to ``union-all → distinct`` — a pair
+    dropped from pass *i* satisfies some earlier pass's condition and
+    is emitted there — but the pair-keyed distinct exchange, the one
+    O(pairs) shuffle in a multi-pass blocking plan, disappears: the
+    union pipelines straight into downstream joins/aggregates inside
+    one codegen stage. Requires ``unique_id_a``/``unique_id_b`` to be
+    actually unique (each equi/theta pass then emits a pair at most
+    once); that has always been this operator's contract.
     """
     passes = _pass_frames(
-        data_a, data_b, unique_id_a, unique_id_b, blocking_variables, blocking_expressions
+        data_a,
+        data_b,
+        unique_id_a,
+        unique_id_b,
+        blocking_variables,
+        blocking_expressions,
+        disjoint=True,
     )
-    return reduce(DataFrame.unionByName, passes).distinct()
+    return reduce(DataFrame.unionByName, passes)
 
 
 def _pass_frames(
@@ -89,8 +109,15 @@ def _pass_frames(
     unique_id_b: str,
     blocking_variables: Iterable[RuleLike] = (),
     blocking_expressions: Iterable[Union[Column, str]] = (),
+    disjoint: bool = False,
 ) -> list[DataFrame]:
     """One (id_left, id_right) frame per blocking pass (pre-union).
+
+    ``disjoint=False`` (the diagnostics default —
+    :func:`blocking_pass_counts` documents raw pre-distinct per-pass
+    sizes) emits each pass's full candidate stream; ``disjoint=True``
+    ANDs each pass with the negation of every earlier pass's condition
+    so the streams are pairwise disjoint (see :func:`extract_blocks`).
 
     The probe (left) side is ``spread()`` to full parallelism first:
     fixture-sized parquet arrives as a single input partition, and a
@@ -112,6 +139,7 @@ def _pass_frames(
         rules = [BlockingRule.where(F.lit(True))]  # full cross product
 
     passes = []
+    prev_conds: list[Column] = []
     for rule in rules:
         if rule.expression is not None:
             cond = as_column(rule.expression)
@@ -121,7 +149,12 @@ def _pass_frames(
                 for l, r in rule.keys
             ]
             cond = reduce(lambda x, y: x & y, conds)
-        passes.append(a.join(b, cond, "inner").select(id_l, id_r))
+        join_cond = cond
+        if disjoint:
+            for pc in prev_conds:
+                join_cond = join_cond & ~F.coalesce(pc, F.lit(False))
+            prev_conds.append(cond)
+        passes.append(a.join(b, join_cond, "inner").select(id_l, id_r))
     return passes
 
 
