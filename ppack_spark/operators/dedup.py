@@ -1205,10 +1205,13 @@ def jaccard_prefix_join(
     # re-runs the shingling map over the raw text without a cut —
     # materializing the tokenized records is the standard PPJoin
     # working set (every exact set-similarity join re-reads them for
-    # verification anyway)
+    # verification anyway). ``shh``/``__hdup`` feed the hashed
+    # verification prefilter (see _hash_verify_bound below).
     sh = (
         sh.filter(F.size("sh") > 0)
         .withColumn("sz", F.size("sh"))
+        .withColumn("shh", F.transform("sh", lambda x: F.xxhash64(x)))
+        .withColumn("__hdup", F.col("sz") - F.size(F.array_distinct("shh")))
         .localCheckpoint(eager=False)
     )
     bcols = ["__blk"] if block_col else []
@@ -1288,12 +1291,63 @@ def jaccard_prefix_join(
             (F.col("a.__id") < F.col("b.__id"))
             & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
             & (F.col("a.sz") >= F.lit(t) * F.col("b.sz"))
-            & (overlap_bound + F.lit(1e-9) >= min_overlap)
+            # prune-side epsilon is RELATIVE (1e-12·(sz_a+sz_b), far
+            # above the ~2.2e-16·(sz_a+sz_b) double rounding of the
+            # bound) plus the old 1e-9 absolute floor: an absolute
+            # epsilon alone stops covering rounding error once a
+            # pair's combined shingle count passes ~4.5e6, and an
+            # exact operator may never prune a boundary pair
+            & (
+                overlap_bound
+                + F.lit(1e-9)
+                + F.lit(1e-12) * (F.col("a.sz") + F.col("b.sz"))
+                >= min_overlap
+            )
         )
         .select(
             F.col("a.__id").alias("id_left"), F.col("b.__id").alias("id_right")
         )
         .distinct()
+    )
+    # Hashed verification prefilter (exactness-preserving): candidate
+    # pairs vastly outnumber true pairs, and the exact string-array
+    # intersect is the most expensive per-row work in the plan. First
+    # intersect the 64-bit xxhash64 shingle arrays — cheap long
+    # compares, no string hashing — and reject pairs whose HASH
+    # intersection already caps the Jaccard below t. The hash
+    # intersection is an upper bound on the true one up to collisions
+    # WITHIN the common set, and those are bounded by either side's
+    # internal duplicate count (common ⊆ A and ⊆ B), so
+    # I_true ≤ |h(A)∩h(B)| + min(hdup_A, hdup_B): no true pair is ever
+    # rejected, and only the surviving sliver pays the exact string
+    # intersect (which alone decides the output).
+    hl = sh.select(
+        F.col("__id").alias("id_left"),
+        F.col("sz").alias("__sz_l"),
+        F.col("shh").alias("__shh_l"),
+        F.col("__hdup").alias("__hd_l"),
+    )
+    hr = sh.select(
+        F.col("__id").alias("id_right"),
+        F.col("sz").alias("__sz_r"),
+        F.col("shh").alias("__shh_r"),
+        F.col("__hdup").alias("__hd_r"),
+    )
+    ub = (
+        F.size(F.array_intersect("__shh_l", "__shh_r"))
+        + F.least("__hd_l", "__hd_r")
+    ).cast("double")
+    szsum = (F.col("__sz_l") + F.col("__sz_r")).cast("double")
+    survivors = (
+        cand.join(hl, "id_left")
+        .join(hr, "id_right")
+        # J ≥ t ⟺ (1+t)·I ≥ t·(sz_l+sz_r); same relative+absolute
+        # prune-side epsilon as the positional filter above
+        .filter(
+            F.lit(1.0 + t) * ub + F.lit(1e-9) + F.lit(1e-12) * szsum
+            >= F.lit(t) * szsum
+        )
+        .select("id_left", "id_right")
     )
     left = sh.select(F.col("__id").alias("id_left"), F.col("sh").alias("sh_l"))
     right = sh.select(
@@ -1303,7 +1357,7 @@ def jaccard_prefix_join(
     union = F.size("sh_l") + F.size("sh_r") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
-        cand.join(left, "id_left")
+        survivors.join(left, "id_left")
         .join(right, "id_right")
         .withColumn("jaccard", jac)
         .filter(
@@ -1359,6 +1413,10 @@ def jaccard_prefix_join_ab(
         return (
             s.filter(F.size("sh") > 0)
             .withColumn("sz", F.size("sh"))
+            .withColumn("shh", F.transform("sh", lambda x: F.xxhash64(x)))
+            .withColumn(
+                "__hdup", F.col("sz") - F.size(F.array_distinct("shh"))
+            )
             .localCheckpoint(eager=False)
         )
 
@@ -1435,10 +1493,46 @@ def jaccard_prefix_join_ab(
         .filter(
             (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
             & (F.col("a.sz") >= F.lit(t) * F.col("b.sz"))
-            & (overlap_bound + F.lit(1e-9) >= min_overlap)
+            # relative + absolute prune-side epsilon — same reasoning
+            # as jaccard_prefix_join
+            & (
+                overlap_bound
+                + F.lit(1e-9)
+                + F.lit(1e-12) * (F.col("a.sz") + F.col("b.sz"))
+                >= min_overlap
+            )
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
+    )
+    # hashed verification prefilter — see jaccard_prefix_join: long-
+    # array intersect bounds the Jaccard from above (collision slack
+    # min(hdup)), only survivors pay the exact string intersect
+    hl = sh_a.select(
+        F.col("__id").alias("id_a"),
+        F.col("sz").alias("__sz_l"),
+        F.col("shh").alias("__shh_l"),
+        F.col("__hdup").alias("__hd_l"),
+    )
+    hr = sh_b.select(
+        F.col("__id").alias("id_b"),
+        F.col("sz").alias("__sz_r"),
+        F.col("shh").alias("__shh_r"),
+        F.col("__hdup").alias("__hd_r"),
+    )
+    ub = (
+        F.size(F.array_intersect("__shh_l", "__shh_r"))
+        + F.least("__hd_l", "__hd_r")
+    ).cast("double")
+    szsum = (F.col("__sz_l") + F.col("__sz_r")).cast("double")
+    survivors = (
+        cand.join(hl, "id_a")
+        .join(hr, "id_b")
+        .filter(
+            F.lit(1.0 + t) * ub + F.lit(1e-9) + F.lit(1e-12) * szsum
+            >= F.lit(t) * szsum
+        )
+        .select("id_a", "id_b")
     )
     left = sh_a.select(F.col("__id").alias("id_a"), F.col("sh").alias("sh_l"))
     right = sh_b.select(F.col("__id").alias("id_b"), F.col("sh").alias("sh_r"))
@@ -1446,7 +1540,7 @@ def jaccard_prefix_join_ab(
     union = F.size("sh_l") + F.size("sh_r") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
-        cand.join(left, "id_a")
+        survivors.join(left, "id_a")
         .join(right, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= F.lit(t))

@@ -216,10 +216,24 @@ def test_hamming_segment_pairs_canonical_segment_filter(spark):
         [(1, 0), (2, late_only), (3, 555), (4, 555)],
         "doc_id long, fp long",
     )
-    rows = hamming_segment_pairs(df, "fp", bits=32, max_hamming=3).collect()
+    out = hamming_segment_pairs(df, "fp", bits=32, max_hamming=3)
+    rows = out.collect()
     got = {(r["id_left"], r["id_right"]): r["hamming"] for r in rows}
     assert got == {(1, 2): 3, (3, 4): 0}
-    assert len(rows) == 2  # one row per pair, even for all-segment agreement
+    # output-level dedup alone cannot distinguish a working canonical-
+    # segment filter from a broken/removed one (the trailing distinct
+    # also yields one row per pair) — pin the single-discovery property
+    # at the PLAN level instead: the filter's array_position probe must
+    # be present on the uncapped path and absent on the capped path
+    # (where it would be unsound: the cap may drop the first agreeing
+    # segment's bucket)
+    plan_uncapped = out._jdf.queryExecution().executedPlan().toString()
+    assert "array_position" in plan_uncapped
+    capped = hamming_segment_pairs(
+        df, "fp", bits=32, max_hamming=3, max_bucket_size=10
+    )
+    plan_capped = capped._jdf.queryExecution().executedPlan().toString()
+    assert "array_position" not in plan_capped
 
 
 def test_near_dedup_corpus_keeps_canonical(spark):
