@@ -34,10 +34,26 @@ plan but exact on fixture-sized inputs (plans/registry_data.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .util import cut_lineage
+
+# Below this many (deduplicated, oriented) edges the kernels solve the
+# graph with a driver-side union-find instead of iterative Spark
+# rounds: a KB-to-MB edge list costs 3-6 distributed rounds of
+# checkpoint + aggregate jobs (~1s of pure scheduling each at local
+# parallelism; worse on a real cluster) while path-compressed
+# union-find finishes in milliseconds. 200k edges ≈ a few MB collected
+# — comparable to the EM pattern-count collect the reference itself
+# mandates, and far below any driver limit. Above the bound (any real
+# 100 TB dedup graph) the distributed kernels run exactly as before;
+# the decision input is the edge COUNT the star kernel already
+# computes for its convergence signature. Override with
+# PPACK_CC_DRIVER_MAX_EDGES (0 disables the driver path).
+_CC_DRIVER_MAX_EDGES = int(os.environ.get("PPACK_CC_DRIVER_MAX_EDGES", "200000"))
 
 __all__ = [
     "connected_components",
@@ -106,6 +122,7 @@ def connected_components(
     id_left: str = "id_left",
     id_right: str = "id_right",
     max_iter: int = 30,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Resolve undirected edges into components.
 
@@ -113,15 +130,31 @@ def connected_components(
     node id in the node's connected component. Only nodes appearing in
     at least one edge are returned (singletons are their own component
     by definition and need no resolution).
+
+    ``small_graph_edges`` (default: the module bound, env
+    ``PPACK_CC_DRIVER_MAX_EDGES``; pass 0 to disable): edge sets at or
+    below the bound are solved with the driver union-find
+    (:func:`_driver_components`) instead of distributed rounds —
+    identical output, none of the per-round job overhead.
     """
-    e = edges.select(
+    # materialize the narrow edge projection once: the symmetrizing
+    # union's two legs (and nothing else) would otherwise each
+    # re-execute the caller's whole edge-derivation chain — for the
+    # dedup gates that is the LSH/verify pipeline, twice
+    raw = edges.select(
         F.col(id_left).alias("src"), F.col(id_right).alias("dst")
-    )
+    ).localCheckpoint(eager=False)
     # symmetrize once; propagation then only needs one direction
-    e = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     e = cut_lineage(e)
+
+    bound = _CC_DRIVER_MAX_EDGES if small_graph_edges is None else small_graph_edges
+    if bound and e.count() <= bound:
+        solved = _driver_components(e, nodes=None)
+        if solved is not None:
+            return solved
 
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
@@ -203,6 +236,68 @@ def _small_star(e: DataFrame) -> DataFrame:
     return nbr.unionByName(own).distinct()
 
 
+def _driver_components(
+    e: DataFrame, nodes: DataFrame | None
+) -> DataFrame | None:
+    """Solve a SMALL component graph on the driver: path-compressed
+    union-find with union-by-min, so each root is the minimum id seen
+    in its tree and the output is exactly the distributed kernels'
+    (node, min-member-id) contract. ``nodes`` (optional) contributes
+    extra isolated nodes beyond the edge endpoints (the star kernel's
+    self-loop-only nodes).
+
+    Returns ``None`` — caller falls back to the distributed kernel —
+    when the id type is outside the safe set (integral/string, where
+    Python ordering provably matches Spark's) or any endpoint is NULL
+    (equi-join NULL semantics are not worth replicating here).
+    """
+    import pyspark.sql.types as T
+
+    dtype = e.schema["src"].dataType
+    if not isinstance(
+        dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.StringType)
+    ):
+        return None
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    if nodes is not None:
+        for row in nodes.collect():
+            v = row[0]
+            if v is None:
+                return None
+            parent.setdefault(v, v)
+    for row in e.collect():
+        a, b = row[0], row[1]
+        if a is None or b is None:
+            return None
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    rows = [(v, find(v)) for v in parent]
+    schema = T.StructType(
+        [
+            T.StructField("node", dtype, True),
+            T.StructField("component", dtype, True),
+        ]
+    )
+    return e.sparkSession.createDataFrame(rows, schema)
+
+
 def _edge_signature(e: DataFrame) -> tuple:
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
@@ -216,6 +311,7 @@ def connected_components_star(
     id_left: str = "id_left",
     id_right: str = "id_right",
     max_iter: int = 50,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -228,9 +324,15 @@ def connected_components_star(
     appearing in an edge; raises on non-convergence. Each round is two
     groupBy-min + self-join passes over the (shrinking) edge set, with
     ``cut_lineage`` lineage cuts (localCheckpoint + flat-stats reset)."""
+    # materialize the narrow edge projection once: the node census and
+    # the orientation pass below are separate jobs, and each would
+    # otherwise re-execute the caller's whole edge-derivation chain
+    raw = edges.select(
+        F.col(id_left).alias("src"), F.col(id_right).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
-        edges.select(F.col(id_left).alias("src"))
-        .unionByName(edges.select(F.col(id_right).alias("src")))
+        raw.select("src")
+        .unionByName(raw.select(F.col("dst").alias("src")))
         .distinct()
         .transform(cut_lineage)
     )
@@ -239,15 +341,24 @@ def connected_components_star(
     # per-round re-orientation/dedup exchanges (see their docstrings);
     # for undirected edges the orientation changes nothing semantically
     e = (
-        edges.select(
-            F.greatest(F.col(id_left), F.col(id_right)).alias("src"),
-            F.least(F.col(id_left), F.col(id_right)).alias("dst"),
+        raw.select(
+            F.greatest(F.col("src"), F.col("dst")).alias("src"),
+            F.least(F.col("src"), F.col("dst")).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .transform(cut_lineage)
     )
     sig = _edge_signature(e)
+    # the signature's edge count doubles as the driver-path decision
+    # input: small graphs skip the round loop entirely (same output,
+    # see _driver_components; pass small_graph_edges=0 to force the
+    # distributed rounds)
+    bound = _CC_DRIVER_MAX_EDGES if small_graph_edges is None else small_graph_edges
+    if bound and sig[0] <= bound:
+        solved = _driver_components(e, nodes=nodes)
+        if solved is not None:
+            return solved
     converged = False
     for _ in range(max_iter):
         e = cut_lineage(_small_star(_large_star(e)))
@@ -279,6 +390,7 @@ def connected_components_adaptive(
     id_right: str = "id_right",
     label_rounds: int = 3,
     max_iter: int = 50,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Hybrid components kernel: a few min-label rounds first, star
     only on demand.
@@ -314,13 +426,21 @@ def connected_components_adaptive(
     exact (node, min-member-id) contract of the other two kernels —
     gated against the same recursive-CTE oracle.
     """
-    e = edges.select(
+    # same single-evaluation cut as connected_components: both
+    # symmetrizing legs read the materialized projection
+    raw = edges.select(
         F.col(id_left).alias("src"), F.col(id_right).alias("dst")
-    )
-    e = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    e = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     e = cut_lineage(e)
+
+    bound = _CC_DRIVER_MAX_EDGES if small_graph_edges is None else small_graph_edges
+    if bound and e.count() <= bound:
+        solved = _driver_components(e, nodes=None)
+        if solved is not None:
+            return solved
 
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("component")

@@ -223,8 +223,46 @@ def test_non_convergence_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_left long, id_right long"
     )
+    # small_graph_edges=0 pins the DISTRIBUTED kernel's contract — the
+    # driver union-find path (which cannot fail to converge) would
+    # otherwise absorb a graph this small
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, small_graph_edges=0)
+
+
+def test_driver_kernel_matches_distributed(spark):
+    """The small-graph driver union-find must agree bit-for-bit with
+    every distributed kernel — on a long chain (worst case for
+    min-label), a pseudo-random multigraph (duplicate + reversed
+    edges), string node ids, and a graph with isolated self-loop
+    nodes."""
+    cases = [
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_left long, id_right long"
+        ),
+        spark.createDataFrame(
+            [((i * 131 + 7) % 53, (i * 31 + 3) % 53) for i in range(150)],
+            "id_left long, id_right long",
+        ),
+        spark.createDataFrame(
+            [("a:1", "b:2"), ("b:2", "a:3"), ("a:9", "a:9"), ("b:7", "b:8")],
+            "id_left string, id_right string",
+        ),
+    ]
+    for df in cases:
+        driver = _components_dict(connected_components_star(df))
+        assert driver == _components_dict(
+            connected_components_star(df, small_graph_edges=0, max_iter=15)
+        )
+        assert driver == _components_dict(
+            connected_components(df, small_graph_edges=0, max_iter=200)
+        )
+        assert driver == _components_dict(
+            connected_components_adaptive(df, small_graph_edges=0)
+        )
+        # the label/adaptive kernels' driver paths agree too
+        assert driver == _components_dict(connected_components(df))
+        assert driver == _components_dict(connected_components_adaptive(df))
 
 
 def test_linker_cluster_two_dataset_raises(spark, tables):
