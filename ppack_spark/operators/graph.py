@@ -46,10 +46,42 @@ crawl-authority operators a 100 TB web-corpus build needs.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .util import cut_lineage, distributed_rank
+
+# Below this many collapsed edges the iterative loops run on the
+# driver instead of as per-iteration Spark jobs: the trajectories are
+# integer fixed-point BY DESIGN (every cross-node sum is a long sum,
+# every float step one correctly-rounded IEEE op on bit-identical
+# inputs — the property that makes them SQL-oracle-replayable), so a
+# Python loop over the SAME Spark-computed shares/teleport/initial
+# state reproduces the distributed trajectory bit-for-bit while
+# skipping ~4 checkpoint/aggregate jobs per iteration. Everything
+# BEFORE the loop (edge collapse, share division, seed normalization)
+# stays in Spark, so the driver path starts from identical numbers.
+# Same bounded-collect class as the CC kernels' union-find
+# (operators/cluster.py); override with PPACK_GRAPH_DRIVER_MAX_EDGES,
+# 0 disables. Any 100 TB graph exceeds the bound and takes the
+# distributed loop unchanged.
+_GRAPH_DRIVER_MAX_EDGES = int(
+    os.environ.get("PPACK_GRAPH_DRIVER_MAX_EDGES", "200000")
+)
+
+
+def _driver_safe_node_type(df: DataFrame, col: str):
+    import pyspark.sql.types as T
+
+    dtype = df.schema[col].dataType
+    if isinstance(
+        dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.StringType)
+    ):
+        return dtype
+    return None
 
 
 def _edge_weights(
@@ -77,6 +109,7 @@ def pagerank(
     seeds: DataFrame | None = None,
     seed_node: str = "node",
     seed_weight: str | None = None,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration (optionally personalized) PageRank over an
     edge list.
@@ -205,6 +238,18 @@ def pagerank(
     has_out = outw.select(F.col("__src").alias("node")).localCheckpoint(
         eager=False
     )
+    # small-graph driver loop (see _GRAPH_DRIVER_MAX_EDGES): the count
+    # materializes the share checkpoint, which iteration 1 would do
+    # anyway, so a fall-through wastes nothing
+    bound = (
+        _GRAPH_DRIVER_MAX_EDGES if small_graph_edges is None else small_graph_edges
+    )
+    if bound and shares.count() <= bound:
+        solved = _driver_pagerank(ranks, shares, has_out, damping, iters, sc)
+        if solved is not None:
+            return distributed_rank(
+                solved, [F.desc("pagerank"), F.asc("node")], "rank"
+            ).select("node", "pagerank", "rank")
     for _ in range(iters):
         dang = (
             ranks.join(has_out, "node", "left_anti")
@@ -242,6 +287,65 @@ def pagerank(
         [F.desc("pagerank"), F.asc("node")],
         "rank",
     ).select("node", "pagerank", "rank")
+
+
+def _driver_pagerank(
+    ranks: DataFrame,
+    shares: DataFrame,
+    has_out: DataFrame,
+    damping: float,
+    iters: int,
+    sc: float,
+) -> DataFrame | None:
+    """The pagerank iteration loop on the driver, over the SAME
+    Spark-computed (node, pr_i, __s) state and (__src, __dst, __share)
+    table: every expression below mirrors the distributed loop's
+    Column tree op for op (long sums exact either way; each float step
+    one IEEE multiply/add/divide on bit-identical operands), so the
+    trajectory is reproduced bit-for-bit. Returns ``None`` — caller
+    continues with the distributed loop — on exotic node types or NULL
+    state values."""
+    import pyspark.sql.types as T
+
+    dtype = _driver_safe_node_type(ranks, "node")
+    if dtype is None:
+        return None
+    pr: dict = {}
+    s: dict = {}
+    for r in ranks.collect():
+        n, p, sv = r[0], r[1], r[2]
+        if n is None or p is None or sv is None:
+            return None
+        pr[n] = p
+        s[n] = sv
+    share_rows = [(r[0], r[1], r[2]) for r in shares.collect()]
+    out_nodes = {r[0] for r in has_out.collect()}
+    for _ in range(iters):
+        dang = 0
+        for n, p in pr.items():
+            if n not in out_nodes:
+                dang += p
+        infl: dict = {}
+        for u, v, share in share_rows:
+            infl[v] = infl.get(v, 0) + math.floor(pr[u] * share)
+        dang_d = float(dang)
+        pr = {
+            n: math.floor(
+                (1.0 - damping) * sv * sc
+                + damping * (float(infl.get(n, 0)) + dang_d * sv)
+                + 0.5
+            )
+            for n, sv in s.items()
+        }
+    schema = T.StructType(
+        [
+            T.StructField("node", dtype, True),
+            T.StructField("pagerank", T.DoubleType(), True),
+        ]
+    )
+    return ranks.sparkSession.createDataFrame(
+        [(n, pr[n] / sc) for n in pr], schema
+    )
 
 
 def degree_report(
@@ -287,6 +391,7 @@ def hits(
     weight: str | None = None,
     iters: int = 3,
     round_digits: int = 9,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration HITS hubs & authorities (Kleinberg 1999) over
     an edge list — PageRank's companion readout for a crawl frontier:
@@ -347,6 +452,16 @@ def hits(
         F.floor(F.lit(sc) / F.col("__n") + F.lit(0.5)).cast("long").alias("h_i"),
         F.lit(0).cast("long").alias("a_i"),
     ).localCheckpoint(eager=False)
+    # small-graph driver loop — same contract as _driver_pagerank
+    bound = (
+        _GRAPH_DRIVER_MAX_EDGES if small_graph_edges is None else small_graph_edges
+    )
+    if bound and ew.count() <= bound:
+        solved = _driver_hits(nodes, ew, iters, sc)
+        if solved is not None:
+            return distributed_rank(
+                solved, [F.desc("authority"), F.asc("node")], "rank"
+            ).select("node", "hub", "authority", "rank")
     for _ in range(iters):
         araw = (
             state.join(ew, state["node"] == ew["__src"])
@@ -410,6 +525,64 @@ def hits(
     return distributed_rank(
         scored, [F.desc("authority"), F.asc("node")], "rank"
     ).select("node", "hub", "authority", "rank")
+
+
+def _driver_hits(
+    nodes: DataFrame, ew: DataFrame, iters: int, sc: float
+) -> DataFrame | None:
+    """The HITS iteration loop on the driver over the SAME
+    Spark-computed collapsed edges — op-for-op mirror of the
+    distributed loop (long contribution sums; one IEEE divide +
+    multiply per normalized value), bit-identical trajectory. Returns
+    ``None`` to fall back on exotic node types, NULL values, or a
+    zero normalization total (the distributed NaN path is not worth
+    replicating)."""
+    import pyspark.sql.types as T
+
+    dtype = _driver_safe_node_type(nodes, "node")
+    if dtype is None:
+        return None
+    node_list = [r[0] for r in nodes.collect()]
+    if any(n is None for n in node_list):
+        return None
+    edge_rows = [(r[0], r[1], r[2]) for r in ew.collect()]
+    n_d = float(len(node_list))
+    h0 = math.floor(sc / n_d + 0.5) if node_list else 0
+    h = {n: h0 for n in node_list}
+    a = {n: 0 for n in node_list}
+    for _ in range(iters):
+        araw: dict = {}
+        for u, v, w in edge_rows:
+            araw[v] = araw.get(v, 0) + math.floor(w * h[u])
+        atot = sum(araw.values())
+        if edge_rows and atot <= 0:
+            return None
+        atot_d = float(atot)
+        a = {
+            n: math.floor(sc * (float(araw.get(n, 0)) / atot_d) + 0.5)
+            for n in node_list
+        } if edge_rows else a
+        hraw: dict = {}
+        for u, v, w in edge_rows:
+            hraw[u] = hraw.get(u, 0) + math.floor(w * a[v])
+        htot = sum(hraw.values())
+        if edge_rows and htot <= 0:
+            return None
+        htot_d = float(htot)
+        h = {
+            n: math.floor(sc * (float(hraw.get(n, 0)) / htot_d) + 0.5)
+            for n in node_list
+        } if edge_rows else h
+    schema = T.StructType(
+        [
+            T.StructField("node", dtype, True),
+            T.StructField("hub", T.DoubleType(), True),
+            T.StructField("authority", T.DoubleType(), True),
+        ]
+    )
+    return nodes.sparkSession.createDataFrame(
+        [(n, h[n] / sc, a[n] / sc) for n in node_list], schema
+    )
 
 
 def triangle_report(

@@ -405,3 +405,31 @@ def test_triangles_empty_edges(spark):
     out = triangle_report(e)
     assert out.columns == ["node", "degree", "triangles", "clustering"]
     assert out.count() == 0
+
+
+def test_graph_driver_loops_match_distributed(spark):
+    """The small-graph driver iteration paths must reproduce the
+    distributed trajectories BIT-FOR-BIT (same Spark-computed shares /
+    teleport / initial state, op-for-op float arithmetic) — weighted
+    multigraph with dangling nodes, a seeded variant, and HITS."""
+    from ppack_spark.operators.graph import hits
+
+    rows = [
+        ("a", "b", 2.0), ("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 4.0),
+        ("d", "a", 1.0), ("b", "e", 3.0),  # e is dangling
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string, w double")
+
+    def _d(df):
+        return {r["node"]: tuple(r)[1:] for r in df.collect()}
+
+    for kw in ({}, {"weight": "w"}, {"iters": 5}):
+        assert _d(pagerank(e, **kw)) == _d(
+            pagerank(e, small_graph_edges=0, **kw)
+        ), kw
+    seeds = spark.createDataFrame([("a", 3.0), ("d", 1.0)], "node string, w double")
+    assert _d(pagerank(e, seeds=seeds, seed_weight="w")) == _d(
+        pagerank(e, seeds=seeds, seed_weight="w", small_graph_edges=0)
+    )
+    assert _d(hits(e, weight="w")) == _d(hits(e, weight="w", small_graph_edges=0))
+    assert _d(hits(e)) == _d(hits(e, small_graph_edges=0))
